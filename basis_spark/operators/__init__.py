@@ -1,0 +1,29 @@
+"""Operator library. Importing this package registers every operator.
+
+Modules map to SURVEY.md §2 groups:
+  scans       — §2.A sources/sinks
+  rowops      — §2.B projection/filter/row ops
+  joins       — §2.C joins (equi/theta/semi/anti/as-of/interval)
+  aggregates  — §2.D aggregation
+  windows     — §2.E window functions
+  sets_sort   — §2.F sort/limit + §2.G set ops
+  scalars     — §2.H scalar functions + §2.I sampling/approx
+  incremental — §2.J streaming semantics (batch-equivalent forms)
+  udfs        — §2.K UDF/UDAF/UDTF surface
+  llm         — §2.L LLM-data-pipeline operators (+ extensions)
+  multimodal  — binary-column plumbing (decode stubbed; SURVEY §1.3)
+"""
+
+from basis_spark.operators import (  # noqa: F401
+    aggregates,
+    incremental,
+    joins,
+    llm,
+    multimodal,
+    rowops,
+    scalars,
+    scans,
+    sets_sort,
+    udfs,
+    windows,
+)

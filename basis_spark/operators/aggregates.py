@@ -1,0 +1,328 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+All aggregations are expressed with built-in pyspark.sql.functions so the
+whole pipeline stays inside whole-stage codegen and gets automatic
+partial (map-side) aggregation. At 100 TB the groupBy shuffle is keyed on
+the grouping columns; AQE coalesces/splits post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+# B1 — the flagship pricing summary (TPC-H Q1 shape). SURVEY §6 B1.
+@register(
+    "agg_groupby_multi",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc), 2).alias("sum_disc"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 1500000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .filter(F.col("_raw_spend") > 1500000)
+        .drop("_raw_spend")
+    )
+
+
+# B5 — daily distinct users per event_type.
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           count(DISTINCT user_id) AS u, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.countDistinct("user_id").alias("u"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Approximate distinct: never hash-matched (SURVEY §5.6) — rows-only check;
+# tests/test_tolerance.py asserts ±5% vs exact.
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        )
+    )
+
+
+# B7 — rollup with grouping() flags to disambiguate subtotal rows (R5).
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           count(*) AS n, round(sum(o_totalprice), 2) AS s
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "s")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, n_name,
+           CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(grouping(n_name) AS BIGINT) AS g_nat,
+           count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(n_name) AS BIGINT) AS g_nat,
+               count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+# Collections must be sorted — bag order is engine-dependent (SURVEY App. B5).
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey, list_sort(list(l_partkey)) AS parts, count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# B12 — conditional aggregation pivot.
+@register(
+    "agg_conditional_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 100
+    """,
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+# max_by / arg_max — latest event value per user (ties impossible: sub-second ts).
+@register(
+    "agg_first_last_by",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, ts) AS latest_value,
+           arg_min(value, ts) AS first_value,
+           CAST(max(ts) AS TIMESTAMP) AS latest_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("latest_value"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.max("ts").alias("latest_ts"),
+        )
+    )

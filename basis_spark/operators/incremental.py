@@ -1,0 +1,204 @@
+"""Incremental / streaming semantics, batch-equivalent forms (SURVEY.md §2.J).
+
+The reference's reactive core is incremental, at-most-once-per-consumer
+block processing. Here each op has a *batch* DataFrame form (this module
+— what the driver hash-checks against DuckDB) and a Structured Streaming
+form (basis_spark.streaming.jobs — pinned equal to the batch form by
+tests/test_stream_batch_equiv.py).
+
+Scale: tumbling/sliding windows shuffle once on (window, key); session
+windows shuffle on user_id; watermarks bound streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+HIGH_WATER_EVENT_ID = 5000  # declared high-watermark constant for the batch form
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour tumbling window — window('ts','1 hour') start == hour trunc.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT make_timestamp(CAST((floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+                                - g.k * 900) AS BIGINT) * 1000000) AS ws,
+           event_type, count(*) AS n
+    FROM events, generate_series(0, 3) g(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour window sliding every 15 min: each event lands in 4 windows.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+# B6 — sessionization with a 30-minute gap, via native session_window.
+@register(
+    "stream_session",
+    oracle="""
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS sess_start, count(*) AS n_events,
+           date_diff('microsecond', CAST(min(ts) AS TIMESTAMP),
+                     CAST(max(ts) AS TIMESTAMP)) AS dur_us
+    FROM (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events) x) s
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window end == max(ts) + gap, so max ts = end - 30 min.
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end") - F.expr("INTERVAL 30 MINUTES"))
+                - F.unix_micros(F.col("w.start"))
+            ).alias("dur_us"),
+        )
+    )
+    return sess
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >=
+          (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY event_type
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch rendering of "drop events > 10 min behind max ts" (the on-time
+    # aggregate). True watermark semantics are pinned stream-side only
+    # (tests/test_stream_batch_equiv.py), per SURVEY §2.J.
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.join(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 10 MINUTES"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At-most-once per event_id across overlapping increments: two
+    # overlapping slices unioned then deduplicated == the clean table.
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    mid = ev.agg(F.percentile_approx("event_id", 0.5).alias("m")).collect()[0]["m"]
+    inc1 = ev.filter(F.col("event_id") <= mid + mid // 4)
+    inc2 = ev.filter(F.col("event_id") > mid - mid // 4)
+    return inc1.unionByName(inc2).dropDuplicates(["event_id"])
+
+
+@register(
+    "accumulate_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basis `accumulator`: fold per-block increments into the full table.
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    chunks = [
+        ev.filter((F.col("event_id") % 3) == i)  # three disjoint "blocks"
+        for i in range(3)
+    ]
+    acc = chunks[0]
+    for c in chunks[1:]:
+        acc = acc.unionByName(c)
+    return acc
+
+
+@register(
+    "dedupe_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                   AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedupe_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basis `dedupe_keep_latest`: one row per key, latest wins.
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "incremental_highwater",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id > {HIGH_WATER_EVENT_ID}
+    """,
+)
+def incremental_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basis's one optimization: don't reprocess consumed blocks. Spark
+    # equivalent: monotone high-watermark predicate → parquet row-group
+    # pushdown (and partition pruning on a partitioned sink).
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") > HIGH_WATER_EVENT_ID).select(
+        "event_id", "user_id", "event_type"
+    )

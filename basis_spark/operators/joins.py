@@ -1,0 +1,288 @@
+"""Joins (SURVEY.md §2.C): equi, multiway, outer, semi/anti, broadcast,
+theta/range, interval self-join, as-of, cross.
+
+Scale posture:
+- Dimension tables (region/nation/supplier at any SF) are broadcast —
+  explicitly via F.broadcast or implicitly via AQE + the 64 MB threshold.
+- Big-big equi joins shuffle on the join key; AQE handles skew.
+- The theta/range join keeps the small side broadcast (nested-loop over
+  a broadcast relation, never a shuffled cartesian).
+- The as-of join avoids a range join entirely: union + one window pass
+  (single shuffle on user_id) — the classic scalable as-of formulation.
+- The interval self-join is an equi-join on user_id with a range
+  residual; at 100 TB you'd additionally bucket time (SURVEY §4) — the
+  residual-filter shape here already co-locates by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# B2 — 5-way star join, revenue by nation (ASIA, 1996).
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(spend, 0), 2) AS spend
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2).alias("spend"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS k, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer
+          WHERE c_nationkey < 15 GROUP BY c_nationkey) a
+    FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier
+               WHERE s_nationkey >= 10 GROUP BY s_nationkey) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("ak"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return a.join(b, a.ak == b.bk, "full").select(
+        F.coalesce(F.col("ak"), F.col("bk")).alias("k"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# B8 — anti join: customers with no orders, by segment.
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit broadcast hint — plan asserted in tests/test_plans.py.
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey, round(c_acctbal - s_acctbal, 2) AS bal_gap
+    FROM supplier JOIN customer
+      ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 10
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = (c.c_acctbal > s.s_acctbal) & (c.c_acctbal <= s.s_acctbal + 10)
+    # Broadcast the small side: BroadcastNestedLoopJoin, never a shuffled
+    # cartesian. At 100 TB a band join would first bucket acctbal into
+    # width-10 bins and equi-join bins (same rewrite as the interval join).
+    return F.broadcast(s).join(c, cond).select(
+        "s_suppkey", "c_custkey", F.round(c.c_acctbal - s.s_acctbal, 2).alias("bal_gap")
+    )
+
+
+@register(
+    "join_interval_self",
+    oracle="""
+    SELECT a.event_id AS i, b.event_id AS j, a.user_id,
+           date_diff('microsecond', CAST(a.ts AS TIMESTAMP), CAST(b.ts AS TIMESTAMP)) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    """,
+)
+def join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("i"),
+        F.col("b.event_id").alias("j"),
+        F.col("a.user_id").alias("user_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, click_ts
+    FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        FROM events
+    ) w
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join via the union+window trick (SURVEY §2.C join_asof):
+    # one shuffle on user_id, no range join. Scales linearly.
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "click_ts")
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r_name, p_brand, n_parts
+    FROM region
+    CROSS JOIN (SELECT p_brand, count(*) AS n_parts FROM part
+                GROUP BY p_brand ORDER BY n_parts DESC, p_brand LIMIT 5) b
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select("r_name")
+    top_brands = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("n_parts"), F.asc("p_brand"))
+        .limit(5)
+    )
+    return r.crossJoin(F.broadcast(top_brands)).select("r_name", "p_brand", "n_parts")

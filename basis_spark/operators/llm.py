@@ -1,0 +1,647 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.L + task extensions):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + IVF/LSH scale paths), text analysis
+(tokenize stats, tf-idf, language-ID, quality score, fingerprint).
+
+Scale design (100 TB):
+- Quadratic candidate generation is never global: near-dup ops either
+  block on a key (lang) or use LSH banding; the brute-force forms exist
+  as sf0.01 oracles only (BASELINE.md shows brute force times out at
+  sf0.1 even in DuckDB).
+- The MinHash path is CountVectorizer→MinHashLSH→approxSimilarityJoin
+  with exact Jaccard re-rank of candidates, so output equals the exact
+  answer while LSH only prunes (SURVEY §2.L). At 100 TB swap
+  CountVectorizer for HashingTF (no vocabulary fit pass).
+- All array math is JVM-side higher-order functions (zip_with/aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import CountVectorizer, MinHashLSH
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+# ---------------------------------------------------------------- dedup ----
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang
+    FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup: hash-group on content, keep smallest doc_id per group.
+    # At scale this is one shuffle on md5(text) (64 hex chars, uniform).
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.md5("text").alias("text_md5"), "lang")
+    )
+
+
+_B11_ORACLE = """
+    SELECT i, j, jac FROM (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               round(CAST(len(list_intersect(string_split(a.text, ' '),
+                                             string_split(b.text, ' '))) AS DOUBLE)
+                     / len(list_distinct(string_split(a.text, ' ')
+                                         || string_split(b.text, ' '))), 4) AS jac
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang) t
+    WHERE jac > 0.9
+    ORDER BY i, j
+    LIMIT 100
+"""
+
+
+def _exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for same-lang doc pairs (i < j)."""
+    toks = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return pairs.select(
+        F.col("a.doc_id").alias("i"),
+        F.col("b.doc_id").alias("j"),
+        F.round(inter.cast("double") / union, 4).alias("jac"),
+    )
+
+
+@register("dedup_near_minhash", oracle=_B11_ORACLE)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with exact re-rank (B11 semantics).
+
+    CountVectorizer(binary) -> MinHashLSH(16 tables) approxSimilarityJoin
+    generates candidates; exact token-set Jaccard re-ranks them, so the
+    output set equals brute force (P[miss a 0.9-pair] <= 0.1^16 per pair).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "text", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True)
+    model = cv.fit(toks)
+    feat = model.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=16, seed=42)
+    mh_model = mh.fit(feat)
+    # distance threshold 0.2 leaves margin; exact filter applies > 0.9 sim.
+    cand = mh_model.approxSimilarityJoin(feat, feat, 0.2, distCol="mh_dist")
+    pairs = cand.select(
+        F.col("datasetA.doc_id").alias("i"),
+        F.col("datasetB.doc_id").alias("j"),
+        F.col("datasetA.lang").alias("lang_a"),
+        F.col("datasetB.lang").alias("lang_b"),
+        F.col("datasetA.toks").alias("toks_a"),
+        F.col("datasetB.toks").alias("toks_b"),
+    ).filter((F.col("i") < F.col("j")) & (F.col("lang_a") == F.col("lang_b")))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        pairs.select(
+            "i", "j", F.round(inter.cast("double") / union, 4).alias("jac")
+        )
+        .filter(F.col("jac") > 0.9)
+        .orderBy("i", "j")
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    SELECT i, j, jac FROM (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 4) AS jac
+        FROM (SELECT doc_id, lang,
+                     list_distinct([substring(text, i, 3)
+                                    for i in range(1, length(text) - 1)]) AS sh
+              FROM documents) a
+        JOIN (SELECT doc_id, lang,
+                     list_distinct([substring(text, i, 3)
+                                    for i in range(1, length(text) - 1)]) AS sh
+              FROM documents) b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang) t
+    WHERE jac > 0.62
+    ORDER BY i, j
+    LIMIT 100
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Character-3-gram shingle Jaccard, blocked on lang. The shingle set is
+    # exactly what MinHash signatures would be built from at scale.
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.round(inter.cast("double") / union, 4).alias("jac"),
+        )
+        .filter(F.col("jac") > 0.62)
+        .orderBy("i", "j")
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, g.j,
+               CASE WHEN sum(2 * (CAST(floor(
+                        (strpos('0123456789abcdef',
+                                substring(md5(token), CAST(g.j // 4 AS INTEGER) + 1, 1))
+                         - 1) / power(2, g.j % 4)) AS BIGINT) % 2) - 1) > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM tok, generate_series(0, 63) g(j)
+        GROUP BY doc_id, g.j
+    )
+    SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint from the md5 of each distinct token.
+
+    Bit j comes from nibble j//4 (hex char of md5), shift j%4; the doc's
+    bit is the sign of the token vote sum. All built-in expressions —
+    explode(token) x explode(bit position) then two groupBys.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    tok = tok.withColumn("h", F.md5("token")).select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    )
+    nibble = (
+        F.conv(F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1), 16, 10)
+    ).cast("int")
+    bit = (F.floor(nibble / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))).cast("int") % 2)
+    votes = (
+        tok.select("doc_id", "j", (2 * bit - 1).alias("vote"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+        .select(
+            "doc_id", "j", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "b"))), lambda x: x["b"]
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+@register(
+    "dedup_cosine_neardup",
+    oracle="""
+    SELECT i, j, cos FROM (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+    WHERE cos > 0.95
+    ORDER BY i, j
+    LIMIT 200
+    """,
+)
+def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup, brute force (correctness form; the LSH
+    # scale path is similarity_topk_lsh / the IVF operator).
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(dot, 6).alias("cos"),
+        )
+        .filter(F.col("cos") > 0.95)
+        .orderBy("i", "j")
+        .limit(200)
+    )
+
+
+# ------------------------------------------------------- similarity search ----
+
+
+# B10 — brute-force cosine top-k against a query vector.
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_sum(list_transform(list_zip(embedding, (SELECT e FROM q)),
+                 x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))  # 1-row broadcast — no shuffle, no collect
+        .select("vec_id", "label", F.round(dot, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-partitioned inverted file, probe top-2 centroids.
+
+    Coarse quantizer = per-label centroid; the query scans only probed
+    partitions (2/10 of the data at scale). Approximate → rows-only check;
+    tests/test_tolerance.py asserts ≥80% recall vs brute force.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # centroids: elementwise mean via posexplode + re-assemble
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+    )
+    cdot = F.expr(
+        "aggregate(zip_with(centroid, qe, (x, y) -> x * CAST(y AS DOUBLE)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select("label", cdot.alias("cscore"))
+        .orderBy(F.desc("cscore"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    return (
+        emb.join(F.broadcast(probe), "label")  # partition pruning analogue
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", F.round(dot, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "similarity_knn_join",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+        FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    c AS (
+        SELECT e.label AS clabel, ev.i, avg(ev.x) AS v
+        FROM ev JOIN embeddings e ON ev.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT ev.vec_id, c.clabel, round(sum(ev.x * c.v), 6) AS dot
+        FROM ev JOIN c ON ev.i = c.i
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, clabel AS pred_label, dot AS score FROM (
+        SELECT vec_id, clabel, dot,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, clabel) AS rn
+        FROM d) t
+    WHERE rn = 1
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-label centroids, then nearest-centroid assignment for every vector.
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    cent = ev.groupBy(F.col("label").alias("clabel"), "i").agg(F.avg("x").alias("v"))
+    d = (
+        ev.select("vec_id", "i", "x")
+        .join(cent, "i")
+        .groupBy("vec_id", "clabel")
+        .agg(F.round(F.sum(F.col("x") * F.col("v")), 6).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("clabel"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("pred_label"), F.col("dot").alias("score"))
+    )
+
+
+# ------------------------------------------------------------ text analysis ----
+
+
+@register(
+    "text_tokenize_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token counting: whitespace split, a BPE-ish word regex, and the
+    # chars/4 heuristic LLM-token estimate.
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tok_est"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT doc_id, token, tfidf, rn FROM (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                            tf.token) AS rn
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) x
+    WHERE rn <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf-idf with the smooth-idf formula, top-5 terms per doc. Expressed
+    # relationally (explode→count→join) so it is oracle-checkable; the
+    # same shape runs at scale (shuffles keyed on token / doc_id).
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "raw", F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", F.round("raw", 6).alias("tfidf"), "rn")
+    )
+
+
+@register(
+    "text_lang_partition",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language routing stats (the groupBy key is the partition key a
+    # partitioned writer would use).
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) >= 6)) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS long_tok_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS ttr
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality heuristics: punctuation ratio, long-token ratio, type-token
+    # ratio — the standard cheap pre-training filters.
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.length(t) >= 6)).cast("double") / F.size(toks),
+            6,
+        ).alias("long_tok_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+    )
+
+
+@register(
+    "text_langid_ngram",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    lt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    totals AS (SELECT lang, sum(c) AS t FROM lt GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    scores AS (
+        SELECT tok.doc_id, langs.lang AS cand,
+               sum(ln((coalesce(lt.c, 0) + 1.0) / (totals.t + vocab.v))) AS score
+        FROM tok
+        CROSS JOIN langs
+        LEFT JOIN lt ON lt.lang = langs.lang AND lt.token = tok.token
+        JOIN totals ON totals.lang = langs.lang
+        CROSS JOIN vocab
+        GROUP BY tok.doc_id, langs.lang
+    )
+    SELECT doc_id, cand AS pred_lang FROM (
+        SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY round(score, 6) DESC, cand) AS rn
+        FROM scores) t
+    WHERE rn = 1
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unigram naive-Bayes language ID with add-1 smoothing (the n-gram
+    # heuristic at n=1 — fixture tokens are whole words). Train == corpus.
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    lt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = lt.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    langs = docs.select("lang").distinct().select(F.col("lang").alias("cand"))
+    scores = (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(langs))
+        .join(
+            F.broadcast(lt),
+            (F.col("cand") == lt.lang) & (tok.token == lt.token),
+            "left",
+        )
+        .join(F.broadcast(totals), F.col("cand") == totals.lang)
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(F.round("score", 6)), F.asc("cand"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp,
+           min(doc_id) OVER (PARTITION BY
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
+               AS cluster_id
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-set fingerprint (hash of the sorted distinct token set) +
+    # cluster id = min doc_id sharing the fingerprint. One shuffle on fp.
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    w = Window.partitionBy("fp")
+    return docs.select("doc_id", fp.alias("fp")).select(
+        "doc_id", "fp", F.min("doc_id").over(w).alias("cluster_id")
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INTEGER) AS dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Text + vector modalities in one row (doc_id = vec_id).
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim")
+    )

@@ -1,0 +1,147 @@
+"""Projection, filter, and row-level ops (SURVEY.md §2.B).
+
+Pure narrow transformations — no shuffle at any scale. All expressions
+are built-in Column ops so they stay inside whole-stage codegen and the
+filters are eligible for parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+@register(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price,
+           l_extendedprice * l_discount AS discount_amt
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row products are NOT rounded: both engines compute the identical
+    # IEEE double (same op order) so raw values hash-match, whereas
+    # rounding hits decimal-half boundaries (x.xx5) where Spark and DuckDB
+    # disagree. Rounding is reserved for aggregates (R1 refined).
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "net_price"
+        ),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amt"),
+    )
+
+
+@register(
+    "filter_conj",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+      AND NOT (o_orderpriority = '5-LOW')
+    """,
+)
+def filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1998-12-31").cast("timestamp")
+        )
+        & ~(F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '^(PROMO|ECONOMY)')
+    """,
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%") & F.col("p_type").rlike("^(PROMO|ECONOMY)")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "drop_rename_cast",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CAST(o_custkey AS INTEGER) AS ckey_int,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+    FROM orders
+    """,
+)
+def drop_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.drop("o_orderstatus", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "okey")
+        .select(
+            "okey",
+            F.col("o_custkey").cast("int").alias("ckey_int"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+            F.col("o_totalprice").cast("bigint").alias("price_floor"),
+        )
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 75000 THEN 'small'
+                WHEN o_totalprice < 250000 THEN 'medium'
+                ELSE 'large' END AS bucket
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 75000, "small")
+        .when(F.col("o_totalprice") < 250000, "medium")
+        .otherwise("large")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "union_increments",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 100000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_totalprice >= 100000 AND o_orderstatus = 'O'
+    """,
+)
+def union_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basis block-append primitive: two increments unioned by name.
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    inc1 = o.filter(F.col("o_totalprice") < 100000)
+    inc2 = o.filter((F.col("o_totalprice") >= 100000) & (F.col("o_orderstatus") == "O"))
+    return inc1.unionByName(inc2)

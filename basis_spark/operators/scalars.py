@@ -1,0 +1,354 @@
+"""Scalar functions (SURVEY.md §2.H) + sampling/approximation (§2.I).
+
+All JVM-side built-ins (whole-stage codegen; no Python in the hot path).
+Dialect deltas vs the DuckDB oracle are handled per SURVEY §2.H notes:
+- day-of-week: declared ISO encoding (Mon=1..Sun=7): Spark weekday()+1 ≡
+  DuckDB isodow.
+- date_diff arg order differs (Spark datediff(end,start) ≡ DuckDB
+  date_diff('day',start,end)).
+- months_between is Spark-native; the oracle reproduces Spark's 31-day
+  fraction rule (exact here because the anchor date is never month-end).
+- regexp_replace: Spark replaces all matches; DuckDB needs the 'g' flag.
+- format/parse patterns differ (JVM vs C) — the declared contract is the
+  output *value*, not the pattern string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+@register(
+    "str_basics",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lo, upper(c_mktsegment) AS up,
+           trim(c_name) AS tr, CAST(length(c_name) AS BIGINT) AS len,
+           substr(c_name, 1, 8) AS pfx,
+           concat_ws('|', c_mktsegment, c_name) AS joined,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+    FROM customer
+    """,
+)
+def str_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lo"),
+        F.upper("c_mktsegment").alias("up"),
+        F.trim("c_name").alias("tr"),
+        F.length("c_name").cast("long").alias("len"),
+        F.substring("c_name", 1, 8).alias("pfx"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+@register(
+    "str_split_explode",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    """,
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "str_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, 'a', '@', 'g') AS replaced
+    FROM part
+    """,
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "a", "@").alias("replaced"),
+    )
+
+
+@register(
+    "date_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+           CAST(minute(ts) AS BIGINT) AS mi,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow
+    FROM events
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+    )
+
+
+@register(
+    "date_trunc_add",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           round((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+                 + (day(o_orderdate) - 1) / 31.0, 6) AS mb,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS dd
+    FROM orders
+    """,
+)
+def date_trunc_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.round(F.months_between("o_orderdate", F.lit("1995-01-01").cast("date")), 6).alias(
+            "mb"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "dd"
+        ),
+    )
+
+
+@register(
+    "date_format_parse",
+    oracle="""
+    SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS formatted,
+           strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'),
+                    '%Y-%m-%d %H:%M') AS reparsed
+    FROM events
+    """,
+)
+def date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fmt = F.date_format("ts", "yyyy-MM-dd HH:mm")
+    return ev.select(
+        "event_id",
+        fmt.alias("formatted"),
+        F.to_timestamp(fmt, "yyyy-MM-dd HH:mm").alias("reparsed"),
+    )
+
+
+@register(
+    "math_basics",
+    oracle="""
+    SELECT event_id,
+           round(abs(value - 100), 6) AS a,
+           round(value, 2) AS r2,
+           CAST(floor(value) AS BIGINT) AS fl,
+           CAST(ceil(value) AS BIGINT) AS ce,
+           round(sqrt(value), 6) AS sq,
+           round(power(value, 2), 4) AS p2,
+           round(ln(value + 1), 6) AS lg,
+           round(exp(-value / 100), 6) AS ex,
+           CAST(sign(value - 100) AS BIGINT) AS sg,
+           round(value % 7, 6) AS md
+    FROM events
+    """,
+)
+def math_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.abs(v - 100), 6).alias("a"),
+        F.round(v, 2).alias("r2"),
+        F.floor(v).cast("long").alias("fl"),
+        F.ceil(v).cast("long").alias("ce"),
+        F.round(F.sqrt(v), 6).alias("sq"),
+        F.round(F.pow(v, 2), 4).alias("p2"),
+        F.round(F.log(v + 1), 6).alias("lg"),
+        F.round(F.exp(-v / 100), 6).alias("ex"),
+        F.signum(v - 100).cast("long").alias("sg"),
+        F.round(v % 7, 6).alias("md"),
+    )
+
+
+@register(
+    "cond_null_fns",
+    oracle="""
+    SELECT c_custkey,
+           round(coalesce(spend, 0), 2) AS spend0,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+           round(greatest(c_acctbal, coalesce(spend, 0)), 2) AS hi,
+           round(least(c_acctbal, coalesce(spend, 0)), 2) AS lo
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders
+               GROUP BY o_custkey) o ON c_custkey = o_custkey
+    """,
+)
+def cond_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "left")
+    spend0 = F.coalesce(F.col("spend"), F.lit(0.0))
+    return j.select(
+        "c_custkey",
+        F.round(spend0, 2).alias("spend0"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.round(F.greatest(F.col("c_acctbal"), spend0), 2).alias("hi"),
+        F.round(F.least(F.col("c_acctbal"), spend0), 2).alias("lo"),
+    )
+
+
+@register(
+    "arr_basics",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           list_sort(string_split(text, ' '))[1] AS first_token,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5_distinct
+    FROM documents
+    """,
+)
+def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dtoks = F.array_distinct(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(dtoks).alias("n_distinct"),
+        F.array_sort(toks).getItem(0).alias("first_token"),
+        F.slice(F.array_sort(dtoks), 1, 5).alias("first5_distinct"),
+    )
+
+
+@register(
+    "arr_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(list_zip(embedding, embedding),
+                 x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS sumsq,
+           embedding[1:8] AS first8
+    FROM embeddings
+    """,
+)
+def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cosine/dot-product core: zip_with + aggregate, all JVM-side.
+    emb = load(spark, sf_dir, "embeddings")
+    dot_self = F.expr(
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    return emb.select(
+        "vec_id",
+        F.round(dot_self, 6).alias("sumsq"),
+        F.slice("embedding", 1, 8).alias("first8"),
+    )
+
+
+@register(
+    "map_from_entries",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' '))) AS keys_sorted,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_keys
+    FROM documents
+    """,
+)
+def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build a token->count map Spark-side, then emit sorted keys (declared
+    # list<string> output — map iteration order is engine-dependent).
+    docs = load(spark, sf_dir, "documents")
+    counted = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias("tok_map"))
+    )
+    return counted.select(
+        "doc_id",
+        F.array_sort(F.map_keys("tok_map")).alias("keys_sorted"),
+        F.size(F.map_keys("tok_map")).alias("n_keys"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "json_parse_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed
+    FROM events
+    """,
+)
+def json_parse_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").cast("long").alias("k_parsed"),
+    )
+
+
+@register(
+    "hash_md5",
+    oracle="SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("text_md5"))
+
+
+# ---- §2.I sampling & approximation (tolerance tier — never hash-matched) ----
+
+
+@register("sample_fraction")
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seeded Bernoulli sample. RNG streams differ across engines → rows-only;
+    # tests/test_tolerance.py asserts the count is within binomial bounds.
+    return load(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+
+
+@register("approx_quantile")
+def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approx_percentile with modest accuracy; tolerance-checked in pytest.
+    return load(spark, sf_dir, "orders").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("ap90"),
+    )

@@ -1,0 +1,125 @@
+"""Scans, sources, sinks (SURVEY.md §2.A).
+
+Scale notes: projection and predicate both reach the parquet reader
+(ReadSchema / PushedFilters — asserted in tests/test_plans.py), so at
+100 TB these scans read only the needed columns/row-groups. Sinks write
+partitioned parquet (partition pruning for downstream readers).
+`source_jdbc` is deferred: no DB service in this environment (SURVEY §2.A).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from basis_spark.io import load, scratch_dir
+from basis_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("s")
+    )
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2 of 11 columns — ReadSchema must show only these (test_plans.py).
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@register(
+    "scan_predicate_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01'
+    """,
+)
+def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-02-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+_RECORDS = [
+    (1, "alpha", 1.5),
+    (2, "beta", 2.5),
+    (3, "gamma", 3.75),
+    (4, "delta", -1.25),
+]
+
+_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "source_records",
+    oracle="""
+    SELECT CAST(rid AS BIGINT) AS rid, name, CAST(score AS DOUBLE) AS score
+    FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5),
+                 (3, 'gamma', 3.75), (4, 'delta', -1.25)) AS t(rid, name, score)
+    """,
+)
+def source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basis `import_records` equivalent: in-memory records -> DataFrame.
+    return spark.createDataFrame(_RECORDS, _RECORDS_SCHEMA)
+
+
+_CSV_SCHEMA = (
+    "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basis `import_csv` + CSV storage format: write CSV, read back typed.
+    # Java Double.toString round-trips exactly, so values hash-match parquet.
+    out = os.path.join(scratch_dir("csv_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(out)
+
+
+@register(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value, props, event_type
+    FROM events
+    """,
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned parquet sink (hive-style) then read back with partition column.
+    out = os.path.join(scratch_dir("parquet_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select("event_id", "ts", "user_id", "value", "props", "event_type")

@@ -1,0 +1,155 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.K).
+
+Demonstrates the full Python-extension surface while keeping the scale
+rules: Arrow-vectorized pandas UDFs and whole-partition mapInPandas are
+the sanctioned paths; the row-at-a-time Python UDF exists for parity and
+is deliberately confined to one operator (it is the slow path).
+
+UDF objects are constructed lazily (inside the operator functions):
+PySpark parses DDL return types against the active session, so building
+them at import time would require a SparkSession before any exists.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+def _price_bucket_py(total: float) -> str:
+    if total < 75000:
+        return "small"
+    if total < 250000:
+        return "medium"
+    return "large"
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 75000 THEN 'small'
+                WHEN o_totalprice < 250000 THEN 'medium'
+                ELSE 'large' END AS bucket
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.udf(_price_bucket_py, "string")
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", bucket("o_totalprice").alias("bucket"))
+
+
+def _net_price_pd(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # no pandas-side rounding: numpy round is half-to-even, Spark/DuckDB
+    # round is half-away — final rounding happens JVM-side via F.round.
+    return ext * (1.0 - disc) * (1.0 + tax)
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw doubles compare bit-identically (same IEEE op order both sides);
+    # rounding per-row products would reintroduce decimal-half-boundary
+    # disagreement between engines (see project_compute).
+    net_price = F.pandas_udf(_net_price_pd, "double")
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+    )
+
+
+def _gini_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Gini = sum_i (2i - n - 1) x_(i) / (n * sum x), x sorted ascending.
+    x = pdf["c_acctbal"].sort_values(kind="mergesort").to_numpy()
+    n = len(x)
+    total = x.sum()
+    i = pd.RangeIndex(1, n + 1).to_numpy()
+    gini = float(((2 * i - n - 1) * x).sum() / (n * total))
+    return pd.DataFrame(
+        {"c_mktsegment": [pdf["c_mktsegment"].iloc[0]], "gini": [round(gini, 4)]}
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT c_mktsegment, round(sum((2 * i - n - 1) * x) / (max(n) * max(t)), 4) AS gini
+    FROM (
+        SELECT c_mktsegment, c_acctbal AS x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n,
+               sum(c_acctbal) OVER (PARTITION BY c_mktsegment) AS t
+        FROM customer) s
+    GROUP BY c_mktsegment
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom per-group aggregate (Gini of account balance) via grouped
+    # pandas — the applyInPandas path (one Arrow batch per group).
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _gini_group, schema="c_mktsegment string, gini double"
+    )
+
+
+@register(
+    "udtf_explode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    """,
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF: one row in, many out (token emit with position).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos BIGINT, token STRING")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("basis_tokenize", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL basis_tokenize(d.text) t
+        """
+    )
+
+
+def _double_value(batches):
+    for pdf in batches:
+        out = pdf[["event_id", "user_id"]].copy()
+        out["value2"] = (pdf["value"] * 2.0).round(2)
+        yield out
+
+
+@register(
+    "map_in_pandas",
+    oracle="""
+    SELECT event_id, user_id, round(value * 2, 2) AS value2 FROM events
+    """,
+)
+def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-partition pandas transform over Arrow batches.
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.mapInPandas(_double_value, schema="event_id long, user_id long, value2 double")

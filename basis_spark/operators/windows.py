@@ -1,0 +1,213 @@
+"""Window functions (SURVEY.md §2.E).
+
+Every window partitions on a real key (user_id, o_custkey, nation…) so
+state is bounded per partition at scale. The two single-partition
+windows (ntile over orders, moving avg over daily revenue) operate on
+pre-aggregated or bounded inputs — documented where used. Spark ≥3.5's
+WindowGroupLimit pushes rank<=k filters down (checked in test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+# B4a — top-3 orders per customer.
+@register(
+    "win_row_number_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+               AS drnk
+    FROM supplier
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return load(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile_pctile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders
+    """,
+)
+def win_ntile_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global window: acceptable because ranking the *whole* table is the
+    # declared semantics; at 100 TB you'd approx-bucket first (approxQuantile).
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           date_diff('microsecond',
+               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               CAST(ts AS TIMESTAMP)) AS gap_us,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+# B4b — running spend frame.
+@register(
+    "win_running_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend
+    FROM orders
+    """,
+)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT d, round(avg(rev) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS ma7
+    FROM (SELECT CAST(l_shipdate AS DATE) AS d, sum(l_extendedprice) AS rev
+          FROM lineitem GROUP BY 1) daily
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-aggregate to daily revenue (bounded cardinality ≈ 2500 days at any
+    # SF), then a single-partition 7-row centered frame is safe.
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    return daily.select("d", F.round(F.avg("rev").over(w), 2).alias("ma7"))
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT d, epoch_day,
+           round(sum(rev) OVER (ORDER BY epoch_day
+                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING), 2) AS rev_5d
+    FROM (SELECT CAST(l_shipdate AS DATE) AS d,
+                 date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS epoch_day,
+                 sum(l_extendedprice) AS rev
+          FROM lineitem GROUP BY 1, 2) daily
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-2, 2)
+    return daily.select(
+        "d", "epoch_day", F.round(F.sum("rev").over(w), 2).alias("rev_5d")
+    )
+
+
+@register(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+           first_value(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_et,
+           last_value(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_et
+    FROM events
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    w = (
+        Window.partitionBy("user_id", "d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "d",
+            F.first("event_type").over(w).alias("first_et"),
+            F.last("event_type").over(w).alias("last_et"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,147 @@
+"""Structured Streaming forms of the §2.J operators.
+
+Each job reads the events fixture as a *file-source stream* (the table
+split into K parquet chunk-files fed as micro-batches ≈ basis blocks),
+applies the same transformation as the batch operator, and writes to an
+in-memory sink. tests/test_stream_batch_equiv.py asserts stream ≡ batch.
+
+Watermarks bound state: the tumbling/session aggregations evict state
+once the watermark passes the window end — at 100 TB/day of events this
+is what keeps state-store size proportional to the window, not history.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_spark.io import load, scratch_dir
+
+
+def split_events_to_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> tuple[str, DataFrame]:
+    """Write events as n ordered parquet chunk files; returns (dir, batch_df).
+
+    Chunks are split on event_id (arrival order) — each chunk is one
+    basis-style block/increment.
+    """
+    out = os.path.join(scratch_dir("stream_chunks"), os.path.basename(sf_dir.rstrip("/")))
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(out, "_done")):
+        n = ev.count()
+        per = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            (
+                ev.filter(
+                    (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"chunk={i}"))
+            )
+        open(os.path.join(out, "_done"), "w").close()
+    return out, ev
+
+
+def _read_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+    schema = spark.read.parquet(os.path.join(chunk_dir, "chunk=0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one chunk-file per micro-batch
+        .parquet(os.path.join(chunk_dir, "chunk=*"))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling counts.
+
+    Complete output mode so trailing windows (not yet closed by a
+    watermark when the finite input ends) are emitted too — append mode
+    would hold them back and stream≠batch for the last hour. Production
+    (unbounded) jobs pair append mode with the watermark, as
+    stream_watermark_drop_late demonstrates.
+    """
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 30-min-gap session windows (complete mode; see
+    stream_tumbling_counts on why the equivalence jobs avoid append)."""
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end") - F.expr("INTERVAL 30 MINUTES"))
+                - F.unix_micros(F.col("w.start"))
+            ).alias("dur_us"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-most-once per event_id across micro-batches."""
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    dedup = s.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    return _run_to_memory(dedup, "append")
+
+
+def stream_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming accumulator: append-mode fold of increments."""
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    return _run_to_memory(
+        s.select("event_id", "user_id", "event_type", "value"), "append"
+    )
+
+
+def stream_watermark_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics demo: out-of-order input with a tight watermark.
+
+    Feeds chunks where one chunk arrives 'late'; the 10-minute watermark
+    drops rows older than watermark from the aggregation state. Asserted
+    stream-side only (SURVEY §2.J: watermarks have no batch oracle).
+    """
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return _run_to_memory(agg, "append")

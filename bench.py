@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries (B1–B12, SURVEY.md §6)
+Spark-side at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+B11 (near-dup) runs the MinHash-LSH + exact re-rank operator — the scale
+path; brute force is quadratic-infeasible at sf0.1 (BASELINE.md).
+
+Timing = per-query wall time of one measured run after a warm-up action
+(shared SparkSession; JVM/codegen warm, matching BASELINE.md's warm-run
+protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from basis_spark.registry import QUERIES  # noqa: E402
+from basis_spark.session import get_spark  # noqa: E402
+import basis_spark.operators  # noqa: E402,F401
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_KEYS = {
+    "q1_pricing_summary": "agg_groupby_multi",
+    "q2_revenue_by_nation": "join_multiway_star",
+    "q3_top_customers": "sort_multikey",
+    "q4_topk_running": "win_row_number_topk",
+    "q4b_running_spend": "win_running_frame",
+    "q5_daily_distinct": "agg_count_distinct",
+    "q6_sessionization": "stream_session",
+    "q7_rollup": "agg_rollup",
+    "q8_anti_join": "join_anti",
+    "q9_scalar_funcs": "str_regexp",
+    "q10_cosine_topk": "similarity_topk",
+    "q11_neardup_minhash": "dedup_near_minhash",
+    "q12_event_pivot": "agg_conditional_pivot",
+}
+
+
+def main() -> None:
+    spark = get_spark("basis-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    QUERIES["agg_groupby_multi"](spark, SF_DIR).collect()
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    times: dict[str, float] = {}
+    for label, key in BENCH_KEYS.items():
+        t0 = time.perf_counter()
+        df = QUERIES[key](spark, SF_DIR)
+        n = df.count() if label != "q11_neardup_minhash" else len(df.collect())
+        times[label] = round(time.perf_counter() - t0, 4)
+        print(f"# {label}: {times[label]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Shared fixtures: one tuned SparkSession, DuckDB oracle connections,
+and the comparison util mirroring the driver's row-count + schema +
+order-insensitive value-hash check."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+from basis_spark.io import TABLES
+from basis_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("basis-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_value(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 vs 0.0
+        return v + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if hasattr(v, "asDict"):  # Spark Row (struct)
+        d = v.asDict()
+        return tuple((k, _canon_value(d[k])) for k in sorted(d))
+    if isinstance(v, dict):
+        return tuple((k, _canon_value(v[k])) for k in sorted(v))
+    return v
+
+
+def _sort_key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def compare_frames(spark_df, duck_con, sql: str, key: str = "?"):
+    """Assert Spark result == DuckDB result (order-insensitive)."""
+    spark_cols = list(spark_df.columns)
+    spark_rows = spark_df.collect()
+    res = duck_con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"[{key}] column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"[{key}] row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    s_canon = sorted(
+        (tuple(_canon_value(r[spark_cols[i]]) for i in order) for r in spark_rows),
+        key=_sort_key,
+    )
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    d_canon = sorted(
+        (tuple(_canon_value(r[i]) for i in d_order) for r in duck_rows), key=_sort_key
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
+    ]
+    assert not mismatches, (
+        f"[{key}] {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )

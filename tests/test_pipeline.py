@@ -1,0 +1,68 @@
+"""Pipeline/node-graph layer tests (SURVEY.md M3): graph wiring, SQL
+nodes, accumulator, dedupe_keep_latest, high-watermark incremental."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from basis_spark import pipeline
+from basis_spark.io import load, scratch_dir
+from tests.conftest import SF_SMALL
+
+
+def test_graph_python_and_sql_nodes(spark):
+    g = pipeline.Graph(spark)
+    g.source("orders_src", load(spark, SF_SMALL, "orders"))
+
+    @g.node("big_orders", inputs=["orders_src"])
+    def big_orders(orders):
+        return orders.filter(F.col("o_totalprice") > 100000)
+
+    g.sql_node(
+        "by_status",
+        "SELECT o_orderstatus, count(*) AS n FROM big_orders GROUP BY o_orderstatus",
+        inputs=["big_orders"],
+    )
+    out = g.produce("by_status")
+    expected = (
+        load(spark, SF_SMALL, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    got = {(r["o_orderstatus"], r["n"]) for r in out.collect()}
+    want = {(r["o_orderstatus"], r["count"]) for r in expected.collect()}
+    assert got == want
+
+
+def test_accumulate_and_dedupe(spark):
+    ev = load(spark, SF_SMALL, "events")
+    inc1 = ev.filter(F.col("event_id") < 300)
+    inc2 = ev.filter(F.col("event_id") >= 300)
+    acc = pipeline.accumulate(inc1, inc2)
+    assert acc.count() == ev.count()
+
+    latest = pipeline.dedupe_keep_latest(ev, keys=["user_id"], order_cols=["ts", "event_id"])
+    assert latest.count() == ev.select("user_id").distinct().count()
+
+
+def test_high_watermark_state(spark):
+    path = os.path.join(scratch_dir("state"), "events_wm.json")
+    if os.path.exists(path):
+        os.remove(path)
+    ev = load(spark, SF_SMALL, "events")
+    st = pipeline.HighWatermarkState(path, "event_id")
+
+    first = st.filter_new(ev)
+    assert first.count() == ev.count()  # no state yet: everything is new
+    st.advance(first)
+
+    second = st.filter_new(ev)
+    assert second.count() == 0  # all blocks consumed
+
+    # a "new block" arrives (simulate by shifting ids past the watermark)
+    wm = st.read()
+    new_block = ev.limit(10).withColumn("event_id", F.col("event_id") + F.lit(wm + 1))
+    assert st.filter_new(new_block).count() == 10

@@ -1,0 +1,97 @@
+"""Plan assertions (SURVEY.md §5.5): verify the optimizations we claim
+are free actually fire — pushdown, pruning, broadcast, top-k pushdown.
+These guard the 100 TB design claims in §4."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.operators import joins, scans, windows
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_projection_pruning_reaches_scan(spark):
+    df = scans.scan_projection_pushdown(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    # only the two projected columns are read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    df = scans.scan_predicate_pushdown(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_broadcast_join_chosen(spark):
+    df = joins.join_broadcast(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = joins.join_multiway_star(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation/region must not shuffle
+
+
+def test_theta_join_is_broadcast_nested_loop(spark):
+    df = joins.join_theta_range(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_orderby_limit_no_global_sort(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject, not a full sort.
+    df = (
+        load(spark, SF_ORACLE, "orders")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_window_topk_group_limit_pushdown(spark):
+    # Spark >=3.5 WindowGroupLimit: rn<=k filter pushes a per-group limit
+    # below the full window sort.
+    df = windows.win_row_number_topk(spark, SF_ORACLE)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_semi_anti_are_joins_not_subqueries(spark):
+    semi = joins.join_semi(spark, SF_ORACLE)
+    anti = joins.join_anti(spark, SF_ORACLE)
+    assert "LeftSemi" in _optimized(semi) or "Semi" in _plan(semi)
+    assert "LeftAnti" in _optimized(anti) or "Anti" in _plan(anti)
+
+
+def test_partition_filter_prunes_partitioned_sink(spark):
+    # hive-partitioned sink: reading one partition value must show a
+    # partition filter at scan time.
+    scans.sink_parquet_roundtrip(spark, SF_ORACLE)  # ensures sink exists
+    import os
+
+    from basis_spark.io import scratch_dir
+
+    path = os.path.join(
+        scratch_dir("parquet_roundtrip"), os.path.basename(SF_ORACLE.rstrip("/"))
+    )
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_type" in pf

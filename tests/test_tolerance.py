@@ -1,0 +1,111 @@
+"""Tolerance tier (SURVEY.md §5.6): approximate/sampled operators are
+never hash-matched — bounded-error asserts only."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.operators import llm, multimodal, scalars
+from basis_spark.operators.aggregates import agg_approx_distinct
+from basis_spark.operators.llm import similarity_ann_ivf, similarity_topk
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_distinct_within_5pct(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in agg_approx_distinct(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r["u"]
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex <= 0.05, (et, approx[et], ex)
+
+
+def test_sample_fraction_binomial_bounds(spark):
+    n_total = load(spark, SF_ORACLE, "lineitem").count()
+    n_sample = scalars.sample_fraction(spark, SF_ORACLE).count()
+    p = 0.1
+    mean = n_total * p
+    sd = math.sqrt(n_total * p * (1 - p))
+    assert abs(n_sample - mean) <= 6 * sd, (n_sample, mean, sd)
+
+
+def test_approx_quantile_tolerance(spark):
+    row = scalars.approx_quantile(spark, SF_ORACLE).collect()[0]
+    exact = (
+        load(spark, SF_ORACLE, "orders")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["ap50"] - exact["p50"]) / exact["p50"] <= 0.02
+    assert abs(row["ap90"] - exact["p90"]) / exact["p90"] <= 0.02
+
+
+def test_ann_ivf_exact_within_probed_partitions(spark):
+    """The sf0.01 embeddings are barely clustered (max cosine ≈ 0.37, true
+    neighbors span ~8 labels), so a recall-vs-brute bound would test the
+    fixture, not the operator. Instead verify the IVF machinery: the
+    result must equal exact brute-force top-10 restricted to the probed
+    partitions, and overall recall is still sane (>0)."""
+    ivf_rows = similarity_ann_ivf(spark, SF_ORACLE).collect()
+    probed_labels = {r["label"] for r in ivf_rows}
+    assert len(probed_labels) <= 2  # nprobe = 2 coarse cells
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    exact_in_probed = (
+        emb.filter(F.col("label").isin(list(probed_labels)) & (F.col("vec_id") != 0))
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(dot, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [r["vec_id"] for r in ivf_rows] == [r["vec_id"] for r in exact_in_probed]
+
+    brute = {r["vec_id"] for r in similarity_topk(spark, SF_ORACLE).collect()}
+    assert len(brute & {r["vec_id"] for r in ivf_rows}) > 0
+
+
+def test_minhash_candidates_have_full_recall(spark):
+    # LSH only prunes; with 16 hash tables every >0.9 pair must survive.
+    exact = llm._exact_jaccard_pairs(
+        load(spark, SF_ORACLE, "documents")
+    ).filter(F.col("jac") > 0.9)
+    exact_pairs = {(r["i"], r["j"]) for r in exact.orderBy("i", "j").limit(100).collect()}
+    lsh_pairs = {
+        (r["i"], r["j"]) for r in llm.dedup_near_minhash(spark, SF_ORACLE).collect()
+    }
+    assert exact_pairs == lsh_pairs
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    feats = (
+        multimodal.attach_binary(load(spark, SF_ORACLE, "documents"))
+        .select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURE_SCHEMA)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_ORACLE, "documents").collect()}
+    # spot-check 5 docs: feature[0] = byte length, feature[1] = mean byte
+    for doc_id in list(docs)[:5]:
+        payload = docs[doc_id].encode("utf-8")
+        expect = multimodal.fake_features(payload)
+        assert rows[doc_id]["feat"] == expect
+        assert rows[doc_id]["n_bytes"] == len(payload)
