@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 B11 (near-dup) runs the MinHash-LSH + exact re-rank operator — the scale
 path; brute force is quadratic-infeasible at sf0.1 (BASELINE.md).
 
-Timing = per-query wall time of one measured run after a warm-up action
-(shared SparkSession; JVM/codegen warm, matching BASELINE.md's warm-run
-protocol).
+Timing matches BASELINE.md's protocol exactly: per query, one untimed
+warm-up run (JVM/codegen/AQE warm) then the median of 3 timed runs.
+Single-shot cold timing was measured to vary 3x run-to-run on a
+shared host (load avg ~9 from co-tenants).
 """
 
 from __future__ import annotations
@@ -52,11 +53,16 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     times: dict[str, float] = {}
     for label, key in BENCH_KEYS.items():
-        t0 = time.perf_counter()
-        df = QUERIES[key](spark, SF_DIR)
-        n = df.count() if label != "q11_neardup_minhash" else len(df.collect())
-        times[label] = round(time.perf_counter() - t0, 4)
-        print(f"# {label}: {times[label]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for i in range(4):  # run 0 = warm-up, 1-3 timed
+            t0 = time.perf_counter()
+            df = QUERIES[key](spark, SF_DIR)
+            n = df.count() if label != "q11_neardup_minhash" else len(df.collect())
+            if i > 0:
+                runs.append(time.perf_counter() - t0)
+        times[label] = round(sorted(runs)[1], 4)
+        print(f"# {label}: {times[label]:.3f}s median-of-3 warm ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
     print(
