@@ -123,3 +123,20 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     return back.select("event_id", "ts", "user_id", "value", "props", "event_type")
+
+
+@register(
+    "source_stream",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events consumed as an incremental file-source stream (§2.A/§2.J).
+
+    The fixture is split into ordered parquet chunk files (one basis-style
+    block each); readStream feeds them one file per micro-batch into an
+    append-mode memory sink. The accumulated result must equal the batch
+    scan — the oracle checks exactly that (stream ≡ batch).
+    """
+    from basis_spark.streaming.jobs import stream_accumulate
+
+    return stream_accumulate(spark, sf_dir)

@@ -136,6 +136,67 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_explode_sessions",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+    SELECT user_id, CAST(sid AS INT) AS sid, CAST(count(*) AS INT) AS n_events,
+           round(epoch(CAST(max(ts) AS TIMESTAMP) - CAST(min(ts) AS TIMESTAMP)), 6)
+               AS dur_seconds
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF sessionizer: one (user, sorted ts list) row in, one row
+    out per 30-min-gap session — arbitrary per-group Python emit logic,
+    the basis node shape Spark SQL can't express as a single window chain.
+
+    Scale shape: the collect_list groupBy shuffles once on user_id and a
+    user's events must fit in one Arrow batch — fine for per-user event
+    counts; for power-law users switch to applyInPandasWithState.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sid INT, n_events INT, dur_seconds DOUBLE")
+    class Sessionize:
+        def eval(self, ts_list):
+            gap = 30 * 60
+            sid, n = 0, 0
+            start = prev = None
+            for ts in ts_list:
+                if prev is None or (ts - prev).total_seconds() > gap:
+                    if sid > 0:
+                        yield sid, n, round((prev - start).total_seconds(), 6)
+                    sid, n, start = sid + 1, 0, ts
+                n, prev = n + 1, ts
+            if sid > 0:
+                yield sid, n, round((prev - start).total_seconds(), 6)
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ts")).alias("ts_arr")
+    )
+    per_user.createOrReplaceTempView("udtf_user_ts")
+    spark.udtf.register("basis_sessionize", Sessionize)
+    return spark.sql(
+        """
+        SELECT u.user_id, s.sid, s.n_events, s.dur_seconds
+        FROM udtf_user_ts u, LATERAL basis_sessionize(u.ts_arr) s
+        """
+    )
+
+
 def _double_value(batches):
     for pdf in batches:
         out = pdf[["event_id", "user_id"]].copy()
