@@ -202,3 +202,37 @@ def incremental_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_id") > HIGH_WATER_EVENT_ID).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x),
+    g AS (
+        SELECT user_id, sid, min(ts) AS st, max(ts) AS en, count(*) AS n
+        FROM s GROUP BY user_id, sid)
+    SELECT user_id, CAST(st AS TIMESTAMP) AS sess_start,
+           CAST(en AS TIMESTAMP) AS sess_end, CAST(n AS INT) AS n_events
+    FROM g
+    WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the applyInPandasWithState streaming sessionizer (see
+    basis_spark.streaming.jobs.stream_stateful_sessions) and returns its
+    emitted (closed) sessions; the oracle is the batch gaps-and-islands
+    SQL minus each user's final (still-open) session."""
+    from basis_spark.streaming import jobs
+
+    return jobs.stream_stateful_sessions(spark, sf_dir)

@@ -70,6 +70,111 @@ def attach_binary(docs: DataFrame) -> DataFrame:
     )
 
 
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Real image resize — requires a codec library not present here."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv, not available in this container; "
+        "use the fake_resize plumbing path"
+    )
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: stride-sample the byte stream to w*h
+    bytes (same contract as a real thumbnailer: bytes in, smaller bytes
+    out, output size a pure function of (w, h))."""
+    target = w * h
+    n = len(payload)
+    if n == 0:
+        return b"\x00" * target
+    step = max(n // target, 1)
+    out = payload[::step][:target]
+    return out + b"\x00" * (target - len(out))
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        thumbs = [fake_resize(p, 8, 8) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb": thumbs,
+                "thumb_bytes": [len(t) for t in thumbs],
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, CAST(64 AS BIGINT) AS thumb_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary payload -> mapInPandas 8x8 "thumbnail" (stubbed codec). The
+    # oracle pins the contract a real resizer must satisfy: one output
+    # row per input, output size == w*h regardless of input size.
+    docs = load(spark, sf_dir, "documents")
+    bin_df = attach_binary(docs).select("doc_id", "payload")
+    out = bin_df.mapInPandas(
+        _resize_batches, schema="doc_id long, thumb binary, thumb_bytes long"
+    )
+    return out.select("doc_id", "thumb_bytes")
+
+
+def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Real video frame sampling — requires a demuxer not present here."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg/pyav, not available in this container; "
+        "use the fake_frames plumbing path"
+    )
+
+
+_FRAME_SIZE = 16
+
+
+def fake_frames(payload: bytes, every_n: int = 2) -> list[bytes]:
+    """Deterministic frame-sample stand-in: treat the payload as fixed-size
+    'frames' of _FRAME_SIZE bytes and keep every n-th, exactly the shape
+    (one row in, list of binary frames out) of a real keyframe sampler."""
+    frames = [
+        payload[i : i + _FRAME_SIZE] for i in range(0, len(payload), _FRAME_SIZE)
+    ]
+    return frames[::every_n]
+
+
+def _frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_no": [], "frame": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for k, fr in enumerate(fake_frames(payload)):
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(k)
+                rows["frame"].append(fr)
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, (CAST(ceil(strlen(text) / 16.0) AS BIGINT) + 1) // 2))
+                AS INTEGER) AS frame_no
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary payload -> mapInPandas one-to-many frame explode (stubbed
+    # demux): keeps every 2nd 16-byte "frame". Oracle pins the fan-out
+    # arithmetic (ceil(n/16) frames, every 2nd kept).
+    docs = load(spark, sf_dir, "documents")
+    bin_df = attach_binary(docs).select("doc_id", "payload")
+    out = bin_df.mapInPandas(
+        _frames_batches, schema="doc_id long, frame_no int, frame binary"
+    )
+    return out.select("doc_id", "frame_no")
+
+
 @register(
     "multimodal_features",
     oracle="""

@@ -145,3 +145,64 @@ def stream_watermark_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("ws"), "n")
     )
     return _run_to_memory(agg, "append")
+
+
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user sessionizer via
+    applyInPandasWithState (the escape hatch for stateful logic that
+    session_window can't express — here: emit a session row the moment
+    it closes, carrying state across micro-batches).
+
+    State per user = (session start µs, last-seen µs, event count); a
+    row whose gap from last-seen exceeds 30 min closes the open session
+    (emitted) and starts a new one. Only CLOSED sessions are emitted —
+    on a finite stream each user's final open session stays in state,
+    so the batch equivalent is "all sessions except each user's last".
+
+    Scale: state is 3 longs per user, bounded; shuffle is one exchange
+    on user_id; in production add GroupStateTimeout to evict idle users.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        for pdf in pdfs:
+            for ts in pdf.sort_values("ts")["ts"]:
+                us = ts.value // 1000  # pandas ns -> µs
+                if last_us is not None and us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, n = us, 0
+                if start_us is None:
+                    start_us = us
+                last_us = us
+                n += 1
+        state.update((int(start_us), int(last_us), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "sess_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "sess_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    res = s.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, sess_start timestamp, sess_end timestamp, n_events int",
+        stateStructType="start_us long, last_us long, n int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(res, "append")
