@@ -1,0 +1,135 @@
+"""Property-based differential testing (SURVEY.md §5.4): hypothesis
+generates small query ASTs (filter + group + agg combos, scalar function
+pipelines), each rendered BOTH as a DataFrame plan and as DuckDB SQL from
+the same AST, then compared with the driver-mirroring canonicalizer.
+Catches dialect-semantics drift (dow encodings, null ordering, rounding)
+beyond the hand-declared §2 inventory.
+
+Deterministic: derandomize=True so CI never flakes on a fresh example.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from tests.conftest import SF_ORACLE, compare_frames
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ---------------------------------------------------------------- AST bits --
+
+NUM_COLS = ["o_totalprice", "o_custkey", "o_orderkey"]
+CAT_COLS = {"o_orderstatus": ["O", "F", "P"], "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}
+GROUP_COLS = ["o_orderstatus", "o_orderpriority"]
+
+num_pred = st.tuples(
+    st.sampled_from(NUM_COLS),
+    st.sampled_from([">", "<", ">=", "<=", "=", "<>"]),
+    st.integers(min_value=0, max_value=300000),
+)
+cat_pred = st.tuples(
+    st.sampled_from(list(CAT_COLS)),
+    st.sampled_from(["=", "<>"]),
+    st.integers(min_value=0, max_value=2),
+)
+date_pred = st.tuples(
+    st.just("o_orderdate"),
+    st.sampled_from([">=", "<"]),
+    st.dates(min_value=__import__("datetime").date(1992, 1, 1), max_value=__import__("datetime").date(1998, 12, 1)),
+)
+predicate = st.one_of(num_pred, cat_pred, date_pred)
+
+
+def _render_pred(p):
+    """AST predicate -> (spark SQL expr string, duckdb SQL string)."""
+    col, op, val = p
+    if col in CAT_COLS:
+        lit = f"'{CAT_COLS[col][val]}'"
+        return f"{col} {op} {lit}", f"{col} {op} {lit}"
+    if col == "o_orderdate":
+        return (
+            f"{col} {op} timestamp'{val.isoformat()}'",
+            f"{col} {op} TIMESTAMP '{val.isoformat()}'",
+        )
+    return f"{col} {op} {val}", f"{col} {op} {val}"
+
+
+@given(
+    preds=st.lists(predicate, min_size=1, max_size=3),
+    conj=st.sampled_from(["AND", "OR"]),
+    gcols=st.lists(st.sampled_from(GROUP_COLS), min_size=0, max_size=2, unique=True),
+)
+@settings(**SETTINGS)
+def test_filter_group_agg(spark, duck, preds, conj, gcols):
+    sparts, dparts = zip(*(_render_pred(p) for p in preds))
+    swhere = f" {conj} ".join(sparts)
+    dwhere = f" {conj} ".join(dparts)
+    df = load(spark, SF_ORACLE, "orders").filter(swhere)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+        F.round(F.min("o_totalprice"), 2).alias("mn"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    ]
+    if gcols:
+        df = df.groupBy(*gcols).agg(*aggs)
+    else:
+        df = df.agg(*aggs)
+    gsel = (", ".join(gcols) + ", ") if gcols else ""
+    gby = f"GROUP BY {', '.join(gcols)}" if gcols else ""
+    sql = f"""
+        SELECT {gsel}count(*) AS n, round(sum(o_totalprice), 2) AS s,
+               round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx
+        FROM orders WHERE {dwhere} {gby}
+    """
+    compare_frames(df, duck, sql, key=f"prop_agg[{swhere}|{gcols}]")
+
+
+DATE_FNS = ["year", "month", "day", "hour", "minute", "isodow"]
+
+
+@given(fn=st.sampled_from(DATE_FNS))
+@settings(**SETTINGS)
+def test_date_part_semantics(spark, duck, fn):
+    """Pins the date-part adapter, incl. the dow encoding delta:
+    Spark dayofweek is Sun=1..Sat=7; DuckDB isodow is Mon=1..Sun=7.
+    Declared output (SURVEY §2.H): ISO dow."""
+    ev = load(spark, SF_ORACLE, "events")
+    if fn == "isodow":
+        scol = F.expr("((dayofweek(ts) + 5) % 7) + 1")
+        dexpr = "isodow(CAST(ts AS TIMESTAMP))"
+    else:
+        scol = F.expr(f"{fn}(ts)")
+        dexpr = f"{fn}(CAST(ts AS TIMESTAMP))"
+    df = ev.groupBy(scol.cast("int").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    sql = f"SELECT CAST({dexpr} AS INT) AS k, count(*) AS n FROM events GROUP BY 1"
+    compare_frames(df, duck, sql, key=f"prop_date[{fn}]")
+
+
+@given(
+    start=st.integers(min_value=1, max_value=10),
+    length=st.integers(min_value=1, max_value=12),
+    fn=st.sampled_from(["upper", "lower", "trim", "reverse"]),
+)
+@settings(**SETTINGS)
+def test_string_pipeline(spark, duck, start, length, fn):
+    """substr(1-based) + unary string fn agree byte-for-byte."""
+    part = load(spark, SF_ORACLE, "part")
+    df = (
+        part.select(F.expr(f"{fn}(substr(p_name, {start}, {length}))").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sql = (
+        f"SELECT {fn}(substr(p_name, {start}, {length})) AS v, count(*) AS n "
+        "FROM part GROUP BY 1"
+    )
+    compare_frames(df, duck, sql, key=f"prop_str[{fn}({start},{length})]")
