@@ -60,6 +60,34 @@ class Graph:
         """SQL node: inputs are registered as temp views named after nodes."""
         self._nodes[name] = Node(name=name, sql=sql, inputs=inputs)
 
+    @classmethod
+    def from_yaml(
+        cls,
+        spark: SparkSession,
+        text: str,
+        sources: dict[str, DataFrame] | None = None,
+    ) -> "Graph":
+        """Build a graph from a YAML spec (the reference's graph.yml shape):
+
+        nodes:
+          - name: big_orders
+            sql: SELECT * FROM orders WHERE o_totalprice > 100
+            inputs: [orders]
+
+        Python nodes are code, so YAML carries only SQL nodes; DataFrame
+        sources (fixture tables, upstream graphs) are passed in `sources`
+        and become named source nodes.
+        """
+        import yaml
+
+        spec = yaml.safe_load(text)
+        g = cls(spark)
+        for name, df in (sources or {}).items():
+            g.source(name, df)
+        for nd in spec.get("nodes", []):
+            g.sql_node(nd["name"], nd["sql"], list(nd.get("inputs", [])))
+        return g
+
     def produce(self, name: str, _seen: set[str] | None = None) -> DataFrame:
         """Resolve upstream nodes (topologically) and return the node's
         DataFrame. Lazy: nothing materializes until an action runs."""

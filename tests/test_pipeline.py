@@ -66,3 +66,38 @@ def test_high_watermark_state(spark):
     wm = st.read()
     new_block = ev.limit(10).withColumn("event_id", F.col("event_id") + F.lit(wm + 1))
     assert st.filter_new(new_block).count() == 10
+
+
+def test_graph_from_yaml(spark):
+    yaml_text = """
+nodes:
+  - name: big_orders
+    sql: SELECT * FROM orders_src WHERE o_totalprice > 100000
+    inputs: [orders_src]
+  - name: by_status
+    sql: SELECT o_orderstatus, count(*) AS n FROM big_orders GROUP BY o_orderstatus
+    inputs: [big_orders]
+"""
+    g = pipeline.Graph.from_yaml(
+        spark, yaml_text, sources={"orders_src": load(spark, SF_SMALL, "orders")}
+    )
+    out = g.produce("by_status")
+    expected = (
+        load(spark, SF_SMALL, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    got = {(r["o_orderstatus"], r["n"]) for r in out.collect()}
+    want = {(r["o_orderstatus"], r["count"]) for r in expected.collect()}
+    assert got == want
+
+
+def test_graph_cycle_detection(spark):
+    g = pipeline.Graph(spark)
+    g.sql_node("a", "SELECT * FROM b", inputs=["b"])
+    g.sql_node("b", "SELECT * FROM a", inputs=["a"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        g.produce("a")
