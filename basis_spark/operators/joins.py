@@ -286,3 +286,107 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     return r.crossJoin(F.broadcast(top_brands)).select("r_name", "p_brand", "n_parts")
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS spend,
+           max(c.c_mktsegment) AS seg
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both sides pre-bucketed on the join key.
+
+    `bucketBy(16, key).saveAsTable` writes hash-bucketed files with bucket
+    metadata in the catalog; a join of two tables bucketed on the same key
+    with the same bucket count needs NO exchange on either side — the
+    100 TB pattern for repeatedly-joined fact/dim pairs (pay the shuffle
+    once at write time, never at read time). tests/test_plans.py asserts
+    the executed plan has zero Exchange operators under the join.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    sfx = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    ot, ct = f"orders_bkt_{sfx}", f"customer_bkt_{sfx}"
+    cat = spark.catalog
+    # the warehouse directory outlives the in-memory catalog: a table
+    # written by a previous session leaves its location behind while
+    # tableExists() is False — clear the stale dir before re-creating.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (ot, ct):
+        if not cat.tableExists(tbl):
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    if not cat.tableExists(ot):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_totalprice")
+            .write.bucketBy(16, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+    if not cat.tableExists(ct):
+        (
+            load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.bucketBy(16, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(ct)
+        )
+    o, c = spark.table(ot), spark.table(ct)
+    # merge hint: AQE would otherwise broadcast the small side and never
+    # touch the buckets; on same-bucketed tables SMJ runs with no exchange
+    # and no sort on either side (asserted in tests/test_plans.py).
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.max("c_mktsegment").alias("seg"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS s
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting — the AQE-independent answer to join skew.
+
+    The build (small) side is exploded SALT ways; the probe side tags each
+    row with hash(row_id) % SALT; the join key becomes (key, salt) so one
+    hot key spreads over SALT reducers. AQE's skew-join split handles most
+    real skew automatically (enabled in session.py); this operator keeps
+    the manual pattern tested for the cases AQE can't see (skew created
+    mid-plan, or deterministic-partitioning requirements). Values are
+    identical to the plain join — the oracle checks exactly that.
+    """
+    salt_n = 8
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", (F.pmod(F.xxhash64("o_orderkey"), F.lit(salt_n))).cast("int")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+    )
+    return (
+        o.join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey")) & (o.salt == c.salt),
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )

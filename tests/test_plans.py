@@ -95,3 +95,22 @@ def test_partition_filter_prunes_partitioned_sink(spark):
     assert "PartitionFilters" in plan
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "event_type" in pf
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Co-located join: same-key same-count bucketed tables join with NO
+    exchange anywhere in the plan (the groupBy on the bucket key also
+    reuses the bucketing)."""
+    df = joins.join_bucketed(spark, SF_ORACLE)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_salted_join_spreads_key(spark):
+    """Salted join result is value-identical to the plain join and its
+    plan joins on the composite (key, salt)."""
+    df = joins.join_skew_salted(spark, SF_ORACLE)
+    plan = _optimized(df)
+    assert "salt" in plan
