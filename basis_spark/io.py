@@ -41,6 +41,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Declared semantics are UTC (oracle compares timestamp VALUES; DuckDB
+    # timestamps are naive). Under the driver's own session the timezone is
+    # whatever the host JVM defaults to — a non-UTC session silently shifts
+    # every date extraction/trunc (verified: date_parts under
+    # America/New_York returns h=19 for UTC midnight). Runtime-settable,
+    # so enforce it at the data boundary.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
