@@ -282,7 +282,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit is the sign of the token vote sum. All built-in expressions —
     explode(token) x explode(bit position) then two groupBys.
     """
-    docs = load(spark, sf_dir, "documents")
+    return _simhash_bits(load(spark, sf_dir, "documents"))
+
+
+def _simhash_bits(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
@@ -725,4 +728,134 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, g.j,
+               CASE WHEN sum(2 * (CAST(floor(
+                        (strpos('0123456789abcdef',
+                                substring(md5(token), CAST(g.j // 4 AS INTEGER) + 1, 1))
+                         - 1) / power(2, g.j % 4)) AS BIGINT) % 2) - 1) > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM tok, generate_series(0, 63) g(j)
+        GROUP BY doc_id, g.j
+    ),
+    sh AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id)
+    SELECT i, j, hamming FROM (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               CAST(len(list_filter(range(1, 65),
+                    p -> substring(a.simhash, p, 1) <> substring(b.simhash, p, 1)))
+                    AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+    WHERE hamming <= 3
+    ORDER BY i, j
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: doc pairs with Hamming distance <= 3.
+
+    EXACT via pigeonhole banding: the 64-bit fingerprint splits into 4
+    bands of 16 bits; two fingerprints within Hamming 3 differ in at most
+    3 bands, so they MUST agree on at least one band — candidates are
+    generated by equi-joining each band (one narrow shuffle of
+    (doc_id, band, 16-bit key) rows, 4 per doc), then re-ranked with the
+    exact Hamming distance. No probabilistic miss, unlike MinHash.
+    At 100 TB this is the standard web-dedup layout (Manku et al.'s
+    pigeonhole scheme): linear in docs + output pairs.
+    """
+    bits = _simhash_bits(load(spark, sf_dir, "documents"))
+    bands = bits.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band, substring(simhash, b*16 + 1, 16) AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), p -> substring(sa, p, 1) <> substring(sb, p, 1)))"
+    ).cast("int")
+    return (
+        cand.select("i", "j", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("i", "j")
+    )
+
+
+@register("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (random hyperplane) top-k: the LSH-bucketed scale path
+    next to similarity_topk (brute force) and similarity_ann_ivf.
+
+    48 deterministic pseudo-random hyperplanes (components derived from
+    xxhash64, so no RNG state and identical plans across runs) give each
+    vector a 48-bit sign signature, banded 12x4; only vectors sharing a
+    band key with the query are scored exactly. Band count is calibrated
+    to the fixture's geometry: top-10 cosines are ~0.5-0.6 (p = 1-theta/pi
+    ~ 0.67), so 12 bands of 4 bits give expected recall ~0.93 while a
+    4-band signature measured only 0.6. Approximate (recall is
+    asserted >= 0.8 vs brute force in tests/test_tolerance.py), so
+    rows-only check — same contract as similarity_ann_ivf.
+
+    At 100 TB the band keys become the partition column of the vector
+    table and a query probes only matching partitions.
+    """
+    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    planes = F.expr(
+        "transform(sequence(0, 47), r -> transform(sequence(0, 63),"
+        " d -> CAST(pmod(xxhash64(r * 64 + d), 1000) AS DOUBLE) / 500.0 - 1.0))"
+    )
+    sig = F.expr(
+        "transform(planes, p -> CASE WHEN aggregate(zip_with(embedding, p,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v) >= 0"
+        " THEN '1' ELSE '0' END)"
+    )
+    bandkeys = F.expr(
+        "transform(sequence(0, 11), b -> concat(b, ':',"
+        " array_join(slice(sig, b*4 + 1, 4), '')))"
+    )
+    tagged = (
+        emb.withColumn("planes", planes)
+        .withColumn("sig", sig)
+        .withColumn("key", F.explode(bandkeys))
+        .select("vec_id", "label", "embedding", "key")
+    )
+    qkeys = tagged.filter(F.col("vec_id") == 0).select("key").distinct()
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        tagged.join(F.broadcast(qkeys), "key")
+        .filter(F.col("vec_id") != 0)
+        .dropDuplicates(["vec_id"])
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    return (
+        cand.join(F.broadcast(q))
+        .select("vec_id", "label", F.round(dot, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
     )

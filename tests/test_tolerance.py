@@ -109,3 +109,14 @@ def test_multimodal_fake_features_deterministic(spark):
         expect = multimodal.fake_features(payload)
         assert rows[doc_id]["feat"] == expect
         assert rows[doc_id]["n_bytes"] == len(payload)
+
+
+def test_sign_lsh_recall(spark):
+    """similarity_topk_lsh must recover >= 80% of the brute-force top-10
+    (measured 1.0 at sf0.01 / 0.9 at sf0.1 with the 12x4 banding)."""
+    from basis_spark.operators.llm import similarity_topk_lsh
+
+    bf = {r["vec_id"] for r in similarity_topk(spark, SF_ORACLE).collect()}
+    ls = {r["vec_id"] for r in similarity_topk_lsh(spark, SF_ORACLE).collect()}
+    assert len(ls) == 10
+    assert len(bf & ls) / len(bf) >= 0.8
