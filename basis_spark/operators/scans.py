@@ -140,3 +140,47 @@ def source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basis_spark.streaming.jobs import stream_accumulate
 
     return stream_accumulate(spark, sf_dir)
+
+
+@register(
+    "source_jdbc",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DB-table storage (basis Postgres/SQLite storages) via JDBC.
+
+    No DB service exists in this environment, but Spark ships embedded
+    Derby (it backs the Hive metastore), so the JDBC source/sink path is
+    exercised for real: write customer to a Derby table, read it back
+    with a partitioned parallel read (4 concurrent range queries on
+    c_custkey — the exact shape a production Postgres read uses). At
+    scale only the URL changes. Derby DOUBLEs are IEEE 754, so values
+    hash-match the parquet originals.
+    """
+    sfx = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    db = os.path.join(scratch_dir("derby"), f"graft_{sfx}")
+    url = f"jdbc:derby:{db};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    lo, hi = 0, cust.count()
+    (
+        cust.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_jdbc")
+        .option("driver", drv)
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_jdbc")
+        .option("driver", drv)
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(max(hi, 1)))
+        .option("numPartitions", "4")
+        .load()
+    )
