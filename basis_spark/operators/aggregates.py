@@ -326,3 +326,28 @@ def agg_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("latest_ts"),
         )
     )
+
+
+@register("sketch_hll_distinct")
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL).
+
+    Per event_type, build an HLL sketch of user_id; estimate each, then
+    merge ALL the sketches with hll_union_agg and estimate the global
+    distinct from the merged sketch (emitted as the event_type IS NULL
+    row). Mergeability is the point: at 100 TB you sketch per
+    partition/day ONCE and answer any rollup (day → week → global) by
+    unioning binaries — no re-scan, no exact-distinct shuffle of raw ids.
+    Approximate, so rows-only check; tests/test_tolerance.py asserts
+    every estimate within 5% of exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    per_est = per.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est_users")
+    ).select(F.lit(None).cast("string").alias("event_type"), "est_users")
+    return per_est.unionByName(merged)

@@ -120,3 +120,20 @@ def test_sign_lsh_recall(spark):
     ls = {r["vec_id"] for r in similarity_topk_lsh(spark, SF_ORACLE).collect()}
     assert len(ls) == 10
     assert len(bf & ls) / len(bf) >= 0.8
+
+
+def test_hll_sketch_estimates_within_5pct(spark):
+    from basis_spark.operators.aggregates import sketch_hll_distinct
+    from basis_spark.io import load
+    from pyspark.sql import functions as F
+
+    est = {r["event_type"]: r["est_users"] for r in sketch_hll_distinct(spark, SF_ORACLE).collect()}
+    ev = load(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact[None] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] < 0.05, (k, e, exact[k])
