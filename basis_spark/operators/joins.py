@@ -220,6 +220,10 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The equi key (user_id) carries the join: Spark hash/merge-joins on it
+    # and evaluates the range predicate inside each user's bucket, so there
+    # is no cross-user nested loop. The coarse-time-bucket rewrite (§4) is
+    # only needed when an interval join has NO equi key at all.
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     a = ev.alias("a")
     b = ev.alias("b")

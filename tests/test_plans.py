@@ -114,3 +114,21 @@ def test_salted_join_spreads_key(spark):
     df = joins.join_skew_salted(spark, SF_ORACLE)
     plan = _optimized(df)
     assert "salt" in plan
+
+
+def test_partitioned_sink_prunes_on_read(spark):
+    """A hive-partitioned sink must give readers partition pruning: a
+    filter on the partition column shows up as PartitionFilters in the
+    scan, and non-matching partition dirs are never read."""
+    scans.sink_parquet_roundtrip(spark, SF_ORACLE).count()  # ensure written
+    import os
+
+    from basis_spark.io import scratch_dir
+
+    out = os.path.join(
+        scratch_dir("parquet_roundtrip"), os.path.basename(SF_ORACLE.rstrip("/"))
+    )
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan
