@@ -12,6 +12,7 @@ Modules map to SURVEY.md §2 groups:
   udfs        — §2.K UDF/UDAF/UDTF surface
   llm         — §2.L LLM-data-pipeline operators (+ extensions)
   multimodal  — binary-column plumbing (decode stubbed; SURVEY §1.3)
+  pipelines   — end-to-end node-graph compositions (training-data flow)
 """
 
 from basis_spark.operators import (  # noqa: F401
@@ -20,6 +21,7 @@ from basis_spark.operators import (  # noqa: F401
     joins,
     llm,
     multimodal,
+    pipelines,
     rowops,
     scalars,
     scans,

@@ -1,0 +1,85 @@
+"""End-to-end pipeline compositions: the basis node-graph layer driving
+multi-stage training-data flows, each stage an operator from this
+library, the whole graph oracle-checked as one result.
+
+This is the engine's reason to exist at 100 TB: quality-filter →
+exact-dedup → multimodal join is the canonical pre-training data
+pipeline, and here it runs as a declarative Graph whose produce() is one
+Catalyst plan — stages fuse, filters push down through the whole chain,
+and nothing materializes between nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.pipeline import Graph
+from basis_spark.registry import register
+
+
+@register(
+    "pipeline_training_data",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents),
+    f AS (SELECT * FROM q WHERE n_tokens >= 10 AND ttr >= 0.3),
+    d AS (
+        SELECT * FROM (
+            SELECT f.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM f) t
+        WHERE rn = 1)
+    SELECT d.doc_id, d.lang, d.n_tokens, round(d.ttr, 6) AS ttr,
+           e.label, CAST(len(e.embedding) AS INT) AS dim
+    FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pre-training data pipeline as a basis-style node graph:
+
+        documents ──> quality (token count + type-token ratio filter)
+                  ──> dedup   (exact, keep smallest doc_id per content hash)
+                  ──> joined  (attach the embedding modality, doc_id=vec_id)
+
+    Graph.produce returns ONE lazy plan: Catalyst fuses the quality
+    filter into the scan, the dedup is a single content-hash shuffle,
+    and the embeddings join broadcasts (locally) or shuffles (at scale)
+    — no intermediate materialization between nodes.
+    """
+    g = Graph(spark)
+    g.source("documents", load(spark, sf_dir, "documents"))
+    g.source("embeddings", load(spark, sf_dir, "embeddings"))
+
+    @g.node("quality", inputs=["documents"])
+    def quality(docs: DataFrame) -> DataFrame:
+        toks = F.split("text", " ")
+        return (
+            docs.withColumn("n_tokens", F.size(toks))
+            .withColumn(
+                "ttr", F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            )
+            .filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.3))
+        )
+
+    @g.node("dedup", inputs=["quality"])
+    def dedup(docs: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        return docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    @g.node("joined", inputs=["dedup", "embeddings"])
+    def joined(docs: DataFrame, emb: DataFrame) -> DataFrame:
+        return docs.join(emb, docs.doc_id == emb.vec_id).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("ttr", 6).alias("ttr"),
+            "label",
+            F.size("embedding").alias("dim"),
+        )
+
+    return g.produce("joined")

@@ -184,3 +184,31 @@ def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", "4")
         .load()
     )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON lines storage format (basis records-on-disk). Schema applied on
+    # read: JSON carries no types, exactly like the CSV path.
+    out = os.path.join(scratch_dir("json_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.mode("overwrite").json(out)
+    return spark.read.schema("n_nationkey long, n_name string, n_regionkey long").json(out)
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC storage format (the other columnar sink Spark ships natively);
+    # types round-trip without a declared schema.
+    out = os.path.join(scratch_dir("orc_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sup.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
