@@ -133,3 +133,71 @@ def test_string_pipeline(spark, duck, start, length, fn):
         "FROM part GROUP BY 1"
     )
     compare_frames(df, duck, sql, key=f"prop_str[{fn}({start},{length})]")
+
+
+JOIN_TYPES = [("inner", "JOIN"), ("left", "LEFT JOIN"), ("left_semi", "SEMI JOIN"), ("left_anti", "ANTI JOIN")]
+
+
+@given(
+    jt=st.sampled_from(JOIN_TYPES),
+    seg=st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+    cutoff=st.integers(min_value=50000, max_value=400000),
+)
+@settings(**SETTINGS)
+def test_join_types(spark, duck, jt, seg, cutoff):
+    """Random join type x filters on both sides agree with DuckDB,
+    including null production on outer joins and semi/anti semantics."""
+    stype, dkw = jt
+    c = load(spark, SF_ORACLE, "customer").filter(F.col("c_mktsegment") == seg)
+    o = load(spark, SF_ORACLE, "orders").filter(F.col("o_totalprice") > cutoff)
+    j = c.join(o, c.c_custkey == o.o_custkey, stype)
+    if stype in ("left_semi", "left_anti"):
+        df = j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        df = j.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    cte = f"""
+        WITH c AS (SELECT * FROM customer WHERE c_mktsegment = '{seg}'),
+             o AS (SELECT * FROM orders WHERE o_totalprice > {cutoff})
+    """
+    if stype in ("left_semi", "left_anti"):
+        sql = cte + f"SELECT c_mktsegment, count(*) AS n FROM c {dkw} o ON c_custkey = o_custkey GROUP BY 1"
+    else:
+        sql = cte + (
+            f"SELECT c_mktsegment, count(*) AS n, count(o_orderkey) AS n_orders "
+            f"FROM c {dkw} o ON c_custkey = o_custkey GROUP BY 1"
+        )
+    compare_frames(df, duck, sql, key=f"prop_join[{stype},{seg},{cutoff}]")
+
+
+@given(
+    k=st.integers(min_value=1, max_value=5),
+    desc=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_window_topk_per_group(spark, duck, k, desc):
+    """Random top-k per nation by acctbal, both directions, unique-key
+    tie-broken (R1)."""
+    from pyspark.sql import Window
+
+    s = load(spark, SF_ORACLE, "supplier")
+    order = [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()] if desc else [
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    df = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("s_nationkey", "s_suppkey", "rn")
+    )
+    d = "DESC" if desc else "ASC"
+    sql = f"""
+        SELECT s_nationkey, s_suppkey, CAST(rn AS INT) AS rn FROM (
+            SELECT s_nationkey, s_suppkey,
+                   row_number() OVER (PARTITION BY s_nationkey
+                       ORDER BY s_acctbal {d}, s_suppkey) AS rn
+            FROM supplier) t
+        WHERE rn <= {k}
+    """
+    compare_frames(df, duck, sql, key=f"prop_topk[{k},{d}]")
