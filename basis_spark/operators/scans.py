@@ -212,3 +212,35 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "schema_infer_conform",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    """,
+)
+def schema_infer_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basis schema inference + conform-to-declared-schema: write CSV,
+    read it back with inferSchema (types recovered from data, like
+    basis inferring a schema for untyped records), then cast to the
+    DECLARED schema — the infer-then-conform path every basis import
+    runs. Conforming is explicit casts, so drift between inferred and
+    declared types is a visible plan step, not a silent coercion.
+    """
+    out = os.path.join(scratch_dir("infer_conform"), os.path.basename(sf_dir.rstrip("/")))
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.mode("overwrite").option("header", True).csv(out)
+    inferred = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    declared = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return inferred.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
