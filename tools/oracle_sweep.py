@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate: runs every queries()
+entry against its oracle_sql() in DuckDB and compares row-count, schema
+(column names), and order-insensitive values (floats rounded to 6,
+timestamps via isoformat, rows sorted by repr so NULLs sort fine).
+
+Usage:
+    python tools/oracle_sweep.py [sf_dir]            # default sf0.01
+    python tools/oracle_sweep.py /root/testdata/sf0.001 key1 key2 ...
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import time
+
+import duckdb
+
+REPO = "/root/repo"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm_row(row) -> tuple:
+    out = []
+    for v in row:
+        if isinstance(v, float):
+            out.append(round(v, 6))
+        elif hasattr(v, "isoformat"):
+            out.append(v.isoformat()[:26])
+        elif isinstance(v, (list, tuple)):
+            out.append(tuple(round(x, 6) if isinstance(x, float) else x for x in v))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, REPO)
+    spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from basis_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    keys = sorted(only or queries)
+    fails, rows_only = [], []
+    t0 = time.time()
+    for k in keys:
+        try:
+            sdf = queries[k](spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            if k not in oracles:
+                rows_only.append((k, len(srows)))
+                continue
+            res = con.execute(oracles[k])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            if sorted(sdf.columns) != sorted(dcols):
+                fails.append((k, f"SCHEMA spark={sorted(sdf.columns)} duck={sorted(dcols)}"))
+                continue
+            if len(srows) != len(drows):
+                fails.append((k, f"ROWCOUNT spark={len(srows)} duck={len(drows)}"))
+                continue
+            sidx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+            didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            s = sorted((repr(_norm_row(tuple(r[i] for i in sidx))) for r in srows))
+            d = sorted((repr(_norm_row(tuple(r[i] for i in didx))) for r in drows))
+            if s != d:
+                first = next((i for i, (a, b) in enumerate(zip(s, d)) if a != b), -1)
+                fails.append((k, f"VALUES n={len(srows)} first_diff_at={first}"))
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            fails.append((k, f"EXC {type(e).__name__}: {str(e)[:140]}"))
+    dt = time.time() - t0
+    print(f"{len(keys)} keys in {dt:.0f}s; {len(fails)} fails, {len(rows_only)} rows-only")
+    for k, why in fails:
+        print(f"  FAIL {k}: {why}")
+    for k, n in rows_only:
+        print(f"  ROWSONLY {k}: {n} rows")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
