@@ -8,10 +8,10 @@ Scale design (100 TB):
   block on a key (lang) or use LSH banding; the brute-force forms exist
   as sf0.01 oracles only (BASELINE.md shows brute force times out at
   sf0.1 even in DuckDB).
-- The MinHash path is CountVectorizer→MinHashLSH→approxSimilarityJoin
-  with exact Jaccard re-rank of candidates, so output equals the exact
-  answer while LSH only prunes (SURVEY §2.L). At 100 TB swap
-  CountVectorizer for HashingTF (no vocabulary fit pass).
+- The MinHash path is hand-rolled banded LSH (xxhash64 minhashes, 32x8
+  bands) with exact Jaccard re-rank of candidates, so output equals the
+  exact answer while LSH only prunes — see dedup_near_minhash for why
+  ml.feature.MinHashLSH was rejected.
 - All array math is JVM-side higher-order functions (zip_with/aggregate).
 """
 
@@ -880,4 +880,40 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(dot, 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle="""
+    WITH rh AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(substring(text, i, 1)) AS BIGINT)
+                        for i in range(1, length(text) + 1)]),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS rhash
+        FROM documents)
+    SELECT doc_id, rhash,
+           min(doc_id) OVER (PARTITION BY rhash) AS cluster_id
+    FROM rh
+    """,
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash content fingerprint (Rabin-Karp style):
+    h = fold(chars, h*31 + code mod 1e9+7), order-sensitive — unlike
+    doc_fingerprint's sorted-set hash, two docs with the same tokens in
+    different order get different fingerprints. One narrow pass per doc
+    (the fold is a JVM higher-order aggregate over the char stream), one
+    shuffle on the hash for cluster assignment.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rhash = F.expr(
+        "aggregate(transform(sequence(1, length(text)),"
+        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),"
+        " 0L, (h, c) -> pmod(h * 31 + c, 1000000007L))"
+    )
+    w = Window.partitionBy("rhash")
+    return docs.select("doc_id", rhash.alias("rhash")).select(
+        "doc_id", "rhash", F.min("doc_id").over(w).alias("cluster_id")
     )
