@@ -609,15 +609,20 @@ def text_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
                      t -> len(t) >= 6)) AS DOUBLE)
                  / len(string_split(text, ' ')), 6) AS long_tok_ratio,
            round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) AS ttr
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['a','an','the','of','and','in','to','is'], t)))
+                     AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stop_ratio
     FROM documents
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality heuristics: punctuation ratio, long-token ratio, type-token
-    # ratio — the standard cheap pre-training filters.
+    # ratio, stopword ratio — the standard cheap pre-training filters.
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    stopwords = F.array(*[F.lit(w) for w in ["a", "an", "the", "of", "and", "in", "to", "is"]])
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
@@ -631,6 +636,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("long_tok_ratio"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stopwords, t))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("stop_ratio"),
     )
 
 
