@@ -7,6 +7,11 @@ timestamps via isoformat, rows sorted by repr so NULLs sort fine).
 Usage:
     python tools/oracle_sweep.py [sf_dir]            # default sf0.01
     python tools/oracle_sweep.py /root/testdata/sf0.001 key1 key2 ...
+
+Env:
+    SWEEP_HOSTILE=1   use a deliberately untuned non-UTC SparkSession
+                      (simulates the driver's own session) instead of
+                      the tuned factory.
 """
 
 from __future__ import annotations
@@ -42,9 +47,21 @@ def main() -> int:
     spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    from basis_spark.session import get_spark
+    import os
 
-    spark = get_spark()
+    if os.environ.get("SWEEP_HOSTILE"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/Chicago")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from basis_spark.session import get_spark
+
+        spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
