@@ -234,11 +234,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("sh"),
-    )
+    ).withColumn("n", F.size("sh"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # Broadcast the build side explicitly: the block key (lang) has only
+    # ~5 distinct values, so a shuffle join collapses to 5 tasks (measured
+    # 10x slower when AQE picked it); broadcasting keeps the probe side's
+    # 64 partitions working. jac > 0.62 needs |A|/|B| >= 0.62 — the size
+    # prefilter drops impossible pairs before any array algebra.
+    b = F.broadcast(sh.alias("b"))
+    size_ok = (F.col("b.n") * 100 >= F.col("a.n") * 62) & (
+        F.col("a.n") * 100 >= F.col("b.n") * 62
+    )
     pairs = a.join(
-        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok,
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
