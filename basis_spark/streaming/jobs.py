@@ -58,15 +58,25 @@ def _read_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     name = "mem_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
     spark = stream_df.sparkSession
+    # A streaming query pins shuffle.partitions at start; the session
+    # default (2x cores) means that many state-store tasks PER micro-batch.
+    # These finite equivalence jobs hold a few hundred keys, so 8 state
+    # partitions cut task-launch overhead ~8x. Production jobs size this
+    # to state volume instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
