@@ -104,6 +104,38 @@ class Graph:
         return node.fn(*ups)
 
 
+    def materialize(self, name: str, base_dir: str) -> dict:
+        """Produce a node and persist its output as an immutable block
+        (the reference's Environment.produce + BlockLog/FunctionLog):
+        writes `base_dir/<node>/block=<n>/` parquet — blocks are
+        append-only, a re-run adds block=n+1, never mutates — plus a
+        run-log line in `base_dir/<node>/log.jsonl` (node, block, rows,
+        wall seconds, ISO timestamp). Returns the log entry."""
+        import datetime
+        import glob
+        import json
+        import time
+
+        out_dir = os.path.join(base_dir, name)
+        block_n = len(glob.glob(os.path.join(out_dir, "block=*")))
+        block_dir = os.path.join(out_dir, f"block={block_n}")
+        t0 = time.time()
+        df = self.produce(name)
+        df.write.mode("errorifexists").parquet(block_dir)
+        rows = self.spark.read.parquet(block_dir).count()
+        entry = {
+            "node": name,
+            "block": block_n,
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 3),
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "log.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        return entry
+
+
 def accumulate(*increments: DataFrame) -> DataFrame:
     """basis accumulator: fold append-only increments into one table."""
     out = increments[0]

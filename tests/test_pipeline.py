@@ -101,3 +101,28 @@ def test_graph_cycle_detection(spark):
 
     with _pytest.raises(ValueError, match="cycle"):
         g.produce("a")
+
+
+def test_graph_materialize_blocks(spark, tmp_path):
+    """materialize() writes append-only blocks + a run log, re-runs add a
+    new block rather than mutating (basis block immutability)."""
+    import json
+
+    g = pipeline.Graph(spark)
+    g.source("orders_src", load(spark, SF_SMALL, "orders"))
+    g.sql_node(
+        "by_status",
+        "SELECT o_orderstatus, count(*) AS n FROM orders_src GROUP BY 1",
+        inputs=["orders_src"],
+    )
+    base = str(tmp_path)
+    e1 = g.materialize("by_status", base)
+    e2 = g.materialize("by_status", base)
+    assert (e1["block"], e2["block"]) == (0, 1)
+    assert e1["rows"] == e2["rows"] == 3
+    logf = os.path.join(base, "by_status", "log.jsonl")
+    entries = [json.loads(ln) for ln in open(logf)]
+    assert [e["block"] for e in entries] == [0, 1]
+    # both blocks still readable (immutability)
+    b0 = spark.read.parquet(os.path.join(base, "by_status", "block=0"))
+    assert b0.count() == 3
