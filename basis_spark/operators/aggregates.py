@@ -351,3 +351,32 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est_users")
     ).select(F.lit(None).cast("string").alias("event_type"), "est_users")
     return per_est.unionByName(merged)
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mode via count + deterministic tie-break (both engines' built-in
+    # mode() picks an ARBITRARY value on ties — not oracle-safe).
+    from pyspark.sql import Window as W
+
+    counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )

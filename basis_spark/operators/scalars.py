@@ -352,3 +352,23 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("ap50"),
         F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("ap90"),
     )
+
+
+@register(
+    "str_levenshtein",
+    oracle="""
+    SELECT CAST(levenshtein(p_name, p_type) AS INTEGER) AS dist, count(*) AS n
+    FROM part
+    GROUP BY 1
+    """,
+)
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit distance, the fuzzy-matching primitive (same DP algorithm both
+    # engines). Row-wise (no pairwise blowup); pair generation for fuzzy
+    # dedup belongs to the LSH/banding operators.
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.levenshtein("p_name", "p_type").cast("int").alias("dist"))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -211,3 +211,32 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_highest
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nth_value needs the full-frame spec in both engines: the default
+    # frame stops at CURRENT ROW, which would yield NULL until row n.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
+        )
+        .distinct()
+    )
