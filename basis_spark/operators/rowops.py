@@ -145,3 +145,29 @@ def union_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc1 = o.filter(F.col("o_totalprice") < 100000)
     inc2 = o.filter((F.col("o_totalprice") >= 100000) & (F.col("o_orderstatus") == "O"))
     return inc1.unionByName(inc2)
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, value, channel FROM (
+        SELECT event_id, user_id, value, NULL AS channel
+        FROM events WHERE event_id < 100
+        UNION ALL BY NAME
+        SELECT event_id, user_id, value, event_type AS channel
+        FROM events WHERE event_id >= 100 AND event_id < 200) t
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-append across a schema change (basis blocks evolve: a later
+    increment gains a column). unionByName(allowMissingColumns=True)
+    aligns by NAME and null-fills the missing column — positional union
+    would silently misalign. The oracle is DuckDB's UNION ALL BY NAME.
+    """
+    ev = load(spark, sf_dir, "events")
+    old_block = ev.filter(F.col("event_id") < 100).select("event_id", "user_id", "value")
+    new_block = (
+        ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+        .select("event_id", "user_id", "value", F.col("event_type").alias("channel"))
+    )
+    return old_block.unionByName(new_block, allowMissingColumns=True)
