@@ -240,3 +240,63 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+    actual AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 30 GROUP BY 1, 2),
+    spine AS (SELECT u.user_id, days.d FROM users u CROSS JOIN days)
+    SELECT s.user_id, s.d,
+           CAST(a.v IS NOT NULL AS BOOLEAN) AS observed,
+           round(coalesce(last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 2) AS v_filled
+    FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.d = a.d
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (the hypertable/training-data
+    densification primitive): build the complete (user x day) spine from
+    a generated date sequence, left-join observed daily values, and
+    carry the last observation forward with last(ignorenulls); leading
+    gaps coalesce to 0.
+
+    Scale: the spine is sequence+explode (no driver loop), the ffill
+    window partitions on user_id — one shuffle, state = one row per
+    partition. Restricted to 30 users so the oracle stays small; the
+    plan shape is cardinality-independent.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    users = ev.select("user_id").distinct()
+    actual = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = users.crossJoin(F.broadcast(days))
+    joined = spine.join(actual, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "d",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("v_filled"),
+    )
