@@ -300,3 +300,35 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 2
         ).alias("v_filled"),
     )
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True time-interval RANGE frame (trailing 1-hour window per user)
+    directly over the timestamp order key — no epoch-seconds conversion;
+    both engines bound the frame by ts >= current_ts - INTERVAL 1 HOUR.
+    The per-user trailing-window aggregate is the streaming-feature shape
+    (rate limiting, rolling engagement) computed batch-side.
+    """
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("win_range_interval_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM win_range_interval_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
