@@ -372,3 +372,44 @@ def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "map_higher_order",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY doc_id, token)
+    SELECT doc_id,
+           list_sort(list(token || '=' || CAST(cnt * 2 AS VARCHAR))) AS doubled_entries,
+           CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INTEGER) AS n_frequent
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values doubles each token
+    count, map_filter keeps counts >= 3; output serialized as sorted
+    'key=value' entry strings (map iteration order is engine-dependent,
+    R-appendix rule 5)."""
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias("m"))
+    )
+    doubled = F.transform_values("m", lambda _, v: v * 2)
+    frequent = F.map_filter("m", lambda _, v: v >= 3)
+    return m.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(
+                F.map_entries(doubled),
+                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            )
+        ).alias("doubled_entries"),
+        F.size(frequent).alias("n_frequent"),
+    )
