@@ -380,3 +380,29 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Built-in linear-regression aggregates (slope/intercept/r2) — both
+    # engines implement the same covariance formulas; probe-verified to
+    # agree to full precision on small inputs, rounded per R1 for the
+    # 600k-row summation-order delta.
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )

@@ -394,3 +394,37 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT n.n_name, top.s_name, top.s_acctbal
+    FROM nation n, LATERAL (
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s.s_acctbal DESC, s.s_suppkey
+        LIMIT 1) top
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL surface parity): per nation, the
+    top supplier by account balance via a correlated ORDER BY LIMIT 1
+    subquery. Catalyst decorrelates this into a ranked window join —
+    same physical shape as win_row_number_topk, written the way a SQL
+    user would.
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("lat_supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.s_name, top.s_acctbal
+        FROM lat_nation n, LATERAL (
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM lat_supplier s
+            WHERE s.s_nationkey = n.n_nationkey
+            ORDER BY s.s_acctbal DESC, s.s_suppkey
+            LIMIT 1) top
+        """
+    )
