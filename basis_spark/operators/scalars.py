@@ -413,3 +413,72 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_entries"),
         F.size(frequent).alias("n_frequent"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bitwise aggregates (bitmap/bloom-style accumulators in miniature).
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("bit_and(user_id)").cast("long").alias("band"),
+            F.expr("bit_or(user_id)").cast("long").alias("bor"),
+            F.expr("bit_xor(user_id)").cast("long").alias("bxor"),
+        )
+    )
+
+
+@register(
+    "str_split_part",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS grade,
+           split_part(p_type, ' ', -1) AS finish
+    FROM part
+    """,
+)
+def str_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split_part with positive and negative (from-the-end) indices —
+    # same 1-based semantics in both engines.
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("grade"),
+        F.split_part("p_type", F.lit(" "), F.lit(-1)).alias("finish"),
+    )
+
+
+@register(
+    "date_epoch_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+           CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                AS TIMESTAMP) AS ts_back
+    FROM events
+    """,
+)
+def date_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamp -> epoch seconds -> timestamp. Declared semantics: FLOOR
+    # to whole seconds on both sides — Spark's unix_timestamp floors while
+    # DuckDB's CAST(epoch(...) AS BIGINT) would ROUND (found by oracle
+    # diff on sub-second fixture timestamps), so the oracle floors
+    # explicitly.
+    ev = load(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        epoch_s.cast("long").alias("epoch_s"),
+        F.to_timestamp(F.from_unixtime(epoch_s)).alias("ts_back"),
+    )
