@@ -4,7 +4,8 @@ Scale notes: projection and predicate both reach the parquet reader
 (ReadSchema / PushedFilters — asserted in tests/test_plans.py), so at
 100 TB these scans read only the needed columns/row-groups. Sinks write
 partitioned parquet (partition pruning for downstream readers).
-`source_jdbc` is deferred: no DB service in this environment (SURVEY §2.A).
+`source_jdbc` runs against embedded Derby (bundled with Spark) with a
+partitioned parallel read — no external DB service needed.
 """
 
 from __future__ import annotations
@@ -243,4 +244,19 @@ def schema_infer_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inferred.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
+
+
+@register("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling — the class-rebalancing primitive
+    for training-data construction: keep 50% of clicks/views, 100% of
+    the rare classes. Seeded Bernoulli per stratum (sampleBy); RNG
+    streams differ across engines so this is rows-only checked, with
+    per-stratum binomial bounds asserted in tests/test_tolerance.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    return ev.sampleBy("event_type", fractions=fractions, seed=42).select(
+        "event_id", "event_type", "user_id"
     )

@@ -137,3 +137,34 @@ def test_hll_sketch_estimates_within_5pct(spark):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) / exact[k] < 0.05, (k, e, exact[k])
+
+
+def test_stratified_sample_per_stratum_bounds(spark):
+    """Each stratum's sample size must sit within 5-sigma binomial bounds
+    of its target fraction, and rare classes must be kept whole."""
+    from basis_spark.operators.scans import sample_stratified
+    from basis_spark.io import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in sample_stratified(spark, SF_ORACLE)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {"click": 0.5, "view": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    for et, frac in fractions.items():
+        n, mean = totals[et], totals[et] * frac
+        if frac == 1.0:
+            assert got[et] == n, (et, got[et], n)
+        else:
+            sigma = (n * frac * (1 - frac)) ** 0.5
+            assert abs(got[et] - mean) <= 5 * sigma, (et, got[et], mean, sigma)
