@@ -938,3 +938,39 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rhash.alias("rhash")).select(
         "doc_id", "rhash", F.min("doc_id").over(w).alias("cluster_id")
     )
+
+
+@register(
+    "text_ngram_profile",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, unnest([substring(text, i, 2)
+                             for i in range(1, length(text))]) AS g
+        FROM documents),
+    counts AS (SELECT lang, g, count(*) AS c FROM grams GROUP BY lang, g)
+    SELECT lang, g, c, rn FROM (
+        SELECT lang, g, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+        FROM counts) t
+    WHERE rn <= 5
+    """,
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-bigram profile (top-5 by frequency): the
+    feature table classic n-gram language identifiers rank against.
+    explode(bigrams) -> count per (lang, gram) -> windowed top-5; two
+    shuffles, both on bounded-cardinality keys (langs x gram vocab)."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "g", "c", "rn")
+    )
