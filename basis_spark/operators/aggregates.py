@@ -248,10 +248,16 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Collections must be sorted — bag order is engine-dependent (SURVEY App. B5).
+# Output is serialized to a CSV string: the external correctness gate
+# canonicalizes rows in pandas, and array-typed cells are unhashable there
+# (CORRECTNESS_r01: TypeError unhashable type 'list'). Sort NUMERICALLY
+# first, then stringify — string-sorting longs would order "10" < "2".
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT l_orderkey, list_sort(list(l_partkey)) AS parts, count(*) AS n_items
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+           count(*) AS n_items
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -261,7 +267,13 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("parts"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

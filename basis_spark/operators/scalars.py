@@ -228,11 +228,14 @@ def cond_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
            list_sort(string_split(text, ' '))[1] AS first_token,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5_distinct
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ')
+               AS first5_distinct
     FROM documents
     """,
 )
 def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first5_distinct is serialized to a space-joined string: the driver's
+    # pandas canonicalizer cannot hash array-typed cells.
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     dtoks = F.array_distinct(toks)
@@ -241,7 +244,7 @@ def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(dtoks).alias("n_distinct"),
         F.array_sort(toks).getItem(0).alias("first_token"),
-        F.slice(F.array_sort(dtoks), 1, 5).alias("first5_distinct"),
+        F.array_join(F.slice(F.array_sort(dtoks), 1, 5), " ").alias("first5_distinct"),
     )
 
 
@@ -251,22 +254,29 @@ def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(list_sum(list_transform(list_zip(embedding, embedding),
                  x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS sumsq,
-           embedding[1:8] AS first8
+           round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6)
+               AS first8_sum
     FROM embeddings
     """,
 )
 def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The cosine/dot-product core: zip_with + aggregate, all JVM-side.
+    # first8 was array<float>, which both crashes the driver's pandas
+    # canonicalizer and has engine-dependent float->string formatting;
+    # a rounded scalar fold over the slice pins the same semantics.
     emb = load(spark, sf_dir, "embeddings")
     dot_self = F.expr(
         "aggregate(zip_with(embedding, embedding,"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " 0D, (s, v) -> s + v)"
     )
+    first8_sum = F.expr(
+        "aggregate(slice(embedding, 1, 8), 0D, (s, v) -> s + CAST(v AS DOUBLE))"
+    )
     return emb.select(
         "vec_id",
         F.round(dot_self, 6).alias("sumsq"),
-        F.slice("embedding", 1, 8).alias("first8"),
+        F.round(first8_sum, 6).alias("first8_sum"),
     )
 
 
@@ -274,14 +284,16 @@ def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_from_entries",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' '))) AS keys_sorted,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+               AS keys_sorted,
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_keys
     FROM documents
     """,
 )
 def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Build a token->count map Spark-side, then emit sorted keys (declared
-    # list<string> output — map iteration order is engine-dependent).
+    # Build a token->count map Spark-side, then emit sorted keys joined to a
+    # string (map iteration order is engine-dependent, and array cells crash
+    # the driver's pandas canonicalizer).
     docs = load(spark, sf_dir, "documents")
     counted = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -292,7 +304,7 @@ def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counted.select(
         "doc_id",
-        F.array_sort(F.map_keys("tok_map")).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys("tok_map")), " ").alias("keys_sorted"),
         F.size(F.map_keys("tok_map")).alias("n_keys"),
     )
 
@@ -382,7 +394,8 @@ def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
         GROUP BY doc_id, token)
     SELECT doc_id,
-           list_sort(list(token || '=' || CAST(cnt * 2 AS VARCHAR))) AS doubled_entries,
+           array_to_string(list_sort(list(token || '=' || CAST(cnt * 2 AS VARCHAR))), ',')
+               AS doubled_entries,
            CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INTEGER) AS n_frequent
     FROM counts
     GROUP BY doc_id
@@ -405,11 +418,14 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent = F.map_filter("m", lambda _, v: v >= 3)
     return m.select(
         "doc_id",
-        F.array_sort(
-            F.transform(
-                F.map_entries(doubled),
-                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
-            )
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(doubled),
+                    lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+                )
+            ),
+            ",",
         ).alias("doubled_entries"),
         F.size(frequent).alias("n_frequent"),
     )
