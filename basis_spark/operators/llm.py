@@ -147,6 +147,42 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return t, bands
 
 
+def _minhash_candidates(
+    spark: SparkSession, sf_dir: str, min_bands: int = 2
+) -> DataFrame:
+    """Candidate (i, j) pairs surviving the band-count prefilter.
+
+    Counting colliding bands per pair is free relative to the previous
+    dropDuplicates (same shuffle, count instead of distinct) and is
+    itself a Jaccard estimator: a band collides w.p. jac^r. Requiring
+    >= 2 of 32 bands keeps a true 0.9-pair w.p. 1 - 4e-7 (per-band
+    p = 0.9^8 = 0.43) while a median fixture pair (jac 0.63, per-band
+    p = 0.025) rarely reaches 2 — measured 1.24M -> 730K candidates at
+    sf0.1 for zero extra data movement.
+
+    Why no K=256 signature-agreement second stage (tried, reverted):
+    fixture token sets average n = 23 xxhash64-encoded longs, so the
+    exact array_intersect re-rank costs LESS per pair than comparing
+    two 256-long signatures — the sharper filter took q11 from ~1 s to
+    ~12 s per call at sf0.1 (wide-sig join + 256-element zip_with per
+    pair). A signature stage only pays when exact re-rank units are
+    large (e.g. shingle sets of long documents), not here.
+    """
+    _, bands = _minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    size_ok = (F.col("b.n") * 10 >= F.col("a.n") * 9) & (
+        F.col("a.n") * 10 >= F.col("b.n") * 9
+    )
+    return (
+        a.join(b, ["lang", "key"])
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+        .select("i", "j")
+    )
+
+
 @register("dedup_near_minhash", oracle=_B11_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup with exact re-rank (B11 semantics).
@@ -167,19 +203,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back afterwards (AQE/broadcast locally; shuffle join at real
     scale), keeping the wide payload out of the band shuffle and the
     pair dedup. A size-ratio prefilter (jac > t needs |A|/|B| >= t)
-    drops impossible pairs before any set algebra.
+    drops impossible pairs before any set algebra, and the band-count
+    prefilter (_minhash_candidates) cuts the exact re-rank set ~40%
+    with zero extra shuffle — on the near-dup-dense fixture corpus
+    ~half of all same-lang pairs collide in SOME band, so pruning
+    before set algebra is what keeps re-rank work near-threshold.
     """
-    t, bands = _minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    size_ok = (F.col("b.n") * 10 >= F.col("a.n") * 9) & (
-        F.col("a.n") * 10 >= F.col("b.n") * 9
-    )
-    cand = (
-        a.join(b, ["lang", "key"])
-        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .dropDuplicates(["i", "j"])
-    )
+    t, _ = _minhash_bands(spark, sf_dir)
+    cand = _minhash_candidates(spark, sf_dir)
     ta = t.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
     tb = t.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
     cand = cand.join(ta, "i").join(tb, "j")
