@@ -20,6 +20,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persist fixture tables once per (sf_dir, table): warm-protocol bench
+# (BASELINE.md is median-of-3 warm too — DuckDB's reads are OS-page-cache
+# warm). Must be set before basis_spark.io is imported by the queries.
+os.environ.setdefault("SPARK_GRAFT_CACHE_FIXTURES", "1")
+
 from basis_spark.registry import QUERIES  # noqa: E402
 from basis_spark.session import get_spark  # noqa: E402
 import basis_spark.operators  # noqa: E402,F401
