@@ -20,13 +20,18 @@ inputs; blocks processed at most once via the watermark predicate).
 
 from __future__ import annotations
 
+import datetime
+import itertools
 import json
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_graph_counter = itertools.count()
 
 
 @dataclass
@@ -43,6 +48,11 @@ class Graph:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._nodes: dict[str, Node] = {}
+        # Per-graph view namespace: SQL nodes register inputs as temp views
+        # in the session-wide catalog, so bare node names would clobber
+        # same-named views from another graph (or an unrelated temp view)
+        # in the shared session.
+        self._ns = f"__graph{next(_graph_counter)}__"
 
     def node(self, name: str, inputs: list[str] | None = None):
         """Decorator: register a python node fn(*upstream_dfs) -> DataFrame."""
@@ -88,20 +98,46 @@ class Graph:
             g.sql_node(nd["name"], nd["sql"], list(nd.get("inputs", [])))
         return g
 
-    def produce(self, name: str, _seen: set[str] | None = None) -> DataFrame:
+    def produce(
+        self,
+        name: str,
+        _path: set[str] | None = None,
+        _memo: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
         """Resolve upstream nodes (topologically) and return the node's
-        DataFrame. Lazy: nothing materializes until an action runs."""
-        seen = _seen if _seen is not None else set()
-        if name in seen:
+        DataFrame. Lazy: nothing materializes until an action runs.
+
+        Cycle detection is PATH-based (node removed from the active path
+        once its subtree resolves): a visited-set would flag any diamond
+        DAG — one upstream feeding two inputs of the same node — as a
+        false cycle, and diamonds are the normal shape in the node-graph
+        model. Produced DataFrames are memoized per produce() call so a
+        shared upstream is resolved once, not once per path.
+        """
+        path = _path if _path is not None else set()
+        memo = _memo if _memo is not None else {}
+        if name in memo:
+            return memo[name]
+        if name in path:
             raise ValueError(f"cycle detected at node {name!r}")
-        seen.add(name)
+        path.add(name)
         node = self._nodes[name]
-        ups = [self.produce(u, seen) for u in node.inputs]
+        ups = [self.produce(u, path, memo) for u in node.inputs]
+        path.discard(name)
         if node.sql is not None:
+            # Register inputs under graph-namespaced view names and rewrite
+            # the node SQL to reference them, so concurrent graphs (or an
+            # unrelated temp view with a node's name) can't cross-resolve.
+            sql = node.sql
             for uname, udf_ in zip(node.inputs, ups):
-                udf_.createOrReplaceTempView(uname)
-            return self.spark.sql(node.sql)
-        return node.fn(*ups)
+                view = f"{self._ns}{uname}"
+                udf_.createOrReplaceTempView(view)
+                sql = re.sub(rf"\b{re.escape(uname)}\b", view, sql)
+            df = self.spark.sql(sql)
+        else:
+            df = node.fn(*ups)
+        memo[name] = df
+        return df
 
 
     def materialize(self, name: str, base_dir: str) -> dict:
@@ -154,27 +190,57 @@ def dedupe_keep_latest(
 
 class HighWatermarkState:
     """Persisted monotone-column watermark — the reference's incremental
-    block-pruning, as a predicate that parquet scans push down."""
+    block-pruning, as a predicate that parquet scans push down.
+
+    The watermark is persisted LOSSLESSLY with a type tag: int/float/str
+    as-is, timestamp/date via isoformat. Forcing int() (round 1) raised
+    on timestamp columns and truncated floats, despite the class being
+    documented as working over any monotone column.
+    """
 
     def __init__(self, path: str, column: str):
         self.path = path
         self.column = column
 
-    def read(self) -> int | None:
+    @staticmethod
+    def _encode(v):
+        if isinstance(v, datetime.datetime):
+            return {"type": "timestamp", "value": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"type": "date", "value": v.isoformat()}
+        return {"type": "scalar", "value": v}
+
+    @staticmethod
+    def _decode(d):
+        if d["type"] == "timestamp":
+            return datetime.datetime.fromisoformat(d["value"])
+        if d["type"] == "date":
+            return datetime.date.fromisoformat(d["value"])
+        return d["value"]
+
+    def read(self):
         if not os.path.exists(self.path):
             return None
         with open(self.path) as f:
-            return json.load(f)["watermark"]
+            doc = json.load(f)
+        # round-1 files stored a bare int under "watermark"
+        if "type" not in doc:
+            return doc["watermark"]
+        return self._decode(doc)
 
     def filter_new(self, df: DataFrame) -> DataFrame:
         wm = self.read()
-        return df if wm is None else df.filter(F.col(self.column) > wm)
+        # F.lit maps datetime/date to timestamp/date literals, so the
+        # comparison stays in the column's native type and pushes down.
+        return df if wm is None else df.filter(F.col(self.column) > F.lit(wm))
 
-    def advance(self, df: DataFrame) -> int | None:
+    def advance(self, df: DataFrame):
         new_wm = df.agg(F.max(self.column).alias("m")).collect()[0]["m"]
         if new_wm is None:
             return self.read()
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        doc = self._encode(new_wm)
+        doc["column"] = self.column
         with open(self.path, "w") as f:
-            json.dump({"watermark": int(new_wm), "column": self.column}, f)
+            json.dump(doc, f)
         return new_wm

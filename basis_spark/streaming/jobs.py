@@ -187,8 +187,15 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             start_us, last_us, n = None, None, 0
         closed = []
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts")["ts"]:
+        # Concatenate the group's chunks and sort ONCE: sorting each chunk
+        # independently only works if chunks happen to arrive in timestamp
+        # order — events for one user split across chunks within a
+        # micro-batch would otherwise sessionize out of order. Per-user
+        # per-batch volume is bounded, so the concat is small.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for ts in batch.sort_values("ts")["ts"]:
                 us = ts.value // 1000  # pandas ns -> µs
                 if last_us is not None and us - last_us > gap_us:
                     closed.append((user_id, start_us, last_us, n))
@@ -197,7 +204,8 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     start_us = us
                 last_us = us
                 n += 1
-        state.update((int(start_us), int(last_us), int(n)))
+        if last_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
         if closed:
             yield pd.DataFrame(
                 {

@@ -103,6 +103,57 @@ def test_graph_cycle_detection(spark):
         g.produce("a")
 
 
+def test_graph_diamond_dag(spark):
+    """One upstream feeding two inputs of the same node must resolve, not
+    raise a false 'cycle detected' (ADVICE r1: visited-set vs path-set)."""
+    g = pipeline.Graph(spark)
+    g.source("src", load(spark, SF_SMALL, "nation"))
+    g.sql_node("a", "SELECT n_nationkey, n_regionkey FROM src", inputs=["src"])
+    g.sql_node("b", "SELECT n_nationkey, n_name FROM src", inputs=["src"])
+    g.sql_node(
+        "joined",
+        "SELECT a.n_nationkey, b.n_name FROM a JOIN b ON a.n_nationkey = b.n_nationkey",
+        inputs=["a", "b"],
+    )
+    assert g.produce("joined").count() == load(spark, SF_SMALL, "nation").count()
+
+
+def test_graph_views_are_namespaced(spark):
+    """Two graphs with same-named nodes in one session must not clobber
+    each other's temp views; a pre-existing temp view with a node's name
+    must not shadow the node either."""
+    # hostile pre-existing view with the node's name
+    load(spark, SF_SMALL, "region").createOrReplaceTempView("src")
+    g1 = pipeline.Graph(spark)
+    g1.source("src", load(spark, SF_SMALL, "nation"))
+    g1.sql_node("out", "SELECT count(*) AS n FROM src", inputs=["src"])
+    g2 = pipeline.Graph(spark)
+    g2.source("src", load(spark, SF_SMALL, "customer"))
+    g2.sql_node("out", "SELECT count(*) AS n FROM src", inputs=["src"])
+    n1 = g1.produce("out").collect()[0]["n"]
+    n2 = g2.produce("out").collect()[0]["n"]
+    assert n1 == load(spark, SF_SMALL, "nation").count()
+    assert n2 == load(spark, SF_SMALL, "customer").count()
+    spark.catalog.dropTempView("src")
+
+
+def test_high_watermark_timestamp_column(spark):
+    """Watermark over a timestamp column: persisted losslessly, compared
+    in the column's native type (ADVICE r1: int() coercion raised)."""
+    path = os.path.join(scratch_dir("state"), "events_ts_wm.json")
+    if os.path.exists(path):
+        os.remove(path)
+    ev = load(spark, SF_SMALL, "events")
+    st = pipeline.HighWatermarkState(path, "ts")
+    assert st.filter_new(ev).count() == ev.count()
+    wm = st.advance(ev)
+    import datetime as _dt
+
+    assert isinstance(wm, _dt.datetime)
+    assert st.filter_new(ev).count() == 0
+    assert st.read() == wm  # lossless JSON round trip
+
+
 def test_graph_materialize_blocks(spark, tmp_path):
     """materialize() writes append-only blocks + a run log, re-runs add a
     new block rather than mutating (basis block immutability)."""
