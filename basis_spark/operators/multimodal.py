@@ -24,11 +24,75 @@ FEATURE_SCHEMA = "doc_id long, mime string, n_bytes long, feat array<double>"
 
 
 def decode_image(payload: bytes) -> object:
-    """Real image decode — requires a codec library not present here."""
+    """Real image decode for formats needing codec libraries (JPEG/PNG —
+    PIL/opencv are not in this container). PPM is decoded for real by
+    decode_ppm below."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this container; "
-        "use fake_features for the tested plumbing path"
+        "JPEG/PNG decoding requires PIL/opencv, not available in this "
+        "container; PPM payloads decode for real via decode_ppm"
     )
+
+
+# ----------------------------------------------------- real PPM codec ----
+# Binary PPM (P6) is a header of ASCII tokens — "P6", width, height,
+# maxval, each separated by whitespace with '#' comments running to end
+# of line — followed by a single whitespace byte and then h rows of w
+# RGB byte triplets. Simple enough to parse dependency-free, so the
+# image decode path is REAL, not a stub.
+
+
+def make_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw RGB bytes (len == w*h*3) as a binary PPM."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"expected {width * height * 3} bytes, got {len(pixels)}")
+    return b"P6\n# basis-spark synthetic fixture\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, raw RGB bytes).
+
+    Handles arbitrary header whitespace and '#' comments; only
+    maxval 255 (1 byte per sample) is supported.
+    """
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise ValueError(f"not a binary PPM (magic {magic!r})")
+    width, height, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # exactly one whitespace byte after maxval
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated pixel data")
+    return width, height, pixels
+
+
+def ppm_features(payload: bytes) -> list[float]:
+    """Real decode -> features: [width, height, mean_r, mean_g, mean_b]."""
+    w, h, px = decode_ppm(payload)
+    n = w * h
+    means = [round(sum(px[c::3]) / n, 6) for c in range(3)]
+    return [float(w), float(h), *means]
 
 
 def fake_features(payload: bytes, dim: int = 4) -> list[float]:
@@ -43,10 +107,21 @@ def fake_features(payload: bytes, dim: int = 4) -> list[float]:
     return [float(n), round(s / n, 6), float(mx), float(mn)]
 
 
+def extract_features(payload: bytes, mime: str) -> list[float]:
+    """Mime-dispatched decode -> features: PPM images decode for REAL
+    (header parse + pixel stats); other mimes use the deterministic
+    byte-stat stand-in."""
+    if mime == "image/x-portable-pixmap":
+        return ppm_features(payload)
+    return fake_features(payload)
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # One Arrow batch in, one out — constant memory per partition.
     for pdf in batches:
-        feats = [fake_features(p) for p in pdf["payload"]]
+        feats = [
+            extract_features(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -173,6 +248,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _frames_batches, schema="doc_id long, frame_no int, frame binary"
     )
     return out.select("doc_id", "frame_no")
+
+
+def synth_ppm(doc_id: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic 8x8 RGB image per doc: pixel i channel c has value
+    (doc_id*31 + i + c*85) % 256 — pure arithmetic, so a SQL oracle can
+    recompute the exact channel means the decoder must produce."""
+    px = bytes(
+        (doc_id * 31 + i + c * 85) % 256
+        for i in range(width * height)
+        for c in range(3)
+    )
+    return make_ppm(width, height, px)
+
+
+def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+        for doc_id in pdf["doc_id"]:
+            f = ppm_features(synth_ppm(int(doc_id)))
+            out["doc_id"].append(doc_id)
+            out["width"].append(int(f[0]))
+            out["height"].append(int(f[1]))
+            out["mean_r"].append(f[2])
+            out["mean_g"].append(f[3])
+            out["mean_b"].append(f[4])
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_image_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           round(avg((d.doc_id * 31 + i.range) % 256), 6) AS mean_r,
+           round(avg((d.doc_id * 31 + i.range + 85) % 256), 6) AS mean_g,
+           round(avg((d.doc_id * 31 + i.range + 170) % 256), 6) AS mean_b
+    FROM documents d, range(64) i
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image decode path, no codec libs: synthesize a binary PPM per
+    # doc (deterministic pixels), parse it back with the dependency-free
+    # P6 parser, emit per-channel means. The oracle recomputes the exact
+    # means arithmetically, so a header off-by-one or channel swap in
+    # the parser is a value mismatch, not a silent pass. Arrow-batched
+    # mapInPandas, constant memory per partition — the same shape a
+    # JPEG/PNG extractor would run at 100 TB.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _ppm_decode_batches,
+        schema="doc_id long, width long, height long,"
+        " mean_r double, mean_g double, mean_b double",
+    )
 
 
 @register(

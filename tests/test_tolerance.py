@@ -133,6 +133,34 @@ def test_multimodal_fake_features_deterministic(spark):
         assert rows[doc_id]["n_bytes"] == len(payload)
 
 
+def test_ppm_codec_roundtrip():
+    px = bytes(range(256))[:192]  # 8x8x3
+    payload = multimodal.make_ppm(8, 8, px)
+    assert multimodal.decode_ppm(payload) == (8, 8, px)
+    # hostile header: tabs, comments, multiple spaces
+    hostile = b"P6\n# comment line\n  8\t8\n# another\n255\n" + px
+    assert multimodal.decode_ppm(hostile) == (8, 8, px)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        multimodal.decode_ppm(b"P5\n8 8\n255\n" + px)
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(multimodal.make_ppm(8, 8, px)[:-10])
+
+
+def test_multimodal_real_decode_branch():
+    """extract_features takes the REAL decode branch for PPM payloads:
+    channel means must equal the synthesized pixel arithmetic."""
+    payload = multimodal.synth_ppm(7)
+    f = multimodal.extract_features(payload, "image/x-portable-pixmap")
+    assert f[:2] == [8.0, 8.0]
+    expect = [
+        round(sum((7 * 31 + i + c * 85) % 256 for i in range(64)) / 64, 6)
+        for c in range(3)
+    ]
+    assert f[2:] == expect
+
+
 def test_sign_lsh_recall(spark):
     """similarity_topk_lsh must recover >= 80% of the brute-force top-10
     (measured 1.0 at sf0.01 / 0.9 at sf0.1 with the 12x4 banding)."""
