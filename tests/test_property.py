@@ -135,6 +135,85 @@ def test_string_pipeline(spark, duck, start, length, fn):
     compare_frames(df, duck, sql, key=f"prop_str[{fn}({start},{length})]")
 
 
+TRUNC_UNITS = ["day", "week", "month", "quarter", "year"]
+
+
+@given(
+    unit=st.sampled_from(TRUNC_UNITS),
+    n=st.integers(min_value=-10, max_value=10),
+)
+@settings(**SETTINGS)
+def test_date_trunc_interval_arithmetic(spark, duck, unit, n):
+    """date_trunc x every unit, then +/- a random day interval: the
+    adapter's trunc boundaries (ISO Monday weeks, quarter starts) and
+    interval arithmetic must agree across engines."""
+    ev = load(spark, SF_ORACLE, "events")
+    df = (
+        ev.select(F.expr(f"timestampadd(DAY, {n}, date_trunc('{unit}', ts))").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sql = f"""
+        SELECT date_trunc('{unit}', CAST(ts AS TIMESTAMP)) + ({n} * INTERVAL 1 DAY) AS t,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    """
+    compare_frames(df, duck, sql, key=f"prop_trunc[{unit},{n:+d}]")
+
+
+@given(
+    anchor=st.dates(
+        min_value=__import__("datetime").date(1995, 1, 1),
+        max_value=__import__("datetime").date(2001, 8, 1),
+    ),
+)
+@settings(**SETTINGS)
+def test_datediff_arg_order(spark, duck, anchor):
+    """Spark datediff(end, start) vs DuckDB date_diff('day', start, end):
+    the ARG ORDER is flipped between dialects (r1 adapter learning) —
+    a swap shows up as negated values, which the hash catches."""
+    ev = load(spark, SF_ORACLE, "events")
+    df = (
+        ev.select(
+            F.expr(f"datediff(ts, timestamp'{anchor.isoformat()}')").cast("int").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sql = f"""
+        SELECT CAST(date_diff('day', TIMESTAMP '{anchor.isoformat()}',
+                    CAST(ts AS TIMESTAMP)) AS INT) AS d, count(*) AS cnt
+        FROM events GROUP BY 1
+    """
+    compare_frames(df, duck, sql, key=f"prop_datediff[{anchor}]")
+
+
+@given(
+    gran=st.sampled_from(["s", "ms"]),
+    modulus=st.integers(min_value=2, max_value=3600),
+)
+@settings(**SETTINGS)
+def test_epoch_rounding(spark, duck, gran, modulus):
+    """Epoch extraction at second/millisecond granularity: Spark
+    unix_timestamp/unix_millis truncate; DuckDB epoch() returns a
+    fractional double — the adapter must floor, not round. A random
+    modulus buckets the epochs so every row's value participates."""
+    ev = load(spark, SF_ORACLE, "events")
+    sexpr = "unix_timestamp(ts)" if gran == "s" else "unix_millis(ts)"
+    dexpr = (
+        "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+        if gran == "s"
+        else "epoch_ms(CAST(ts AS TIMESTAMP))"
+    )
+    df = (
+        ev.select((F.expr(sexpr) % modulus).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sql = f"SELECT {dexpr} % {modulus} AS b, count(*) AS cnt FROM events GROUP BY 1"
+    compare_frames(df, duck, sql, key=f"prop_epoch[{gran},{modulus}]")
+
+
 JOIN_TYPES = [("inner", "JOIN"), ("left", "LEFT JOIN"), ("left_semi", "SEMI JOIN"), ("left_anti", "ANTI JOIN")]
 
 
