@@ -107,12 +107,59 @@ def fake_features(payload: bytes, dim: int = 4) -> list[float]:
     return [float(n), round(s / n, 6), float(mx), float(mn)]
 
 
+# ----------------------------------------------------- real WAV codec ----
+# PCM WAV decodes with the stdlib `wave` module — no codec libraries
+# needed — so the audio path is REAL too, not a stub.
+
+
+def make_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """Encode mono 16-bit PCM samples as a RIFF/WAV payload."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a mono 16-bit PCM WAV: returns (rate, n_samples, samples)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("only mono 16-bit PCM supported")
+        rate, n = w.getframerate(), w.getnframes()
+        frames = w.readframes(n)
+    return rate, n, list(struct.unpack(f"<{n}h", frames))
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """Real decode -> features: [rate, n_samples, mean_amp, sum_abs]."""
+    rate, n, samples = decode_wav(payload)
+    return [
+        float(rate),
+        float(n),
+        round(sum(samples) / n, 6) if n else 0.0,
+        float(sum(abs(s) for s in samples)),
+    ]
+
+
 def extract_features(payload: bytes, mime: str) -> list[float]:
-    """Mime-dispatched decode -> features: PPM images decode for REAL
-    (header parse + pixel stats); other mimes use the deterministic
-    byte-stat stand-in."""
+    """Mime-dispatched decode -> features: PPM images and PCM WAV audio
+    decode for REAL (format parse + sample/pixel stats); other mimes use
+    the deterministic byte-stat stand-in."""
     if mime == "image/x-portable-pixmap":
         return ppm_features(payload)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return wav_features(payload)
     return fake_features(payload)
 
 
@@ -301,6 +348,54 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppm_decode_batches,
         schema="doc_id long, width long, height long,"
         " mean_r double, mean_g double, mean_b double",
+    )
+
+
+def synth_wav_samples(doc_id: int, n: int = 64) -> list[int]:
+    """Deterministic mono PCM per doc: sample k has amplitude
+    (doc_id*37 + k*11) % 2001 - 1000 — pure arithmetic, so a SQL oracle
+    can recompute the exact stats the decoder must produce."""
+    return [((doc_id * 37 + k * 11) % 2001) - 1000 for k in range(n)]
+
+
+def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "sample_rate": [], "n_samples": [], "mean_amp": [], "sum_abs": []}
+        for doc_id in pdf["doc_id"]:
+            f = wav_features(make_wav(synth_wav_samples(int(doc_id))))
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(int(f[0]))
+            out["n_samples"].append(int(f[1]))
+            out["mean_amp"].append(f[2])
+            out["sum_abs"].append(int(f[3]))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(64 AS BIGINT) AS n_samples,
+           round(avg(((d.doc_id * 37 + i.range * 11) % 2001) - 1000), 6) AS mean_amp,
+           CAST(sum(abs(((d.doc_id * 37 + i.range * 11) % 2001) - 1000)) AS BIGINT)
+               AS sum_abs
+    FROM documents d, range(64) i
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio decode path via the stdlib wave module: synthesize a
+    # mono 16-bit PCM WAV per doc (deterministic samples), parse the
+    # RIFF container back, emit sample stats. The oracle recomputes the
+    # exact stats arithmetically — an endianness or sample-width mistake
+    # in the decoder is a value mismatch. Same Arrow-batched mapInPandas
+    # shape a real feature extractor (MFCC etc.) would run at 100 TB.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _wav_decode_batches,
+        schema="doc_id long, sample_rate long, n_samples long,"
+        " mean_amp double, sum_abs long",
     )
 
 

@@ -161,6 +161,19 @@ def test_multimodal_real_decode_branch():
     assert f[2:] == expect
 
 
+def test_wav_codec_roundtrip():
+    samples = multimodal.synth_wav_samples(42)
+    payload = multimodal.make_wav(samples, rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, n, got = multimodal.decode_wav(payload)
+    assert (rate, n, got) == (8000, 64, samples)
+    # mime dispatch takes the real audio branch
+    f = multimodal.extract_features(payload, "audio/wav")
+    assert f[:2] == [8000.0, 64.0]
+    assert f[2] == round(sum(samples) / 64, 6)
+    assert f[3] == float(sum(abs(s) for s in samples))
+
+
 def test_sign_lsh_recall(spark):
     """similarity_topk_lsh must recover >= 80% of the brute-force top-10
     (measured 1.0 at sf0.01 / 0.9 at sf0.1 with the 12x4 banding)."""
