@@ -418,3 +418,38 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1.00 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue_exact,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic in DECIMAL, no floating point anywhere:
+    price and discount cast to DECIMAL(18,2), the per-row product is a
+    scale-4 decimal, and the sum is hash-compared as the exact scale-4
+    string. The result is kept at scale 4 deliberately — a final cast to
+    scale 2 diverges across engines because Spark rounds decimal casts
+    HALF_UP while DuckDB rounds HALF_EVEN (probed: 1003322369.8990 ->
+    .90 vs .89). Closes the SURVEY §1.3 decimal-coverage gap: at 100 TB
+    this is the ledger-grade aggregation path (unlike DOUBLE, decimal
+    sums are order-independent, so partial aggregation is exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.expr(
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+        " AS DECIMAL(38,4))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        rev.cast("string").alias("revenue_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
