@@ -342,8 +342,10 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means arithmetically, so a header off-by-one or channel swap in
     # the parser is a value mismatch, not a silent pass. Arrow-batched
     # mapInPandas, constant memory per partition — the same shape a
-    # JPEG/PNG extractor would run at 100 TB.
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # JPEG/PNG extractor would run at 100 TB. Repartition: the fixture
+    # parquet is one row-group (= one task), which would serialize the
+    # per-doc Python decode on a single core.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
     return docs.mapInPandas(
         _ppm_decode_batches,
         schema="doc_id long, width long, height long,"
@@ -391,7 +393,8 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact stats arithmetically — an endianness or sample-width mistake
     # in the decoder is a value mismatch. Same Arrow-batched mapInPandas
     # shape a real feature extractor (MFCC etc.) would run at 100 TB.
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # Repartition: single-row-group fixture would serialize the decode.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
     return docs.mapInPandas(
         _wav_decode_batches,
         schema="doc_id long, sample_rate long, n_samples long,"
