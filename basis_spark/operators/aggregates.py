@@ -453,3 +453,26 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.cast("string").alias("revenue_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covs,
+           round(covar_pop(l_extendedprice, l_quantity), 2) AS covp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlation/covariance aggregates — identical single-pass
+    # (mergeable) formulas in both engines, so partial aggregation at
+    # scale stays exact up to float summation order (rounded per R1).
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covs"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("covp"),
+    )

@@ -1023,3 +1023,39 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "g", "c", "rn")
     )
+
+
+@register(
+    "text_normalize_clean",
+    oracle="""
+    SELECT doc_id, clean,
+           CAST(len(string_split(clean, ' ')) AS INTEGER) AS n_tokens,
+           CAST(strlen(clean) AS BIGINT) AS n_chars
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        FROM documents) t
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-normalization pass every LLM data pipeline runs before
+    dedup/tokenization: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace runs, trim. Pure column expressions (JVM regex,
+    whole-stage codegen) — a 100 TB map-only stage with no shuffle.
+    Dialect note: Spark regexp_replace is global by default; DuckDB
+    needs the explicit 'g' flag or it replaces the first match only."""
+    docs = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.size(F.split(clean, " ")).alias("n_tokens"),
+        F.length(clean).cast("long").alias("n_chars"),
+    )

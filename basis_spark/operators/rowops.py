@@ -171,3 +171,45 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", F.col("event_type").alias("channel"))
     )
     return old_block.unionByName(new_block, allowMissingColumns=True)
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+           coalesce(c.c_name, b.c_name) AS c_name,
+           round(coalesce(c.new_bal, b.c_acctbal), 2) AS acctbal,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN c.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 1200) b
+    FULL OUTER JOIN
+         (SELECT c_custkey, c_name, c_acctbal + 100 AS new_bal
+          FROM customer WHERE c_custkey > 1000) c
+      ON b.c_custkey = c.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE INTO semantics, engine-agnostic form): a changes
+    set applied onto a base table — matched keys update, unmatched
+    changes insert, untouched base rows persist, each row tagged with
+    the action taken. Expressed as full-outer join + coalesce, which is
+    exactly the join Delta/Iceberg MERGE compiles to; at 100 TB both
+    sides shuffle on the key once (or the changes side broadcasts when
+    small, the common CDC case)."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_custkey") <= 1200).select("c_custkey", "c_name", "c_acctbal")
+    changes = (
+        cust.filter(F.col("c_custkey") > 1000)
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 100).alias("new_bal"))
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.c_custkey") == F.col("c.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("c.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("c.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.round(F.coalesce(F.col("c.new_bal"), F.col("b.c_acctbal")), 2).alias("acctbal"),
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("c.c_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )

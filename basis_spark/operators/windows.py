@@ -332,3 +332,30 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution-rank windows: cume_dist / percent_rank are VALUE-based
+    # (all peers share a rank), so ties are deterministic across engines
+    # without a unique-key tie-break. Partitioned on nation — the window
+    # shuffles on the partition key, never a global sort.
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
