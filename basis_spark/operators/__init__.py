@@ -5,6 +5,7 @@ Modules map to SURVEY.md §2 groups:
   rowops      — §2.B projection/filter/row ops
   joins       — §2.C joins (equi/theta/semi/anti/as-of/interval)
   aggregates  — §2.D aggregation
+  analytics   — §2.M funnel/cohort/histogram/pivot reshaping
   windows     — §2.E window functions
   sets_sort   — §2.F sort/limit + §2.G set ops
   scalars     — §2.H scalar functions + §2.I sampling/approx
@@ -17,6 +18,7 @@ Modules map to SURVEY.md §2 groups:
 
 from basis_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     incremental,
     joins,
     llm,

@@ -1,0 +1,193 @@
+"""Product-analytics operators (SURVEY.md §2.M extensions): funnel,
+cohort retention, histograms, pivot/unpivot reshaping.
+
+These are the aggregation shapes a training-data/analytics pipeline runs
+over event logs. All are pure DataFrame plans: the funnel is three
+filtered min-aggregations chained by time predicates (each a groupBy on
+user_id — one shuffle key reused, AQE-coalesced); cohorts and histograms
+are single two-phase hash aggregations on derived keys. Nothing here
+collects to the driver or leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 2, 'view>click', count(*) FROM c
+        UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM p) t
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view, first click AFTER that
+    view, first purchase AFTER that click — the strict-ordering form
+    (a click before any view does not count). Three min-aggregations
+    all keyed on user_id, so one logical shuffle key end to end."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    rows = [
+        v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("view>click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(
+            F.lit("view>click>purchase").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort
+        FROM events GROUP BY user_id)
+    SELECT f.cohort,
+           CAST(date_diff('week', f.cohort,
+                date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS INT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted distinct in each subsequent week offset. Two shuffles
+    (first-event agg on user_id, then the cohort-cell agg) — at scale
+    the firsts side is tiny (one row per user) and broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp(F.col("cohort"))
+                    )
+                    / (7 * 86400)
+                )
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width numeric histogram via floor-division binning (DuckDB
+    # 1.0 lacks width_bucket, so the bin key is the portable arithmetic
+    # form). One two-phase hash aggregation; bin count is bounded by the
+    # value range, not the row count — scale-free output.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_pivot_api",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The DataFrame .pivot() API surface (vs the CASE/FILTER form in
+    # agg_conditional_pivot). Values are declared explicitly — at scale
+    # an undeclared pivot needs an extra distinct pass over the column
+    # to discover them, so declaring is both the API demo and the
+    # performance posture.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide -> long reshaping (melt) via the unpivot API; the oracle is
+    # the portable UNION ALL form. Unpivot multiplies rows by the metric
+    # count without a shuffle — a map-only stage after the aggregation.
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
