@@ -16,18 +16,24 @@ Modules map to SURVEY.md §2 groups:
   pipelines   — end-to-end node-graph compositions (training-data flow)
 """
 
+# Import order is registration order, and the driver's per-round
+# correctness gate verifies the FIRST 50 registered keys. Rounds 1-2
+# covered aggregates/analytics/incremental/joins + llm head; this round
+# fronts the modules the driver has never externally verified
+# (scalars 21, windows 13, scans 12+, sets_sort 5, ...) so the union of
+# driver-verified keys grows each round. Rotate again next round.
 from basis_spark.operators import (  # noqa: F401
+    scalars,
+    windows,
+    scans,
+    sets_sort,
+    rowops,
+    udfs,
+    multimodal,
+    llm,
     aggregates,
     analytics,
     incremental,
     joins,
-    llm,
-    multimodal,
     pipelines,
-    rowops,
-    scalars,
-    scans,
-    sets_sort,
-    udfs,
-    windows,
 )

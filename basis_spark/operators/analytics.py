@@ -69,11 +69,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_cohort",
     oracle="""
     WITH firsts AS (
-        SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort
+        SELECT user_id,
+               CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
         FROM events GROUP BY user_id)
     SELECT f.cohort,
            CAST(date_diff('week', f.cohort,
-                date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS INT) AS week_offset,
+                CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)) AS INT)
+               AS week_offset,
            count(DISTINCT e.user_id) AS n_active
     FROM events e JOIN firsts f ON e.user_id = f.user_id
     GROUP BY 1, 2
@@ -85,8 +87,12 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first-event agg on user_id, then the cohort-cell agg) — at scale
     the firsts side is tiny (one row per user) and broadcasts."""
     ev = load(spark, sf_dir, "events")
+    # cohort is emitted as DATE (not TIMESTAMP) so the schema matches the
+    # oracle's CAST(date_trunc(...) AS DATE) exactly — date_trunc alone
+    # returns TIMESTAMP in Spark but DATE-typed results are the analytic
+    # convention for week-grain cohort labels.
     firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
     )
     return (
         ev.join(firsts, "user_id")
@@ -94,11 +100,11 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort",
             (
                 F.floor(
-                    (
-                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-                        - F.unix_timestamp(F.col("cohort"))
+                    F.datediff(
+                        F.to_date(F.date_trunc("week", F.col("ts"))),
+                        F.col("cohort"),
                     )
-                    / (7 * 86400)
+                    / 7
                 )
             )
             .cast("int")
