@@ -57,19 +57,46 @@ def main() -> None:
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     times: dict[str, float] = {}
+    extras: dict[str, float] = {}
     for label, key in BENCH_KEYS.items():
+        if label == "q11_neardup_minhash":
+            # q11 memoizes its banding/candidate index per session; a
+            # median-of-warm number would time cache probes, not the
+            # algorithm (round-2 verdict). Primary = COLD (caches
+            # cleared, full index build + re-rank in one fused job);
+            # the warm median is reported alongside as *_warm.
+            from basis_spark.operators.llm import clear_minhash_caches
+
+            QUERIES[key](spark, SF_DIR).collect()  # codegen/JVM warm-up
+            clear_minhash_caches()
+            t0 = time.perf_counter()
+            n = len(QUERIES[key](spark, SF_DIR).collect())
+            times[label] = round(time.perf_counter() - t0, 4)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = len(QUERIES[key](spark, SF_DIR).collect())
+                runs.append(time.perf_counter() - t0)
+            extras[label + "_warm"] = round(sorted(runs)[1], 4)
+            print(
+                f"# {label}: {times[label]:.3f}s cold / "
+                f"{extras[label + '_warm']:.3f}s warm ({n} rows)",
+                file=sys.stderr,
+            )
+            continue
         runs = []
         n = 0
         for i in range(4):  # run 0 = warm-up, 1-3 timed
             t0 = time.perf_counter()
             df = QUERIES[key](spark, SF_DIR)
-            n = df.count() if label != "q11_neardup_minhash" else len(df.collect())
+            n = df.count()
             if i > 0:
                 runs.append(time.perf_counter() - t0)
         times[label] = round(sorted(runs)[1], 4)
         print(f"# {label}: {times[label]:.3f}s median-of-3 warm ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
+    times.update(extras)  # reported per-query, excluded from the total
     print(
         json.dumps(
             {
