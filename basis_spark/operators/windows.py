@@ -74,14 +74,63 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Global window: acceptable because ranking the *whole* table is the
-    # declared semantics; at 100 TB you'd approx-bucket first (approxQuantile).
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return load(spark, sf_dir, "orders").select(
+    """Global ntile/percent_rank/cume_dist WITHOUT a single-partition sort.
+
+    A bare `Window.orderBy(...)` collapses the whole table into one task —
+    the classic window scale-killer. This is the exact distributed
+    two-pass form instead:
+
+      1. repartitionByRange on the sort key: partition p holds a
+         contiguous key range, ids ascending with the ranges.
+      2. row_number within each partition (window keyed on the range
+         partition id — P-way parallel, never global).
+      3. per-partition counts (P rows, metadata-sized) -> prefix-sum
+         offsets + grand total via tiny windows over those P rows,
+         broadcast-joined back.
+      4. global rank = offset[pid] + local row_number; ntile/pr/cd are
+         then pure arithmetic on (rank, N). The sort key includes the
+         unique o_orderkey, so rank == row_number (no tie handling
+         needed; DuckDB's oracle orders the same way).
+
+    Both data shuffles move only the 2-column projection; the only
+    driver-sized object is the P-row offset table. P follows
+    spark.sql.shuffle.partitions, so parallelism scales with the
+    cluster, not the data skew of one task.
+    """
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = [F.col("o_totalprice"), F.col("o_orderkey")]
+    loc = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(P, *keys)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+            ),
+        )
+    )
+    cnt = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        cnt.withColumn("off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
+        .withColumn("n_total", F.sum("c").over(Window.partitionBy(F.lit(1))))
+        .select("pid", "off", "n_total")
+    )
+    rank = F.col("lr") + F.col("off")
+    n = F.col("n_total")
+    q, r = (n / 4).cast("long"), n % 4
+    ntile4 = (
+        F.when((rank - 1) < r * (q + 1), F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - 1 - r * (q + 1)) / q) + 1)
+        .cast("int")
+    )
+    return loc.join(F.broadcast(offs), "pid").select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        ntile4.alias("quartile"),
+        F.round((rank - 1).cast("double") / (n - 1), 6).alias("pr"),
+        F.round(rank.cast("double") / n, 6).alias("cd"),
     )
 
 

@@ -72,6 +72,22 @@ def test_window_topk_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in _plan(df)
 
 
+def test_ntile_pctile_no_global_window(spark):
+    # win_ntile_pctile's two-pass form must never sort the data through a
+    # single partition: the row_number window is keyed by the range
+    # partition id, and the only SinglePartition exchange allowed is the
+    # one over the P-row per-partition count table (metadata-sized).
+    df = windows.win_ntile_pctile(spark, SF_ORACLE)
+    plan = _plan(df)
+    rn_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [row_number()" in ln
+    ]
+    assert rn_windows, "expected a row_number window in the plan"
+    assert all("windowspecdefinition(pid" in ln for ln in rn_windows)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_semi_anti_are_joins_not_subqueries(spark):
     semi = joins.join_semi(spark, SF_ORACLE)
     anti = joins.join_anti(spark, SF_ORACLE)
