@@ -136,33 +136,43 @@ def clear_minhash_caches() -> None:
         except Exception:
             pass
     _minhash_cand_cache.clear()
+    for sh in _ngram_cache.values():
+        try:
+            sh.unpersist()
+        except Exception:
+            pass
+    _ngram_cache.clear()
+
+
+def _band_keys(t: DataFrame, K: int, B: int) -> DataFrame:
+    """Explode a (doc_id, lang, toks: array<long>, n) frame into one row
+    per (doc, band): K minhashes (min over toks of xxhash64(tok, seed k))
+    split into B bands of r = K/B, each band hashed to a single long key.
+    All JVM expressions — the geometry (K, B) sets the similarity
+    threshold the banding is sensitive to: collision prob per band is
+    jac^(K/B)."""
+    R = K // B
+    sig = F.expr(
+        f"transform(sequence(0, {K - 1}), k -> array_min(transform(toks, t -> xxhash64(t, k))))"
+    )
+    return t.withColumn("sig", sig).select(
+        "doc_id",
+        "lang",
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {B - 1}), b -> xxhash64(b, slice(sig, b*{R} + 1, {R})))"
+            )
+        ).alias("key"),
+    )
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     mk = (spark.sparkContext.applicationId, sf_dir)
     if mk in _minhash_cache:
         return _minhash_cache[mk]
-    K, B = _MINHASH_K, _MINHASH_B
-    R = K // B
     t = _hashed_token_sets(load(spark, sf_dir, "documents")).persist()
-    # K minhashes per doc: min over tokens of xxhash64(token, seed k).
-    sig = F.expr(
-        f"transform(sequence(0, {K - 1}), k -> array_min(transform(toks, t -> xxhash64(t, k))))"
-    )
-    bands = (
-        t.withColumn("sig", sig)
-        .select(
-            "doc_id",
-            "lang",
-            "n",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {B - 1}), b -> xxhash64(b, slice(sig, b*{R} + 1, {R})))"
-                )
-            ).alias("key"),
-        )
-        .persist()
-    )
+    bands = _band_keys(t, _MINHASH_K, _MINHASH_B).persist()
     _minhash_cache[mk] = (t, bands)
     return t, bands
 
@@ -275,6 +285,47 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Char-shingle banding geometry: the 0.62 oracle threshold needs shallow
+# bands — with r = 2, B = 128 (K = 256 minhashes) a pair at jac exactly
+# 0.62 collides per band w.p. 0.62^2 = 0.384 (expected 49 of 128 bands),
+# so requiring >= 16 colliding bands misses it w.p. 1.5e-11 while pairs
+# under jac 0.3 (the web-scale bulk) survive w.p. 0.11 and under 0.2
+# w.p. 5.7e-5. The fixture corpus is near-dup dense (most same-lang
+# pairs sit at 0.45-0.65), so local selectivity is modest — the filter's
+# job is the 100 TB regime where almost all pairs are far below 0.3.
+_NGRAM_K, _NGRAM_B, _NGRAM_MIN_BANDS = 256, 128, 16
+_ngram_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct xxhash64-encoded char-3-gram shingle sets per doc,
+    memoized/persisted per (session, sf_dir) like the minhash index
+    (per-call persist stacks InMemoryRelations; see _minhash_cache)."""
+    mk = (spark.sparkContext.applicationId, sf_dir)
+    if mk in _ngram_cache:
+        return _ngram_cache[mk]
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.repartition(64, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> xxhash64(substring(text, i, 3)))"
+                    )
+                )
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .persist()
+    )
+    _ngram_cache[mk] = sh
+    return sh
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -297,46 +348,45 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Character-3-gram shingle Jaccard, blocked on lang. The shingle set is
-    # exactly what MinHash signatures would be built from at scale; shingles
-    # are xxhash64-encoded so the pairwise set algebra runs on longs, and the
-    # input is repartitioned off the single fixture split for parallelism.
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.repartition(64, "doc_id").select(
-        "doc_id",
-        "lang",
-        F.array_sort(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> xxhash64(substring(text, i, 3)))"
-                )
-            )
-        ).alias("sh"),
-    ).withColumn("n", F.size("sh"))
-    a = sh.alias("a")
-    # Broadcast the build side explicitly: the block key (lang) has only
-    # ~5 distinct values, so a shuffle join collapses to 5 tasks (measured
-    # 10x slower when AQE picked it); broadcasting keeps the probe side's
-    # 64 partitions working. jac > 0.62 needs |A|/|B| >= 0.62 — the size
-    # prefilter drops impossible pairs before any array algebra.
-    b = F.broadcast(sh.alias("b"))
+    """Char-3-gram Jaccard near-dup via banded MinHash-LSH + exact re-rank.
+
+    Same architecture as dedup_near_minhash but over character shingles
+    and with shallow-band geometry tuned for the 0.62 threshold (see
+    _NGRAM_* above): shingle sets -> 256 minhashes -> 128 bands of r=2
+    -> band-bucket self-join within lang -> band-count (>=16) + size
+    ratio (jac > 0.62 needs |A|/|B| >= 0.62) prefilters -> exact shingle
+    Jaccard re-rank, so output equals the brute-force oracle up to a
+    1.5e-11 per-pair miss probability. No full-corpus broadcast and no
+    quadratic pair join: candidates come from band buckets (shuffle on
+    (lang, band-key)), and the re-rank joins the per-doc shingle table
+    back by id (AQE picks broadcast locally; shuffle join at scale).
+    Replaces the previous explicit F.broadcast(corpus) quadratic form,
+    which was OOM-by-design at 100 TB.
+    """
+    sh = _ngram_shingles(spark, sf_dir)
+    bands = _band_keys(sh, _NGRAM_K, _NGRAM_B)
+    a, b = bands.alias("a"), bands.alias("b")
     size_ok = (F.col("b.n") * 100 >= F.col("a.n") * 62) & (
         F.col("a.n") * 100 >= F.col("b.n") * 62
     )
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & size_ok,
+    cand = (
+        a.join(b, ["lang", "key"])
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= _NGRAM_MIN_BANDS)
+        .select("i", "j")
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    sa = sh.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
+    sb = sh.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.round(inter.cast("double") / union, 4).alias("jac"),
+        cand.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            "i",
+            "j",
+            F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jac"),
         )
         .filter(F.col("jac") > 0.62)
         .orderBy("i", "j")

@@ -88,6 +88,18 @@ def test_ntile_pctile_no_global_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_ngram_jaccard_no_forced_broadcast(spark):
+    # dedup_ngram_jaccard's pair generation must come from band buckets,
+    # never a forced full-corpus broadcast (OOM-by-design at scale). Any
+    # F.broadcast() in the operator would surface as a ResolvedHint; its
+    # absence means join strategies are size-based (AQE) only.
+    from basis_spark.operators import llm
+
+    df = llm.dedup_ngram_jaccard(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
 def test_semi_anti_are_joins_not_subqueries(spark):
     semi = joins.join_semi(spark, SF_ORACLE)
     anti = joins.join_anti(spark, SF_ORACLE)
