@@ -158,8 +158,11 @@ def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale only the URL changes. Derby DOUBLEs are IEEE 754, so values
     hash-match the parquet originals.
     """
+    # Embedded Derby is single-process (file lock on the DB dir): scope
+    # the path per-pid so concurrent harnesses (driver gate + pytest +
+    # sweep) never collide on each other's lock.
     sfx = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
-    db = os.path.join(scratch_dir("derby"), f"graft_{sfx}")
+    db = os.path.join(scratch_dir("derby"), f"graft_{sfx}_p{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     cust = load(spark, sf_dir, "customer").select(
