@@ -126,6 +126,71 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("event_id", "ts", "user_id", "value", "props", "event_type")
 
 
+_dpp_written: set[str] = set()
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written hive-partitioned by event_type (write-once per
+    process; fixtures are immutable). This is the layout a 100 TB event
+    lake uses — partition column drives pruning for every reader."""
+    out = os.path.join(scratch_dir("events_parted"), os.path.basename(sf_dir.rstrip("/")))
+    if out not in _dpp_written:
+        load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+        _dpp_written.add(out)
+    return out
+
+
+@register(
+    "scan_partition_pruning_dynamic",
+    oracle="""
+    SELECT e.event_type, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES ('click', 'billable'), ('purchase', 'billable'),
+                 ('view', 'internal'), ('signup', 'internal'),
+                 ('error', 'internal')) d(event_type, category)
+      ON e.event_type = d.event_type
+    WHERE d.category = 'billable'
+    GROUP BY 1
+    """,
+)
+def scan_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: join-driven partition elimination.
+
+    The fact side is the event lake partitioned by event_type; the dim
+    side is a small table whose filter (category = 'billable') selects
+    2 of 5 event types. No literal predicate on the fact scan exists at
+    plan time — Spark's DPP turns the dim-side filter into a runtime
+    subquery on the fact's partition column (`dynamicpruningexpression`
+    in the physical plan, asserted in tests/test_plans.py), so only the
+    matching partitions' files are ever read. At 100 TB this is the #1
+    scan optimization for date/type-partitioned lakes: scan cost tracks
+    the selected partitions, not the table.
+
+    Two Spark subtleties pinned here: the dim filter must be an
+    expression Catalyst's isLikelySelective() recognizes (EqualTo
+    qualifies; a bare boolean column does NOT — tried, DPP never fired),
+    and the dim must be the broadcast build side (hinted; otherwise the
+    planner may broadcast the locally-tiny fact and there is no
+    broadcast to reuse for pruning).
+    """
+    fact = spark.read.parquet(_partitioned_events(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [("click", "billable"), ("purchase", "billable"), ("view", "internal"),
+         ("signup", "internal"), ("error", "internal")],
+        "event_type string, category string",
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("category") == "billable")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 @register(
     "source_stream",
     oracle="SELECT event_id, user_id, event_type, value FROM events",

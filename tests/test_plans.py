@@ -88,6 +88,14 @@ def test_ntile_pctile_no_global_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    # The join-driven scan must carry a runtime pruning subquery on the
+    # fact's partition column — reading only the dim-selected partitions.
+    df = scans.scan_partition_pruning_dynamic(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_ngram_jaccard_no_forced_broadcast(spark):
     # dedup_ngram_jaccard's pair generation must come from band buckets,
     # never a forced full-corpus broadcast (OOM-by-design at scale). Any
