@@ -239,6 +239,54 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution join within a 30-minute window.
+
+    This is the batch form of the watermarked stream-stream join
+    (basis_spark.streaming.jobs.stream_click_purchase_join — pinned
+    stream ≡ batch by tests/test_stream_batch_equiv.py). Batch plan:
+    one shuffle per side on user_id, range predicate applied at the
+    join. Streaming plan: both sides watermarked, the time-interval
+    condition bounds each side's state retention (a click's state can
+    be evicted once the watermark passes click_ts + 30 min) — without
+    the interval bound a stream-stream join's state grows without
+    limit, the #1 production failure of naive designs.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+@register(
     "rollup_incremental",
     oracle="""
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,

@@ -157,6 +157,52 @@ def stream_watermark_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks joined to purchases
+    of the same user within [click_ts, click_ts + 30 min].
+
+    Both sides carry a watermark (required for stream-stream state
+    cleanup) and the join carries a time-interval condition, so Spark
+    derives per-side state-retention bounds: a buffered click is evicted
+    once the purchase-side watermark passes click_ts + 30 min, a
+    buffered purchase once the click-side watermark passes purchase_ts.
+    The events fixture is ordered (zero observed lateness), so the
+    1-hour delay is safely generous and the inner join emits exactly the
+    batch result (tests/test_stream_batch_equiv.py).
+    """
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, chunk_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, chunk_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+    return _run_to_memory(joined, "append")
+
+
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user sessionizer via
     applyInPandasWithState (the escape hatch for stateful logic that

@@ -44,6 +44,15 @@ def test_stream_accumulate_equals_batch(spark):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_stream_join_equals_batch(spark):
+    stream = jobs.stream_click_purchase_join(spark, SF_SMALL)
+    batch = incremental.stream_stream_join(spark, SF_SMALL)
+    cols = ["click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"]
+    rows = _rows(stream, cols)
+    assert rows == _rows(batch, cols)
+    assert len(rows) > 0  # non-vacuous: fixture has in-window pairs
+
+
 def test_stream_watermark_runs(spark):
     # Watermark semantics are stream-side only (no batch oracle, §2.J).
     out = jobs.stream_watermark_drop_late(spark, SF_SMALL)
