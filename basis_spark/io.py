@@ -39,7 +39,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # persist per (sf_dir, table), never per call: per-call persists of an
 # identical plan stack nested InMemoryRelations (measured 8.7s -> 54s
 # over 3 calls in round 1).
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,7 +63,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    # Keyed by applicationId, not id(spark): CPython can reuse a stopped
+    # session's id() for a new one, which would hand back DataFrames
+    # bound to the dead session (ADVICE r2).
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     df = _df_cache.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -34,6 +34,69 @@ from pyspark.sql import functions as F
 _graph_counter = itertools.count()
 
 
+def _rewrite_table_refs(sql: str, mapping: dict[str, str], node: str) -> str:
+    """Rewrite input-node names to their namespaced view names, but ONLY
+    in table positions (after FROM/JOIN, plus comma-separated FROM
+    lists). A blanket word-boundary substitution also rewrote columns,
+    aliases, and string literals that happened to share an input's name
+    (`SELECT src FROM src`, `WHERE label = 'src'`), corrupting the
+    query. String literals are masked before rewriting so their content
+    is never touched; a column named like an input now resolves against
+    the (renamed) view as intended. An input that never appears in a
+    table position raises — that SQL can't be reading the input, which
+    is a wiring mistake better surfaced than silently run."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, sql)
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    for uname, view in mapping.items():
+        esc = re.escape(uname)
+
+        def repl(m: re.Match, view: str = view, uname: str = uname) -> str:
+            # If an explicit alias follows the table ref, keep it; else
+            # alias the namespaced view back to the original name so
+            # qualified column refs (`src.col`) keep resolving.
+            alias = m.groupdict().get("alias")
+            if alias and alias.lower() not in _SQL_KEYWORDS:
+                return f"{m.group(1)}{view}"
+            return f"{m.group(1)}{view} AS {uname}"
+
+        pat_fj = re.compile(
+            rf"(?i)((?:\bfrom\b|\bjoin\b)\s+){esc}\b"
+            rf"(?:(?=\s+(?:as\s+)?(?P<alias>{ident}))|)"
+        )
+        masked, n1 = pat_fj.subn(repl, masked)
+        # comma-continued FROM lists: FROM a, b, c
+        pat_comma = re.compile(
+            rf"(?i)(\bfrom\b[^()]*?,\s*){esc}\b"
+            rf"(?:(?=\s+(?:as\s+)?(?P<alias>{ident}))|)"
+        )
+        n2_total = 0
+        while True:
+            masked, n2 = pat_comma.subn(repl, masked)
+            n2_total += n2
+            if n2 == 0:
+                break
+        if n1 + n2_total == 0:
+            raise ValueError(
+                f"SQL node {node!r} declares input {uname!r} but never "
+                f"references it in a table position (FROM/JOIN)"
+            )
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
+
+
+_SQL_KEYWORDS = {
+    "where", "on", "join", "inner", "left", "right", "full", "cross",
+    "natural", "group", "order", "having", "limit", "union", "except",
+    "intersect", "using", "qualify", "window", "when", "and", "or",
+    "not", "lateral", "tablesample", "semi", "anti", "as",
+}
+
+
 @dataclass
 class Node:
     name: str
@@ -128,12 +191,12 @@ class Graph:
             # Register inputs under graph-namespaced view names and rewrite
             # the node SQL to reference them, so concurrent graphs (or an
             # unrelated temp view with a node's name) can't cross-resolve.
-            sql = node.sql
+            mapping = {}
             for uname, udf_ in zip(node.inputs, ups):
                 view = f"{self._ns}{uname}"
                 udf_.createOrReplaceTempView(view)
-                sql = re.sub(rf"\b{re.escape(uname)}\b", view, sql)
-            df = self.spark.sql(sql)
+                mapping[uname] = view
+            df = self.spark.sql(_rewrite_table_refs(node.sql, mapping, node.name))
         else:
             df = node.fn(*ups)
         memo[name] = df

@@ -137,6 +137,41 @@ def test_graph_views_are_namespaced(spark):
     spark.catalog.dropTempView("src")
 
 
+def test_sql_rewrite_only_table_positions(spark):
+    """Input-name rewriting must not touch columns, aliases, or string
+    literals that share an input node's name (ADVICE r2)."""
+    from pyspark.sql import Row
+
+    g = pipeline.Graph(spark)
+    g.source("src", spark.createDataFrame([Row(src="a", label="src"), Row(src="b", label="x")]))
+    # column named 'src' selected from table 'src', compared to literal 'src'
+    g.sql_node("out", "SELECT src FROM src WHERE label = 'src'", inputs=["src"])
+    rows = g.produce("out").collect()
+    assert [r["src"] for r in rows] == ["a"]
+
+
+def test_sql_rewrite_comma_from_list(spark):
+    g = pipeline.Graph(spark)
+    g.source("a", load(spark, SF_SMALL, "nation"))
+    g.source("b", load(spark, SF_SMALL, "region"))
+    g.sql_node(
+        "x",
+        "SELECT count(*) AS n FROM a, b WHERE a.n_regionkey = b.r_regionkey",
+        inputs=["a", "b"],
+    )
+    assert g.produce("x").collect()[0]["n"] == load(spark, SF_SMALL, "nation").count()
+
+
+def test_sql_rewrite_unreferenced_input_raises(spark):
+    import pytest as _pytest
+
+    g = pipeline.Graph(spark)
+    g.source("src", load(spark, SF_SMALL, "nation"))
+    g.sql_node("out", "SELECT 1 AS one", inputs=["src"])
+    with _pytest.raises(ValueError, match="table position"):
+        g.produce("out")
+
+
 def test_high_watermark_timestamp_column(spark):
     """Watermark over a timestamp column: persisted losslessly, compared
     in the column's native type (ADVICE r1: int() coercion raised)."""

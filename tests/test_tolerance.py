@@ -99,7 +99,7 @@ def test_minhash_prefilter_selectivity(spark):
     """The exact re-rank must run on a near-threshold candidate set, not
     the raw band-collision blowup (VERDICT r1: on this near-dup-dense
     corpus ~half of all same-lang pairs collide in some band). Candidates
-    after the band-count + signature-agreement prefilters must stay well
+    after the band-count prefilter must stay well
     below the quadratic pair count, and every one must be >= jac ~0.75 —
     a regression here shows up as bench wall-time, so pin it in a test."""
     n_docs = load(spark, SF_ORACLE, "documents").count()
