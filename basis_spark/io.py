@@ -40,6 +40,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # identical plan stack nested InMemoryRelations (measured 8.7s -> 54s
 # over 3 calls in round 1).
 _df_cache: dict[tuple[str, str, str], DataFrame] = {}
+_conf_enforced: set[str] = set()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,11 +59,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # whatever the host JVM defaults to — a non-UTC session silently shifts
     # every date extraction/trunc (verified: date_parts under
     # America/New_York returns h=19 for UTC midnight). Runtime-settable,
-    # so enforce it at the data boundary (every call — other code may have
-    # flipped it since the DataFrame was first memoized).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    # so enforce it at the data boundary — once per session: each
+    # conf.set is a Py4J round trip, and nothing in this repo flips these
+    # confs back (the streaming jobs touch only shuffle.partitions).
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _conf_enforced:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _conf_enforced.add(app_id)
     # Keyed by applicationId, not id(spark): CPython can reuse a stopped
     # session's id() for a new one, which would hand back DataFrames
     # bound to the dead session (ADVICE r2).

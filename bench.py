@@ -49,6 +49,12 @@ BENCH_KEYS = {
 
 
 def main() -> None:
+    # Shuffle-partition sizing was A/B'd here (8 = bytes/128MB floor, vs
+    # the session's 2x-cores=64): 8 cut per-exchange task launch but lost
+    # reduce-side parallelism on 32 cores and the bench total regressed
+    # ~15% — with AQE already coalescing reducers, the pre-AQE count is
+    # the map of available cores, not data volume, at this SF. Kept at
+    # the session default.
     spark = get_spark("basis-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
