@@ -265,6 +265,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~half of all same-lang pairs collide in SOME band, so pruning
     before set algebra is what keeps re-rank work near-threshold.
     """
+    return _exact_neardup_pairs(spark, sf_dir).orderBy("i", "j").limit(100)
+
+
+def _exact_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (i, j, jac) set with exact token Jaccard > 0.9, i < j —
+    minhash-banded candidates re-ranked exactly (see dedup_near_minhash
+    for the recall analysis). Shared by the pair view (B11) and the
+    connected-components clustering pass."""
     t, _ = _minhash_bands(spark, sf_dir)
     cand = _minhash_candidates(spark, sf_dir)
     ta = t.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
@@ -273,16 +281,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the wide candidate set never shuffles for the re-rank joins.
     cand = cand.join(F.broadcast(ta), "i").join(F.broadcast(tb), "j")
     inter = F.size(F.array_intersect("ta", "tb"))
-    return (
-        cand.select(
-            "i",
-            "j",
-            F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jac"),
-        )
-        .filter(F.col("jac") > 0.9)
-        .orderBy("i", "j")
-        .limit(100)
-    )
+    return cand.select(
+        "i",
+        "j",
+        F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jac"),
+    ).filter(F.col("jac") > 0.9)
 
 
 # Char-shingle banding geometry: the 0.62 oracle threshold needs shallow
@@ -1141,4 +1144,140 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean"),
         F.size(F.split(clean, " ")).alias("n_tokens"),
         F.length(clean).cast("long").alias("n_chars"),
+    )
+
+
+# ------------------------------------------------- dedup clustering ----
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node links its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    bid = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bid.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        bid.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: direct every edge toward its smaller endpoint,
+    then link each node's smaller neighbors (and itself) to the minimum
+    of that set."""
+    d = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    j = d.join(mins, "u")
+    return (
+        j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(j.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+        WHERE round(CAST(len(list_intersect(string_split(a.text, ' '),
+                                            string_split(b.text, ' '))) AS DOUBLE)
+                    / len(list_distinct(string_split(a.text, ' ')
+                                        || string_split(b.text, ' '))), 4) > 0.9
+    ),
+    edges AS MATERIALIZED (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+                AS BIGINT) AS cluster_size,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@register("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the jac>0.9 pair
+    graph, canonical doc = component minimum. The production dedup step
+    the pairwise ops feed — pairs alone can't answer "keep which copy?"
+    when A~B~C but A!~C; components can.
+
+    Alternating large-star/small-star (Kiveris et al. 2014), the
+    MapReduce-native CC algorithm: converges in O(log n) rounds (vs
+    O(diameter) for naive label propagation — a chain of near-dup
+    shards at 100 TB can have huge diameter), every round is two
+    shuffles on node id over a monotonically shrinking edge set.
+    eager localCheckpoint() per round truncates the iterative plan's
+    lineage so analysis cost stays flat (on a real cluster use
+    sc.setCheckpointDir + .checkpoint() for fault-tolerant truncation).
+    Convergence = (count, xxhash64-xor) of the edge set unchanged —
+    two scalars per round; the oracle is DuckDB's recursive CTE over
+    the same brute-force pair set (sf0.01-sized only).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _exact_neardup_pairs(spark, sf_dir).select(
+        F.col("i").alias("u"), F.col("j").alias("v")
+    )
+    n_docs = docs.count()
+    max_rounds = max(6, n_docs.bit_length() + 2)
+    # Pin the loop's shuffle width to the edge volume (~500k edges/task),
+    # restoring the session conf after: the edge set shrinks every round,
+    # and pushing a few thousand survivors through the session's 64-wide
+    # shuffles makes each round all task-launch overhead (measured 20 s
+    # -> 5 s at sf0.01). At real scale |E| keeps the width at the
+    # session value and AQE coalesces the shrinking tail.
+    edges = pairs.localCheckpoint()
+    n_edges = edges.count()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(4, min(int(saved), n_edges // 500_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        prev = None
+        for _ in range(max_rounds):
+            edges = _small_star(_large_star(edges)).localCheckpoint()
+            # bit_xor, not sum: xxhash64 spans the full long range and
+            # ANSI mode faults sum() overflow; xor is order-insensitive
+            # and safe (edge sets are distinct, so no even-multiplicity
+            # cancellation).
+            chk = edges.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+            cur = (chk["c"], chk["h"])
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(f"CC did not converge in {max_rounds} rounds")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    lab = docs.join(labels, docs.doc_id == labels.u, "left").select(
+        docs.doc_id,
+        F.coalesce("cluster_id", docs.doc_id).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
