@@ -408,3 +408,140 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+# ------------------------------------------------------- time series ----
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+    actual AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 30 GROUP BY 1, 2),
+    grid AS (
+        SELECT s.user_id, s.d, a.v,
+               last_value(a.v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN a.v IS NOT NULL THEN s.d END IGNORE NULLS)
+                   OVER w_prev AS pd,
+               first_value(a.v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN a.v IS NOT NULL THEN s.d END IGNORE NULLS)
+                   OVER w_next AS nd
+        FROM (SELECT u.user_id, days.d FROM users u CROSS JOIN days) s
+        LEFT JOIN actual a ON s.user_id = a.user_id AND s.d = a.d
+        WINDOW w_prev AS (PARTITION BY s.user_id ORDER BY s.d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY s.user_id ORDER BY s.d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, d,
+           CAST(v IS NOT NULL AS BOOLEAN) AS observed,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL OR nv IS NULL THEN NULL
+               ELSE pv + (nv - pv) * CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+           END, 4) AS v_interp
+    FROM grid
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a daily per-user grid: missing days get
+    the straight line between the surrounding observed values, edges
+    (before first / after last observation) stay NULL. Complements
+    ts_gap_fill's forward-fill.
+
+    One shuffle on user_id; both fill directions come from ONE window
+    sort (the following-frame first_value runs over the same ascending
+    order), so the whole op is spine-join + single windowed pass —
+    no per-row Python, no iteration, scales with the grid size.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = b.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    users = ev.select("user_id").distinct()
+    actual = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = users.crossJoin(days)
+    j = spine.join(actual, ["user_id", "d"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    pv = F.last("v", ignorenulls=True).over(w_prev)
+    pd_ = F.last(obs_d, ignorenulls=True).over(w_prev)
+    nv = F.first("v", ignorenulls=True).over(w_next)
+    nd = F.first(obs_d, ignorenulls=True).over(w_next)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull() | nv.isNull(), F.lit(None))
+        .otherwise(
+            pv
+            + (nv - pv)
+            * F.datediff(F.col("d"), pd_).cast("double")
+            / F.datediff(nd, pd_).cast("double")
+        )
+    )
+    return j.select(
+        "user_id",
+        "d",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 4).alias("v_interp"),
+    )
+
+
+@register(
+    "win_ewma",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events WHERE user_id < 20)
+    SELECT a.user_id, a.ts, a.value,
+           round(sum(CASE WHEN b.rn = 1 THEN pow(0.9, a.rn - 1) * b.value
+                          ELSE 0.1 * pow(0.9, a.rn - b.rn) * b.value END), 4) AS ewma
+    FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.ts, a.value, a.rn
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (alpha = 0.1, adjust=False: y_1 = x_1, y_t = 0.9*y_{t-1} + 0.1*x_t).
+
+    A sequential recurrence has no single-pass window form, so this is
+    the documented Pandas-UDF path: applyInPandas per user_id (one
+    shuffle), vectorized pandas .ewm inside the Arrow batch. Like any
+    per-key history op, a power-law key bounds the batch (same caveat
+    as udtf_explode_sessions); the streaming-state alternative is
+    applyInPandasWithState with the running (y, t) pair as state.
+
+    The oracle is the closed form y_t = 0.9^(t-1) x_1 + sum 0.1 *
+    0.9^(t-k) x_k — quadratic per user, sf0.01-sized only. Both sides
+    round to 4: the fold and the closed form differ by ~n*eps in the
+    last float bits.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
+        "user_id", "ts", "value"
+    )
+
+    def ewm(pdf):
+        pdf = pdf.sort_values("ts")
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.1, adjust=False).mean().round(4)
+        return pdf
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewm, "user_id long, ts timestamp, value double, ewma double"
+    )
