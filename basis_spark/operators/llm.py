@@ -1281,3 +1281,38 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id, split, count(*) OVER (PARTITION BY split) AS split_rows
+    FROM (
+        SELECT doc_id,
+               CASE WHEN h < 'd' THEN 'train'
+                    WHEN h < 'f' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS h
+              FROM documents) t) s
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by content-stable hash
+    bucket: the last hex nibble of md5(doc_id) splits ~81/12.5/6.25%
+    (13/2/1 of 16 buckets). Hash splits — not RNG — are how training
+    pipelines keep membership stable under reruns, resharding, and
+    incremental appends: a doc's split never depends on what else is in
+    the batch. Map-only except the per-split count window (one shuffle
+    on a 3-value key; at scale emit the assignment map-only and count
+    in a separate aggregate instead of a window)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    split = (
+        F.when(h < F.lit("d"), "train").when(h < F.lit("f"), "val").otherwise("test")
+    )
+    assigned = docs.select("doc_id", split.alias("split"))
+    w = Window.partitionBy("split")
+    return assigned.select(
+        "doc_id", "split", F.count(F.lit(1)).over(w).alias("split_rows")
+    )

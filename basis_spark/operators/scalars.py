@@ -15,7 +15,7 @@ Dialect deltas vs the DuckDB oracle are handled per SURVEY §2.H notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
@@ -497,4 +497,33 @@ def date_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         epoch_s.cast("long").alias("epoch_s"),
         F.to_timestamp(F.from_unixtime(epoch_s)).alias("ts_back"),
+    )
+
+
+@register(
+    "sample_hash_pergroup",
+    oracle="""
+    SELECT event_type, event_id, rn FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events) t
+    WHERE rn <= 20
+    """,
+)
+def sample_hash_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: top-20 rows per event_type ordered
+    by md5(event_id). Unlike seeded RNG sampling (sample_fraction /
+    sample_stratified, rows-only checked), a hash order is engine- and
+    partitioning-independent, so the 'random' sample is exactly
+    reproducible anywhere — the property training-data splits need —
+    and gets a full value-hash oracle, not a tolerance check.
+    Spark >=3.5 pushes the rn<=k filter into WindowGroupLimit, so each
+    group keeps only 20 rows per map task before the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    key = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(key, "event_id")
+    return (
+        ev.select("event_type", "event_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
     )

@@ -328,3 +328,50 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sampleBy("event_type", fractions=fractions, seed=42).select(
         "event_id", "event_type", "user_id"
     )
+
+
+_filemeta_written: set[str] = set()
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows, 1 AS n_files
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-lineage scan over the hidden `_metadata` struct every parquet
+    reader exposes (file_path/file_name/file_size/row_index): group rows
+    by the partition directory parsed out of their physical file path and
+    count rows + distinct files. The provenance primitive for a data
+    lake — "which files fed this training shard" — with zero extra scan
+    cost (the struct is populated from split metadata, not data pages).
+
+    The layout is written once per process with repartition(event_type),
+    which hash-routes each partition value to exactly one task, so the
+    oracle can pin n_files = 1 per partition — and the distinct-count
+    would catch a layout regression (e.g. dropping the repartition would
+    produce one file per (task, value) pair)."""
+    out = os.path.join(
+        scratch_dir("events_filemeta"), os.path.basename(sf_dir.rstrip("/"))
+    )
+    if out not in _filemeta_written:
+        load(spark, sf_dir, "events").repartition("event_type").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(out)
+        _filemeta_written.add(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1).alias(
+                "event_type"
+            ),
+            F.col("_metadata.file_name").alias("file_name"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("file_name").cast("int").alias("n_files"),
+        )
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
-from basis_spark.operators import joins, scans, windows
+from basis_spark.operators import joins, scalars, scans, windows
 from tests.conftest import SF_ORACLE
 
 
@@ -69,6 +69,13 @@ def test_window_topk_group_limit_pushdown(spark):
     # Spark >=3.5 WindowGroupLimit: rn<=k filter pushes a per-group limit
     # below the full window sort.
     df = windows.win_row_number_topk(spark, SF_ORACLE)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_hash_sample_group_limit_pushdown(spark):
+    # sample_hash_pergroup's rn<=20 must push into WindowGroupLimit so
+    # each map task keeps 20 rows per group before the shuffle.
+    df = scalars.sample_hash_pergroup(spark, SF_ORACLE)
     assert "WindowGroupLimit" in _plan(df)
 
 
