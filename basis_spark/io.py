@@ -46,11 +46,14 @@ _conf_enforced: set[str] = set()
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses natively
-    (PARQUET_TYPE_ILLEGAL); we read nanos as long and convert to a µs
-    timestamp with integer division (lossless here — fixture values carry
-    only µs precision, FIXTURES.md). Runtime-set so it also works under
-    the driver's own SparkSession.
+    events.ts is parquet TIMESTAMP(NANOS). How Spark scans it varies by
+    version: ≤4.0 refuses natively (PARQUET_TYPE_ILLEGAL) unless
+    `legacy.parquet.nanosAsLong` makes it a raw int64; 4.1+ reads it
+    natively as TIMESTAMP_NTZ and ignores that conf. Dispatch on the
+    actual scanned type so both work (lossless either way — fixture
+    values carry only µs precision, FIXTURES.md): long → integer-divide
+    to µs; ntz → cast to session-TZ timestamp (session is pinned UTC
+    below, so wall-clock values are unchanged).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -75,7 +78,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            ts_type = df.schema["ts"].dataType.typeName()
+            if ts_type in ("long", "bigint"):
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if os.environ.get("SPARK_GRAFT_CACHE_FIXTURES"):
             df = df.persist()
         _df_cache[key] = df
