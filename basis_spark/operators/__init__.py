@@ -36,4 +36,5 @@ from basis_spark.operators import (  # noqa: F401
     incremental,
     joins,
     pipelines,
+    tpch,
 )
