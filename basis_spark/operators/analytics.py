@@ -197,3 +197,188 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+    cnts AS (
+        SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    tot AS (
+        SELECT lang, sum(c) AS n FROM cnts GROUP BY lang)
+    SELECT cnts.lang,
+           round(-sum((c / n) * log2(c / n)), 6) AS token_entropy,
+           count(*) AS vocab
+    FROM cnts JOIN tot ON cnts.lang = tot.lang
+    GROUP BY cnts.lang
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per language — the
+    standard corpus-diversity diagnostic before training-data mixing.
+
+    Two chained hash aggregations on (lang, token) then lang; the
+    per-lang total rides along via a window-free second join (tiny,
+    broadcast). At 100 TB the (lang, token) aggregation is the only
+    wide shuffle and it partial-aggregates map-side."""
+    docs = load(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnts.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnts.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("token_entropy"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+    )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path analysis: counts of 3-step event-type sequences
+    across all user journeys (funnel discovery, the inverse of
+    event_funnel's fixed-order check).
+
+    One shuffle on user_id for the ordered window (ties broken by
+    event_id so the sequence is deterministic), then a bounded
+    aggregation — at most |event_type|^3 output rows regardless of
+    input size."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT d.d AS day, count(DISTINCT e.user_id) AS active_users
+    FROM days d
+    JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.d - 6 AND d.d
+    GROUP BY d.d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day (WAU-per-day).
+
+    COUNT(DISTINCT) over a sliding range frame is inexpressible as a
+    window function; the naive form is a range self-join (quadratic
+    blowup on a 100 TB log). Instead each distinct (user, day)
+    contributes itself to the 7 calendar days it keeps active — a
+    bounded 7x explode, then one exact distinct aggregation per day.
+    Shuffle width is 7x the DISTINCT (user, day) set, not the raw log,
+    and there is no join at all; the trailing semi join just trims
+    spine days past the log's end."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"), "user_id"
+    )
+    return (
+        contrib.join(days.withColumnRenamed("d", "day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "filter_quality_quantile",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS score
+        FROM documents),
+    med AS (
+        SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY score) AS m
+        FROM scored GROUP BY lang)
+    SELECT doc_id, scored.lang, round(score, 6) AS score
+    FROM scored JOIN med ON scored.lang = med.lang
+    WHERE score > m
+    """,
+)
+def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quantile corpus filter: keep documents above their
+    language's median chars-per-token score — the distribution-relative
+    cut a training pipeline applies per slice rather than one global
+    threshold.
+
+    Exact interpolated median via percentile() per lang (tiny result,
+    broadcast back); the correctness form. At 100 TB swap percentile
+    for approx_percentile and the plan is unchanged — the filter join
+    stays a broadcast either way."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars").cast("double") / F.size(F.split("text", " "))).alias("score"),
+    )
+    med = scored.groupBy("lang").agg(F.percentile("score", F.lit(0.5)).alias("m"))
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("score") > F.col("m"))
+        .select("doc_id", "lang", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "win_streak",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS g
+        FROM ud),
+    runs AS (
+        SELECT user_id, count(*) AS run_len FROM grp GROUP BY user_id, g)
+    SELECT user_id, max(run_len) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (row_number drift: consecutive days share
+    d - row_number()).
+
+    One shuffle on user_id serves the dedup, the window, and both
+    aggregations (Catalyst reuses the partitioning); nothing is
+    quadratic in days or users."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    grp = ud.withColumn("g", F.expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))"))
+    runs = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_streak"))
