@@ -333,3 +333,41 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.groupBy("h", "event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
     )
+
+
+@register(
+    "stream_upsert_cdc",
+    oracle="""
+    SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+           n_versions
+    FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert state: treating the event log as keyed change capture,
+    the materialized table is latest-write-wins per user_id ((ts,
+    event_id) ordered) plus a version count.
+
+    Batch form of the foreachBatch merge appliance
+    (streaming.jobs.stream_upsert_foreachbatch — pinned equal by
+    tests/test_stream_batch_equiv.py). One shuffle on user_id; both the
+    argmax and the count ride the same window partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            "n_versions",
+        )
+    )

@@ -270,3 +270,77 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(res, "append")
+
+
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge appliance: each micro-batch is upserted into a keyed
+    state table via foreachBatch — the Structured Streaming pattern for
+    MERGE INTO against sinks with no native streaming upsert (JDBC,
+    plain parquet/Delta-less lakes).
+
+    Per batch: reduce the batch to latest-per-key + version count, read
+    the prior state snapshot, full-outer join, keep the newer side's
+    payload ((ts, event_id) ordered — so arrival order never matters),
+    sum version counts, write snapshot v{n}. Snapshots are immutable
+    dirs (read-then-overwrite of the same path is illegal in Spark and
+    unsafe anyway); production swaps the dir-pointer for a Delta/Iceberg
+    transaction. State size is O(distinct keys), not O(log)."""
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    run_dir = os.path.join(scratch_dir("upsert_state"), uuid.uuid4().hex[:8])
+    latest: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        inc = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .withColumn("nv", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value", "ts", "event_id", "nv")
+        )
+        if latest:
+            prev = batch_df.sparkSession.read.parquet(latest[-1])
+            inc_r = inc.select(
+                F.col("user_id").alias("i_user_id"),
+                F.col("event_type").alias("i_event_type"),
+                F.col("value").alias("i_value"),
+                F.col("ts").alias("i_ts"),
+                F.col("event_id").alias("i_event_id"),
+                F.col("nv").alias("i_nv"),
+            )
+            inc_newer = (F.col("i_ts") > F.col("ts")) | (
+                (F.col("i_ts") == F.col("ts")) & (F.col("i_event_id") > F.col("event_id"))
+            )
+            take_inc = F.col("user_id").isNull() | (F.col("i_user_id").isNotNull() & inc_newer)
+            merged = prev.join(
+                inc_r, prev.user_id == inc_r.i_user_id, "full_outer"
+            ).select(
+                F.coalesce("user_id", "i_user_id").alias("user_id"),
+                F.when(take_inc, F.col("i_event_type")).otherwise(F.col("event_type")).alias("event_type"),
+                F.when(take_inc, F.col("i_value")).otherwise(F.col("value")).alias("value"),
+                F.when(take_inc, F.col("i_ts")).otherwise(F.col("ts")).alias("ts"),
+                F.when(take_inc, F.col("i_event_id")).otherwise(F.col("event_id")).alias("event_id"),
+                (F.coalesce("nv", F.lit(0)) + F.coalesce("i_nv", F.lit(0))).alias("nv"),
+            )
+        else:
+            merged = inc
+        out = os.path.join(run_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        latest.append(out)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = s.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+        q.awaitTermination(timeout=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.read.parquet(latest[-1])
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("nv").alias("n_versions"),
+    )

@@ -57,3 +57,10 @@ def test_stream_watermark_runs(spark):
     # Watermark semantics are stream-side only (no batch oracle, §2.J).
     out = jobs.stream_watermark_drop_late(spark, SF_SMALL)
     assert out.count() > 0
+
+
+def test_stream_upsert_foreachbatch_equals_batch(spark):
+    stream = jobs.stream_upsert_foreachbatch(spark, SF_SMALL)
+    batch = incremental.stream_upsert_cdc(spark, SF_SMALL)
+    cols = ["user_id", "last_type", "last_value", "n_versions"]
+    assert _rows(stream, cols) == _rows(batch, cols)
