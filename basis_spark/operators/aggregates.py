@@ -476,3 +476,72 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covs"),
         F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("covp"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*) AS volume,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (series, hour bucket) open/high/low/close
+    — the hypertable/financial-rollup shape.
+
+    open/close are min_by/max_by on a (ts, event_id) struct key, so tie
+    handling is total-ordered and engine-independent (the oracle uses
+    DuckDB's ordered-aggregate first/last with the same composite sort).
+    One hash aggregation, no window: at 100 TB this partial-aggregates
+    map-side like any groupBy, which a row_number-window formulation
+    would not."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "sketch_topk_frequent",
+    oracle="""
+    SELECT event_type, cnt FROM (
+        SELECT event_type, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, event_type) AS rk
+        FROM events GROUP BY event_type) t
+    WHERE rk <= 3
+    """,
+)
+def sketch_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items sketch: approx_top_k (Spark 4's
+    DataSketches-backed heavy-hitters aggregate), exploded back to rows.
+
+    In this fixture regime the tracked-item budget exceeds the domain,
+    so the sketch is exact and the oracle pins real counts (fixture
+    event_type counts are tie-free at every SF — verified, so the k-cut
+    is deterministic). At 100 TB the same expression keeps a bounded
+    sketch per partition and merges — that mergeability is the point;
+    the exact GROUP BY it replaces needs a full shuffle of all distinct
+    keys."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("cnt"))
+    )
