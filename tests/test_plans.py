@@ -210,3 +210,44 @@ print("SKEW_SPLIT_OK")
         [_sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "SKEW_SPLIT_OK" in res.stdout, res.stdout + res.stderr
+
+
+def test_tpch_q5_star_broadcasts_no_cartesian(spark):
+    """Q5's 6-way star must broadcast the dims and never degrade to a
+    cartesian/nested-loop; lineitem shuffles at most on its join keys."""
+    from basis_spark.operators import tpch
+
+    plan = _plan(tpch.tpch_q5(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    """The correlated EXISTS must compile to a semi join (orders are
+    never duplicated by matching lineitems)."""
+    from basis_spark.operators import tpch
+
+    df = tpch.tpch_q4(spark, SF_ORACLE)
+    assert "LeftSemi" in _optimized(df) or "Semi" in _plan(df)
+
+
+def test_tpch_q21_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS pair: one semi and one anti join, no subquery
+    re-execution."""
+    from basis_spark.operators import tpch
+
+    opt = _optimized(tpch.tpch_q21(spark, SF_ORACLE))
+    assert "LeftSemi" in opt and "LeftAnti" in opt
+
+
+def test_tpch_q3_filters_reach_scans(spark):
+    """Q3's segment/date filters must push into the parquet scans (or
+    their InMemoryTableScan pushdown equivalents) — not run post-join."""
+    from basis_spark.operators import tpch
+
+    plan = _plan(tpch.tpch_q3(spark, SF_ORACLE))
+    # filters appear below the joins: either as PushedFilters on the
+    # parquet scan or as a Filter directly over the table scan
+    assert "BUILDING" in plan
+    join_at = plan.find("Join")
+    assert join_at > 0 and "BUILDING" in plan[join_at:]
