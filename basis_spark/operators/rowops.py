@@ -213,3 +213,48 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@register(
+    "parse_try_cast_quarantine",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN CAST(o_totalprice AS VARCHAR) || 'x'
+                    ELSE CAST(o_totalprice AS VARCHAR) END AS raw_price
+        FROM orders)
+    SELECT o_orderkey,
+           round(TRY_CAST(raw_price AS DOUBLE), 2) AS price,
+           CASE WHEN TRY_CAST(raw_price AS DOUBLE) IS NULL
+                THEN 'quarantine' ELSE 'ok' END AS status
+    FROM raw
+    """,
+)
+def parse_try_cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver ingestion with rescue: try_cast the untyped column,
+    route unparseable rows to a quarantine status instead of failing the
+    job (ANSI mode makes a plain CAST throw on the first bad row — at
+    100 TB you never want one malformed record killing a 6-hour load).
+
+    Malformed input is synthesized deterministically (every 97th key
+    gets a trailing junk char) so the split is oracle-checkable. Pure
+    map-only stage: no shuffle, fully pushdown-transparent; in
+    production the two statuses fan out to separate partitioned sinks
+    (partitionBy('status')) in the same single pass."""
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.col("o_totalprice").cast("string"), F.lit("x")),
+        )
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("raw_price"),
+    )
+    val = F.expr("try_cast(raw_price AS double)")
+    return raw.select(
+        "o_orderkey",
+        F.round(val, 2).alias("price"),
+        F.when(val.isNull(), F.lit("quarantine")).otherwise(F.lit("ok")).alias("status"),
+    )

@@ -545,3 +545,35 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewm, "user_id long, ts timestamp, value double, ewma double"
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    SELECT event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS med
+    FROM events
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-row moving median per user — the robust-smoothing
+    counterpart of win_moving_avg (outlier-resistant, so the standard
+    anomaly baseline on noisy metrics).
+
+    Spark's exact `percentile` runs as a window aggregate over the
+    bounded ROWS frame (4 values buffered per row — constant state, no
+    sort amplification); DuckDB's quantile_cont uses the same linear
+    interpolation, so the oracle is value-exact. Ordering ties broken
+    by event_id on both sides."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med"),
+    )
