@@ -545,3 +545,28 @@ def sketch_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("cnt"))
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+               AS wavg_price,
+           round(avg(l_extendedprice), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag (vs the naive
+    mean, reported alongside). sum(w*x)/sum(w) — two partial-aggregable
+    sums, so map-side combine applies where a built-in 'weighted_avg'
+    would need a custom UDAF."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+        ).alias("wavg_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+    )

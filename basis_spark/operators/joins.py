@@ -435,3 +435,50 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 1) top
         """
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN click_ts >= CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR
+                THEN click_ts END AS click_ts
+    FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        FROM events
+    ) w
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback tolerance (pandas merge_asof
+    `tolerance=`, kdb wj): each purchase gets the latest prior click
+    only if it happened within the last hour — stale matches become
+    NULL instead of silently attributing week-old clicks.
+
+    Same union+window plan as join_asof (one user_id shuffle, no range
+    join, linear at any scale); the tolerance is a post-window NULL-out,
+    not a join predicate, so the plan is unchanged."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("click_ts"),
+            ).alias("click_ts"),
+        )
+    )

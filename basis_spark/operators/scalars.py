@@ -527,3 +527,44 @@ def sample_hash_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "event_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@register(
+    "arr_vector_normalize",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)
+                      / sqrt(list_sum(list_transform(embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))), 6)
+               AS unit_sum
+    FROM embeddings
+    """,
+)
+def arr_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization of the embedding column — the preprocessing step
+    before any cosine-based dedup/ANN (cosine over unit vectors is a
+    plain dot product, which is what the similarity operators assume).
+
+    Pure JVM higher-order expressions (aggregate for the norm, transform
+    for the scale) — no Python, map-only, no shuffle. Output is the norm
+    plus the component-sum of the unit vector (a scalar checksum of the
+    whole normalized array; the array itself stays array-typed for
+    downstream ops and is checked via the scalar on both engines)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, cast(0.0 as double),"
+            " (s, x) -> s + cast(x as double) * cast(x as double))"
+        )
+    )
+    unit_sum = F.expr(
+        "aggregate(embedding, cast(0.0 as double), (s, x) -> s + cast(x as double))"
+    ) / norm
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm"),
+        F.round(unit_sum, 6).alias("unit_sum"),
+    )

@@ -577,3 +577,36 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med"),
     )
+
+
+@register(
+    "ts_pct_change",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2)
+    SELECT user_id, d, v,
+           round((v - lag(v) OVER (PARTITION BY user_id ORDER BY d))
+                 / lag(v) OVER (PARTITION BY user_id ORDER BY d), 6) AS pct_change
+    FROM daily
+    """,
+)
+def ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change of per-user daily value — the
+    returns/deltas primitive every time-series pipeline starts from.
+
+    Aggregate first (shrinks the window input to one row per (user,
+    day)), then one lag window over the same user_id partitioning the
+    groupBy already established — Catalyst reuses the exchange. The
+    pre-aggregation rounds to the cent grid so the cross-engine quotient
+    is bit-identical."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    prev = F.lag("v").over(w)
+    return daily.select(
+        "user_id", "d", "v",
+        F.round((F.col("v") - prev) / prev, 6).alias("pct_change"),
+    )
