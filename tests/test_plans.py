@@ -251,3 +251,63 @@ def test_tpch_q3_filters_reach_scans(spark):
     assert "BUILDING" in plan
     join_at = plan.find("Join")
     assert join_at > 0 and "BUILDING" in plan[join_at:]
+
+
+def test_no_operator_plans_a_cartesian_product(spark):
+    """Sweeping scale-hygiene assert over the ENTIRE registry: no
+    operator's physical plan may contain a CartesianProduct. The two
+    intentional nested-loop shapes (join_theta_range, join_cross_small)
+    compile to BroadcastNestedLoopJoin, which is allowed — a cartesian
+    is never the plan you want at 100 TB."""
+    from basis_spark.registry import QUERIES
+
+    offenders = []
+    for key, fn in QUERIES.items():
+        plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, offenders
+
+
+# Keys whose plans legitimately contain an Exchange SinglePartition —
+# every one is either a global aggregate's final 1-row combine over
+# map-side partials, or a window/spine over data already reduced to
+# bounded cardinality. A data-sized global sort would instead appear as
+# rangepartitioning (checked per-op where it matters). Any NEW key
+# showing up here must be consciously added with a justification.
+_SINGLE_PARTITION_OK = {
+    "agg_global",            # 1-row final combine of partial aggs
+    "approx_quantile",       # 1-row sketch merge
+    "sketch_hll_distinct",   # global HLL union (sketch-sized)
+    "sketch_topk_frequent",  # global top-k sketch merge
+    "event_funnel",          # three 1-row stage counts unioned
+    "stream_watermark_late", # 1-row max-ts subquery broadcast
+    "scan_parquet",          # count-style 1-row summary
+    "maintenance_compact_files",  # two 1-row phase summaries
+    "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
+    "win_moving_avg",        # global frame over per-day pre-agg (~2.5k rows max)
+    "win_range_frame",       # same bounded per-day spine
+    "ts_gap_fill",           # date-spine window, bounded by calendar days
+    "ts_interpolate_linear", # same spine shape
+    "text_tfidf_topterms",   # vocab-sized IDF table combine
+    "text_langid_ngram",     # lang-profile (tiny) build side
+    "tpch_q6", "tpch_q14", "tpch_q17", "tpch_q19",  # 1-row answers
+    "tpch_q15",              # rank over the 100-row revenue relation
+    "tpch_q22",              # 1-row avg-balance subquery
+}
+
+
+def test_single_partition_exchanges_are_declared(spark):
+    """Ratchet: the exact set of operators whose plans contain an
+    Exchange SinglePartition is pinned. A regression that funnels real
+    data through one partition (the classic window/sort scale-killer)
+    shows up as an undeclared key here before it shows up as a 3 a.m.
+    straggler on a cluster."""
+    from basis_spark.registry import QUERIES
+
+    got = set()
+    for key, fn in QUERIES.items():
+        plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        if "Exchange SinglePartition" in plan:
+            got.add(key)
+    assert got <= _SINGLE_PARTITION_OK, f"undeclared: {sorted(got - _SINGLE_PARTITION_OK)}"
