@@ -570,3 +570,65 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
     )
+
+
+@register("sketch_kll_quantiles")
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL).
+
+    Per event_type, build a KLL sketch of value and read p50/p95/p99
+    from it; then MERGE the per-type sketches with kll_merge_agg_double
+    and read the same quantiles globally (the event_type IS NULL row).
+    Mergeability is the point, exactly like the HLL op: sketch each
+    partition/day once, answer any rollup's percentiles by merging
+    binaries — an exact-percentile at 100 TB needs a full sort per
+    question. Approximate (KLL rank error ~1.7% at k=200), so
+    rows-only check; tests/test_tolerance.py bounds each estimate
+    against the exact percentile.
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value, 200)").alias("sk")
+    )
+
+    def qs(sk: str) -> list:
+        return [
+            F.round(F.expr(f"kll_sketch_get_quantile_double({sk}, {q})"), 2).alias(n)
+            for q, n in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]
+        ]
+
+    per_q = per.select("event_type", *qs("sk"))
+    merged = per.agg(F.expr("kll_merge_agg_double(sk)").alias("msk")).select(
+        F.lit(None).cast("string").alias("event_type"), *qs("msk")
+    )
+    return per_q.unionByName(merged)
+
+
+@register("sketch_theta_set_ops")
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA on Theta sketches — the capability HLL
+    lacks: besides union, Theta supports intersection and difference,
+    so "users who clicked AND purchased" is sketch math, not a join.
+
+    Builds a user_id Theta sketch per event_type, then emits estimates
+    for click, purchase, click ∪ purchase, click ∩ purchase, and
+    click \\ purchase. At 100 TB each shard sketches once; every
+    audience-overlap question afterwards is driver-side binary algebra.
+    Approximate -> rows-only check; tests/test_tolerance.py bounds all
+    five estimates against exact distinct counts.
+    """
+    ev = load(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    wide = per.groupBy().pivot("event_type", ["click", "purchase"]).agg(F.first("sk"))
+    est = lambda e: F.expr(f"cast(theta_sketch_estimate({e}) as long)")  # noqa: E731
+    return wide.select(
+        est("click").alias("n_click"),
+        est("purchase").alias("n_purchase"),
+        est("theta_union(click, purchase)").alias("n_union"),
+        est("theta_intersection(click, purchase)").alias("n_intersect"),
+        est("theta_difference(click, purchase)").alias("n_click_only"),
+    )

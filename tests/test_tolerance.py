@@ -231,3 +231,38 @@ def test_stratified_sample_per_stratum_bounds(spark):
         else:
             sigma = (n * frac * (1 - frac)) ** 0.5
             assert abs(got[et] - mean) <= 5 * sigma, (et, got[et], mean, sigma)
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """Every KLL quantile estimate must sit within 2.5% RANK error of
+    exact (k=200 guarantees ~1.7%): compare the estimated quantile's
+    true rank against the requested rank."""
+    from basis_spark.operators.aggregates import sketch_kll_quantiles
+
+    got = {r.event_type: r for r in sketch_kll_quantiles(spark, SF_ORACLE).collect()}
+    ev = load(spark, SF_ORACLE, "events").select("event_type", "value").toPandas()
+    for etype, row in got.items():
+        vals = ev.value if etype is None else ev[ev.event_type == etype].value
+        n = len(vals)
+        for q, est in [(0.5, row.p50), (0.95, row.p95), (0.99, row.p99)]:
+            true_rank = (vals <= est).sum() / n
+            assert abs(true_rank - q) <= 0.025, (etype, q, est, true_rank)
+
+
+def test_theta_set_ops_within_5pct(spark):
+    """Theta estimates (incl. intersection/difference, which have wider
+    error than union) within 5% of exact distinct counts."""
+    from basis_spark.operators.aggregates import sketch_theta_set_ops
+
+    r = sketch_theta_set_ops(spark, SF_ORACLE).collect()[0]
+    ev = load(spark, SF_ORACLE, "events")
+    click = {x.user_id for x in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    buy = {x.user_id for x in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    exact = {
+        "n_click": len(click), "n_purchase": len(buy),
+        "n_union": len(click | buy), "n_intersect": len(click & buy),
+        "n_click_only": len(click - buy),
+    }
+    for k, e in exact.items():
+        got = getattr(r, k)
+        assert abs(got - e) <= max(2, 0.05 * e), (k, got, e)
