@@ -83,3 +83,83 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return g.produce("joined")
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS text
+        FROM documents),
+    q AS (
+        SELECT *, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM norm
+        WHERE len(string_split(text, ' ')) >= 8),
+    d AS (
+        SELECT * FROM (
+            SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn
+            FROM q) t
+        WHERE rn = 1),
+    s AS (
+        SELECT *, CASE WHEN strpos('0123456789abcdef',
+                                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                       THEN 'train' ELSE 'eval' END AS split
+        FROM d)
+    SELECT split, lang, count(*) AS n_docs,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM s GROUP BY split, lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation pipeline #2 as a basis node graph:
+
+        documents ─> normalize (lower/collapse/trim — map-only)
+                  ─> quality   (token-count floor)
+                  ─> dedup     (exact, on the NORMALIZED text — catches
+                                case/whitespace variants plain dedup misses)
+                  ─> split     (content-stable md5 train/eval buckets)
+                  ─> summary   (docs + avg length per split × lang)
+
+    Five nodes, ONE Catalyst plan from produce(): the normalize/quality/
+    split stages fuse into the scan projection, so the only shuffles are
+    the dedup's content-hash window and the final summary groupBy. The
+    same graph with sinks per split is the production curation job."""
+    g = Graph(spark)
+    g.source("documents", load(spark, sf_dir, "documents"))
+
+    @g.node("normalize", inputs=["documents"])
+    def normalize(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            "lang",
+            F.lower(F.trim(F.regexp_replace("text", " +", " "))).alias("text"),
+        )
+
+    @g.node("quality", inputs=["normalize"])
+    def quality(docs: DataFrame) -> DataFrame:
+        return docs.withColumn("n_tokens", F.size(F.split("text", " "))).filter(
+            F.col("n_tokens") >= 8
+        )
+
+    @g.node("dedup", inputs=["quality"])
+    def dedup(docs: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        return docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    @g.node("split", inputs=["dedup"])
+    def split(docs: DataFrame) -> DataFrame:
+        nib = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        return docs.withColumn(
+            "split", F.when(nib.cast("int") < 13, "train").otherwise("eval")
+        )
+
+    @g.node("summary", inputs=["split"])
+    def summary(docs: DataFrame) -> DataFrame:
+        return docs.groupBy("split", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+
+    return g.produce("summary")
