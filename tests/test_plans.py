@@ -280,6 +280,8 @@ _SINGLE_PARTITION_OK = {
     "approx_quantile",       # 1-row sketch merge
     "sketch_hll_distinct",   # global HLL union (sketch-sized)
     "sketch_topk_frequent",  # global top-k sketch merge
+    "sketch_kll_quantiles",  # global KLL merge (sketch-sized)
+    "sketch_theta_set_ops",  # 1-row theta set-algebra pivot
     "event_funnel",          # three 1-row stage counts unioned
     "stream_watermark_late", # 1-row max-ts subquery broadcast
     "scan_parquet",          # count-style 1-row summary
