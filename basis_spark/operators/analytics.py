@@ -382,3 +382,40 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = ud.withColumn("g", F.expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))"))
     runs = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("run_len"))
     return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_streak"))
+
+
+@register(
+    "event_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+        FROM daily GROUP BY event_type)
+    SELECT daily.event_type, d, n,
+           round((n - mu) / sigma, 6) AS z
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    WHERE abs((n - mu) / sigma) > 2
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days: daily event counts more than 2 sigma from
+    that event type's mean — the ops-monitoring staple.
+
+    Aggregate to (type, day) first (bounded), compute per-type mu/sigma
+    on the tiny daily table, broadcast back. The raw log is touched once
+    by the first groupBy; everything after is calendar-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select("event_type", "d", "n", F.round(z, 6).alias("z"))
+    )

@@ -371,3 +371,61 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions",
         )
     )
+
+
+@register(
+    "incremental_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                 WHERE o_orderkey % 10 < 8),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                       AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 10 >= 1)
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus <> new.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+               AND old.o_orderstatus = new.o_orderstatus)
+    """,
+)
+def incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: derive a change feed (added/removed/changed) from
+    two full table snapshots — how you bootstrap CDC from sources that
+    only hand you daily dumps. The two snapshots are carved
+    deterministically from orders (key-range membership + a mutated
+    status column) so the diff is oracle-checkable.
+
+    One full-outer join on the key — the same single shuffle
+    merge_upsert uses; 'unchanged' rows are filtered so output is
+    change-sized, not snapshot-sized (at 100 TB the diff is what you
+    ship downstream, not the table)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 < 8)
+    new = orders.filter(F.col("o_orderkey") % 10 >= 1).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("ok"), F.col("o_orderstatus").alias("os")
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("nk"), F.col("o_orderstatus").alias("ns")
+    )
+    j = o.join(n, o.ok == n.nk, "full_outer")
+    change = (
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .when(F.col("os") != F.col("ns"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.coalesce("ok", "nk").alias("o_orderkey"), change.alias("change"))
+        .filter(F.col("change") != "unchanged")
+    )

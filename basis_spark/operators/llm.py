@@ -1338,3 +1338,28 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", "split", F.count(F.lit(1)).over(w).alias("split_rows")
     )
+
+
+@register(
+    "agg_duplicate_stats",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def agg_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication report per source — the first diagnostic a curation
+    pipeline runs before choosing dedup strategy (which crawls/feeds
+    are echoing content). count(DISTINCT md5) keeps the shuffle keyed
+    on 32-byte hashes, never full documents."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
