@@ -632,3 +632,27 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("theta_intersection(click, purchase)").alias("n_intersect"),
         est("theta_difference(click, purchase)").alias("n_click_only"),
     )
+
+
+@register(
+    "agg_bool_any_all",
+    oracle="""
+    SELECT event_type,
+           bool_or(value > 300) AS any_large,
+           bool_and(value > 0) AS all_positive,
+           count(*) FILTER (WHERE value > 300) AS n_large
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bool_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates (ANY/ALL): short-circuiting
+    existence checks as partial-aggregable bools — the cheap form of
+    "does any row violate X" that otherwise gets written as a count
+    comparison."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_or(F.col("value") > 300).alias("any_large"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.count_if(F.col("value") > 300).alias("n_large"),
+    )

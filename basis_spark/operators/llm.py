@@ -1363,3 +1363,42 @@ def agg_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "similarity_range_search",
+    oracle="""
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_sum(list_transform(list_zip(embedding, (SELECT e FROM q)),
+                 x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+    FROM embeddings
+    WHERE vec_id <> 0
+      AND list_sum(list_transform(list_zip(embedding, (SELECT e FROM q)),
+            x -> x[1]::DOUBLE * x[2]::DOUBLE)) > 0.25
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL vectors with cosine above a
+    threshold vs the query — the other half of the ANN API surface
+    (top-k answers "closest n", range answers "everything this
+    similar", e.g. every near-duplicate of a canary document).
+
+    Same plan as similarity_topk minus the global top-k: 1-row broadcast
+    of the query, JVM zip_with/aggregate dot product, and a filter
+    instead of TakeOrderedAndProject — fully map-side, no shuffle at
+    all. Threshold 0.25 is calibrated to the fixture embeddings
+    (random near-orthogonal 64-d) to return a non-trivial set."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn("_dot", dot)
+        .filter(F.col("_dot") > 0.25)
+        .select("vec_id", "label", F.round("_dot", 6).alias("cos"))
+    )

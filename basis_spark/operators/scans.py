@@ -423,3 +423,46 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(small, "before").unionByName(stats(big, "after"))
+
+
+@register(
+    "source_csv_permissive",
+    oracle="""
+    WITH raw AS (
+        SELECT CAST(range AS BIGINT) AS id,
+               CASE WHEN range % 97 = 0 THEN NULL
+                    ELSE CAST(range AS DOUBLE) * 1.5 END AS v,
+               range % 97 = 0 AS is_corrupt
+        FROM range(1000))
+    SELECT CASE WHEN is_corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           count(*) AS n, round(sum(v), 2) AS sum_v
+    FROM raw GROUP BY 1
+    """,
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record capture: rows whose
+    typed parse fails land in _corrupt_record instead of failing the
+    read (mode=FAILFAST) or silently vanishing (DROPMALFORMED) — the
+    raw-feed counterpart of parse_try_cast_quarantine.
+
+    The malformed file is synthesized deterministically (every 97th row
+    has text where a DOUBLE belongs) so the good/bad split and the
+    valid-row checksum are oracle-checkable. The oracle recomputes from
+    the same arithmetic — the CSV is the thing under test, not the
+    data."""
+    import csv as _csv
+
+    out = os.path.join(scratch_dir("csv_permissive"), "rows.csv")
+    if not os.path.exists(out):
+        with open(out, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            for i in range(1000):
+                w.writerow([i, "oops" if i % 97 == 0 else i * 1.5])
+    schema = "id BIGINT, v DOUBLE, _corrupt_record STRING"
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(out)
+    status = F.when(F.col("_corrupt_record").isNotNull(), "corrupt").otherwise("ok")
+    return df.select(status.alias("status"), "v").groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sum_v")
+    )
