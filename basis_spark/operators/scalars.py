@@ -568,3 +568,41 @@ def arr_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("norm"),
         F.round(unit_sum, 6).alias("unit_sum"),
     )
+
+
+@register(
+    "str_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url
+        FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param
+    FROM u
+    """,
+)
+def str_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host/path/query-param) — the first transform
+    over any web crawl. Spark's dedicated parse_url runs JVM-side; the
+    oracle reproduces it with portable regexps over the same
+    deterministically synthesized URLs (fixture docs carry no real
+    URLs, so the op synthesizes them from source/doc_id/lang — the
+    parser is the thing under test). Map-only, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

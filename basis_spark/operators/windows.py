@@ -610,3 +610,33 @@ def ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "d", "v",
         F.round((F.col("v") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+@register(
+    "win_percent_of_total",
+    oracle="""
+    WITH nat AS (
+        SELECT c_nationkey, round(sum(c_acctbal), 2) AS bal
+        FROM customer GROUP BY c_nationkey)
+    SELECT c_nationkey, bal,
+           round(bal / sum(bal) OVER (), 6) AS share
+    FROM nat
+    """,
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (percent-of-report): each nation's balance as a
+    fraction of the grand total — the ratio-to-report window every BI
+    layer emits.
+
+    The unpartitioned window runs AFTER the groupBy has reduced the
+    input to one row per nation (≤25 rows at any SF), so the
+    single-partition window is metadata-sized — the same bounded-spine
+    argument as the moving-average ops. The cent-grid pre-round makes
+    the cross-engine quotient bit-identical."""
+    cust = load(spark, sf_dir, "customer")
+    nat = cust.groupBy("c_nationkey").agg(F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    w = Window.partitionBy()
+    return nat.select(
+        "c_nationkey", "bal",
+        F.round(F.col("bal") / F.sum("bal").over(w), 6).alias("share"),
+    )

@@ -288,6 +288,7 @@ _SINGLE_PARTITION_OK = {
     "maintenance_compact_files",  # two 1-row phase summaries
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "win_moving_avg",        # global frame over per-day pre-agg (~2.5k rows max)
+    "win_percent_of_total",  # grand-total window over the 25-row nation agg
     "win_range_frame",       # same bounded per-day spine
     "ts_gap_fill",           # date-spine window, bounded by calendar days
     "ts_interpolate_linear", # same spine shape
