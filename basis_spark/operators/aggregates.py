@@ -656,3 +656,31 @@ def agg_bool_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") > 0).alias("all_positive"),
         F.count_if(F.col("value") > 300).alias("n_large"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the report
+    formatter's aggregate. WITHIN GROUP (ORDER BY) makes the concat
+    deterministic — an unordered listagg is partitioning-dependent and
+    would fail any cross-engine compare. Distinct first so the output
+    is bounded by the (nation × segment) domain, not row count."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)"
+            ).alias("segs")
+        )
+    )

@@ -482,3 +482,44 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_ts"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer),
+    n AS (
+        SELECT n_nationkey AS nk, n_name FROM nation
+        UNION ALL SELECT NULL, 'UNKNOWN')
+    SELECT c.c_custkey, n.n_name
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    a designated NULL dimension row instead of silently dropping — the
+    standard "unknown member" dimensional-modeling pattern.
+
+    NULLs are injected deterministically (every 50th customer) and the
+    dim gains an UNKNOWN row. Spark plans eqNullSafe as an ordinary
+    hash join (null-safe keys hash like values), so the dim still
+    broadcasts — no fallback to nested loops."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None)).otherwise(
+            F.col("c_nationkey")
+        ).alias("nk"),
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    unknown = nation.sparkSession.createDataFrame(
+        [(None, "UNKNOWN")], "nk INT, n_name STRING"
+    )
+    dim = nation.unionByName(unknown)
+    return cust.join(F.broadcast(dim), cust.nk.eqNullSafe(dim.nk)).select(
+        "c_custkey", "n_name"
+    )
