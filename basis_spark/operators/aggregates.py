@@ -684,3 +684,62 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("segs")
         )
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING()/grouping_id disambiguation: a NULL key in
+    rollup output is ambiguous (real NULL vs subtotal row) — the
+    grouping id is how downstream code tells them apart. Same two-phase
+    expanded aggregation as agg_rollup, plus the bitmask column."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 2) AS p50_disc,
+           round(quantile_cont(value, 0.5), 6) AS p50_cont
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete vs continuous percentile side by side: percentile_disc
+    returns an actual data value (what you want for 'a real example
+    row at the median'); percentile/quantile_cont interpolates. Both
+    engines implement both semantics — pinning them together documents
+    the difference and guards against silently swapping one for the
+    other."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 2).alias(
+            "p50_disc"
+        ),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_cont"),
+    )
