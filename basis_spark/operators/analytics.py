@@ -419,3 +419,40 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2)
         .select("event_type", "d", "n", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "agg_hist_equi_depth",
+    oracle="""
+    WITH b AS (
+        SELECT value,
+               ntile(4) OVER (ORDER BY value, event_id) AS bucket
+        FROM events)
+    SELECT bucket, count(*) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram — the complement of
+    histogram_fixed_bins: equal POPULATION per bucket, data-driven
+    boundaries. ntile over a deterministic total order (value,
+    event_id tie-break) so bucket assignment is engine-identical.
+
+    The global ntile is the declared correctness form; the scale path
+    is the same two-pass trick win_ntile_pctile implements (range
+    partition + per-partition offsets) or approx_percentile boundaries
+    — boundaries per bucket is what you actually ship at 100 TB."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

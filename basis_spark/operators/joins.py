@@ -523,3 +523,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(F.broadcast(dim), cust.nk.eqNullSafe(dim.nk)).select(
         "c_custkey", "n_name"
     )
+
+
+@register(
+    "join_existence_flag",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '2000-01-01') AS has_recent
+    FROM customer c
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag ("mark") join: keep EVERY left row and add a
+    boolean for subquery match — what SQL EXISTS in a SELECT list
+    compiles to. Neither semi nor anti alone does this; the
+    distinct-keys left join is the scalable form (the flag side
+    shuffles only distinct customer keys, and broadcast applies when
+    small)."""
+    cust = load(spark, sf_dir, "customer")
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return cust.join(recent, "c_custkey", "left_outer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("_hit", F.lit(False)).alias("has_recent"),
+    )

@@ -466,3 +466,39 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(status.alias("status"), "v").groupBy("status").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sum_v")
     )
+
+
+@register(
+    "ts_calendar_dim",
+    oracle="""
+    SELECT CAST(range AS DATE) AS d,
+           CAST(isodow(CAST(range AS DATE)) AS INT) AS dow_iso,
+           CAST(week(CAST(range AS DATE)) AS INT) AS week_iso,
+           CAST(month(CAST(range AS DATE)) AS INT) AS month,
+           CAST(quarter(CAST(range AS DATE)) AS INT) AS quarter,
+           isodow(CAST(range AS DATE)) >= 6 AS is_weekend
+    FROM range(DATE '1997-01-01', DATE '1998-01-01', INTERVAL 1 DAY)
+    """,
+)
+def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (one year of days with ISO dow/week,
+    month, quarter, weekend flag) — the standard conformed date dim every
+    warehouse joins against; also the spine generator the gap-fill ops
+    build on. sequence+explode, no input table at all; dialect trap
+    pinned: Spark weekday() is 0=Monday, DuckDB isodow() is 1=Monday,
+    and both engines' ISO week-of-year agree."""
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '1997-01-01', DATE '1997-12-31', INTERVAL 1 DAY)"
+            )
+        ).alias("d")
+    )
+    return days.select(
+        "d",
+        (F.weekday("d") + 1).cast("int").alias("dow_iso"),
+        F.weekofyear("d").cast("int").alias("week_iso"),
+        F.month("d").cast("int").alias("month"),
+        F.quarter("d").cast("int").alias("quarter"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+    )

@@ -289,6 +289,7 @@ _SINGLE_PARTITION_OK = {
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "win_moving_avg",        # global frame over per-day pre-agg (~2.5k rows max)
     "win_percent_of_total",  # grand-total window over the 25-row nation agg
+    "agg_hist_equi_depth",   # global ntile = declared correctness form (scale path documented)
     "win_range_frame",       # same bounded per-day spine
     "ts_gap_fill",           # date-spine window, bounded by calendar days
     "ts_interpolate_linear", # same spine shape
