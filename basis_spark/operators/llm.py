@@ -1402,3 +1402,81 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_dot") > 0.25)
         .select("vec_id", "label", F.round("_dot", 6).alias("cos"))
     )
+
+
+@register(
+    "multimodal_shard_pack",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_bytes,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing manifest (WebDataset/tar-shard style): route
+    documents to fixed shards by key hash and account each shard's
+    payload — the OUTPUT stage of a training-data pipeline, where curated
+    samples become the fixed-size shard files a dataloader streams.
+
+    The mod-bucket routing here is the deterministic oracle form; at
+    100 TB the same plan runs with repartitionByRange on a size-balanced
+    key + partitionBy(shard_id) sink, and this manifest (counts + bytes
+    per shard) is what the trainer's sampler reads. One hash aggregation,
+    shard count fixed regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard_id", (F.col("doc_id") % 16).cast("bigint"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "embeddings_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           round(lo, 6) AS lo, round(hi, 6) AS hi,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round((CAST(x AS DOUBLE) - lo) * 255.0 / (hi - lo))
+                     AS BIGINT))) AS BIGINT) AS code_sum
+    FROM (
+        SELECT vec_id, embedding,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+        FROM embeddings) t
+    """,
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to uint8 (min/max affine codes) —
+    4× storage cut for a 100 TB embedding lake and the precursor to any
+    quantized ANN index. Emits the per-vector scale range and the code
+    checksum (sum of uint8 codes) so the oracle pins every quantized
+    value without emitting an array column.
+
+    All JVM higher-order expressions; map-only, no shuffle. Rounding
+    ties: both engines round half-away via round() on the same doubles
+    computed from identical float32 inputs, so codes match bit-for-bit
+    — pinned by the checksum, which a single off-by-one code would
+    break."""
+    emb = load(spark, sf_dir, "embeddings")
+    lo = F.expr("array_min(transform(embedding, x -> cast(x as double)))")
+    hi = F.expr("array_max(transform(embedding, x -> cast(x as double)))")
+    q = emb.select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
+    code_sum = F.expr(
+        "aggregate(embedding, cast(0 as bigint),"
+        " (s, x) -> s + cast(round((cast(x as double) - lo) * 255.0D / (hi - lo)) as bigint))"
+    )
+    return q.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        code_sum.alias("code_sum"),
+    )
