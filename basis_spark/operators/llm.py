@@ -1480,3 +1480,67 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi", 6).alias("hi"),
         code_sum.alias("code_sum"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(lower(text))
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeping the BEST representative per content group (longest
+    doc, id tie-break) rather than the smallest id — the curation
+    policy real pipelines want: when near-identical variants exist,
+    keep the most complete one. Grouping key is md5 of the lowercased
+    text so trivial case variants collapse. Same single content-hash
+    shuffle as dedup_exact; only the ORDER BY differs."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the cheap repetition/spam
+    signal production quality filters use (boilerplate and keyword-stuffed
+    text compresses far better than natural prose; Gopher/C4-style
+    pipelines threshold on it).
+
+    No SQL engine exposes zlib, so this is a legitimate Python-edge op:
+    Arrow-batched mapInPandas, vectorized over each batch, deterministic
+    (zlib level pinned). Driver check is rows-only; the pytest oracle
+    recomputes ratios with the same zlib on a collected sample, exact."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ratio": [
+                        round(len(zlib.compress(b, 6)) / max(1, len(b)), 6)
+                        for b in raw
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(ratios, "doc_id long, ratio double")

@@ -640,3 +640,34 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", "bal",
         F.round(F.col("bal") / F.sum("bal").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "win_rolling_regression",
+    oracle="""
+    SELECT event_id,
+           round(regr_slope(value, epoch(CAST(ts AS TIMESTAMP)) / 3600.0) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS slope
+    FROM events
+    """,
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling linear-regression slope (value vs hours) over the last 7
+    events per user — trend detection as a windowed aggregate, no
+    iteration and no UDF: regr_slope runs inside the bounded ROWS frame
+    on both engines with the identical covariance formula. The x-axis
+    is rescaled to hours so slopes are O(1) and the 6-dp round is far
+    outside float accumulation noise."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.expr("regr_slope(value, unix_micros(ts) / 3.6e9)").over(w), 6).alias(
+            "slope"
+        ),
+    )

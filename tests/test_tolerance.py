@@ -266,3 +266,18 @@ def test_theta_set_ops_within_5pct(spark):
     for k, e in exact.items():
         got = getattr(r, k)
         assert abs(got - e) <= max(2, 0.05 * e), (k, got, e)
+
+
+def test_compression_ratio_matches_local_zlib(spark):
+    """text_compression_ratio is deterministic: the Spark-side Arrow
+    batches must produce exactly the ratio local zlib computes."""
+    import zlib
+
+    from basis_spark.operators.llm import text_compression_ratio
+
+    got = {r.doc_id: r.ratio for r in text_compression_ratio(spark, SF_ORACLE).collect()}
+    docs = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(50).collect()
+    for row in docs:
+        b = row.text.encode("utf-8")
+        want = round(len(zlib.compress(b, 6)) / max(1, len(b)), 6)
+        assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
