@@ -1544,3 +1544,43 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(ratios, "doc_id long, ratio double")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang)
+    SELECT tok.doc_id,
+           round(avg(ln(cnt.c / tot.n)), 6) AS avg_logprob
+    FROM tok
+    JOIN cnt ON tok.lang = cnt.lang AND tok.token = cnt.token
+    JOIN tot ON tok.lang = tot.lang
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    per-language unigram model — the simplest language-model quality
+    score: gibberish and vocabulary outliers score low, formulaic text
+    scores high. (The n-gram upgrade swaps the token key for a bigram
+    key; same plan.)
+
+    Two passes over the exploded tokens, both shuffling on (lang,
+    token); the count table joins back by the same key so the
+    partitioning is reused, and the per-lang totals are a broadcast.
+    Self-trained — no external model artifact, which is what makes it
+    runnable on any 100 TB corpus as a first-pass filter."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    return (
+        tok.join(cnt, ["lang", "token"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"))
+    )
