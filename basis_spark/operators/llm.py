@@ -1584,3 +1584,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"))
     )
+
+
+@register(
+    "text_mask_redact",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               'contact ' || source || CAST(doc_id AS VARCHAR)
+               || '@mail-' || lang || '.com id=' || CAST(doc_id * 7919 AS VARCHAR)
+               AS line
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(line,
+               '[A-Za-z0-9._-]+@([A-Za-z0-9.-]+)', '<EMAIL@\\1>', 'g'),
+               'id=[0-9]+', 'id=<NUM>', 'g') AS redacted
+    FROM w
+    """,
+)
+def text_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction: mask email local-parts (keeping the domain for
+    analytics) and numeric identifiers — the regex-tier PII scrub every
+    training-data pipeline runs before anything ML-based. Fixture text
+    carries no PII, so PII-shaped lines are synthesized deterministically
+    from source/doc_id/lang; the masking expressions are the thing under
+    test, and they run as JVM regexp_replace — map-only, no shuffle, no
+    Python. Dialect note: Spark regexp_replace is global by default and
+    uses $1 backrefs; DuckDB needs the explicit 'g' flag and \\1."""
+    docs = load(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("contact "), F.col("source"), F.col("doc_id").cast("string"),
+        F.lit("@mail-"), F.col("lang"), F.lit(".com id="),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            line, r"[A-Za-z0-9._-]+@([A-Za-z0-9.-]+)", r"<EMAIL@$1>"
+        ),
+        r"id=[0-9]+",
+        "id=<NUM>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
