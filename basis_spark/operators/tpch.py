@@ -767,10 +767,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ Q1 ----
 # Q1 is the repo's flagship (agg_groupby_multi, bench q1); registered
-# under the tpch_ namespace too so the suite reads complete. Same
-# plan object — no duplicate maintenance. (Alias precedent:
-# topk_per_group ≡ win_row_number_topk.)
-from basis_spark.operators.aggregates import agg_groupby_multi
-from basis_spark.registry import ORACLES
-
-register("tpch_q1", oracle=ORACLES["agg_groupby_multi"])(agg_groupby_multi)
+# under the tpch_ namespace too so the suite reads complete. The alias
+# registration lives in operators/__init__.py AFTER all module imports
+# so importing aggregates here doesn't hijack registration order (the
+# driver's correctness gate verifies the first 50 registered keys).
