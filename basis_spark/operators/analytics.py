@@ -436,19 +436,24 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quartile) histogram — the complement of
     histogram_fixed_bins: equal POPULATION per bucket, data-driven
-    boundaries. ntile over a deterministic total order (value,
-    event_id tie-break) so bucket assignment is engine-identical.
+    boundaries. Bucket assignment follows SQL ntile over a
+    deterministic total order (value, event_id tie-break) so it is
+    engine-identical — but computed with the distributed two-pass
+    exact rank (windows.global_rank: range partition + per-partition
+    offsets, no Exchange SinglePartition), then ntile as pure
+    arithmetic on (rank, N). Scales like a sort-based shuffle, not a
+    one-task global window."""
+    from basis_spark.operators.windows import exact_ntile, global_rank
 
-    The global ntile is the declared correctness form; the scale path
-    is the same two-pass trick win_ntile_pctile implements (range
-    partition + per-partition offsets) or approx_percentile boundaries
-    — boundaries per bucket is what you actually ship at 100 TB."""
-    from pyspark.sql.window import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    ranked = global_rank(
+        load(spark, sf_dir, "events").select("value", "event_id"),
+        "value",
+        "event_id",
+    )
     return (
-        ev.select("value", F.ntile(4).over(w).alias("bucket"))
+        ranked.select(
+            "value", exact_ntile(F.col("rank"), F.col("n_total"), 4).alias("bucket")
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -16,6 +16,71 @@ from basis_spark.io import load
 from basis_spark.registry import register
 
 
+def global_rank(df: DataFrame, *keys: str) -> DataFrame:
+    """Exact global row-number over a unique sort key, computed WITHOUT
+    an Exchange SinglePartition — the distributed two-pass form:
+
+      1. repartitionByRange on the sort key: partition p holds a
+         contiguous key range, ids ascending with the ranges; then
+         sortWithinPartitions — a P-way parallel local sort, never a
+         global one.
+      2. local ordinal via monotonically_increasing_id's low 33 bits
+         (the per-partition counter). Deterministic here because the
+         key list is a total order — a task retry re-sorts to the same
+         row order. This replaces the row_number window its first
+         version used, saving a full data-sized hashpartitioning(pid)
+         exchange Spark would otherwise insert (it cannot prove the
+         range partitions already co-locate each pid).
+      3. per-partition counts (P rows, metadata-sized, map-side
+         combined) -> prefix-sum offsets + grand total via tiny
+         windows over those P rows, broadcast-joined back.
+      4. global rank = offset[pid] + local ordinal + 1.
+
+    ONE data-sized shuffle total (the range partition); the only
+    driver-sized object is the P-row offset table. P follows
+    spark.sql.shuffle.partitions, so parallelism scales with the
+    cluster. The caller's key list must be a total order (include a
+    unique id) so rank is deterministic and tie-free.
+
+    Returns the input columns plus `rank` (1-based, gapless) and
+    `n_total` (grand total, same on every row).
+    """
+    spark = df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loc = (
+        df.repartitionByRange(P, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("lr", (F.col("mid") % F.lit(1 << 33)) + 1)
+        .drop("mid")
+    )
+    cnt = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        cnt.withColumn("off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
+        .withColumn("n_total", F.sum("c").over(Window.partitionBy(F.lit(1))))
+        .select("pid", "off", "n_total")
+    )
+    return (
+        loc.join(F.broadcast(offs), "pid")
+        .withColumn("rank", F.col("lr") + F.col("off"))
+        .drop("pid", "lr", "off")
+    )
+
+
+def exact_ntile(rank, n, buckets: int):
+    """SQL-exact ntile(buckets) as pure arithmetic on (global rank, N):
+    the first N mod b buckets get ceil(N/b) rows, the rest floor(N/b).
+    Matches DuckDB/Spark ntile bit-for-bit given a tie-free rank."""
+    q, r = (n / buckets).cast("long"), n % buckets
+    return (
+        F.when((rank - 1) < r * (q + 1), F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - 1 - r * (q + 1)) / q) + 1)
+        .cast("int")
+    )
+
+
 # B4a — top-3 orders per customer.
 @register(
     "win_row_number_topk",
@@ -77,58 +142,20 @@ def win_ntile_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ntile/percent_rank/cume_dist WITHOUT a single-partition sort.
 
     A bare `Window.orderBy(...)` collapses the whole table into one task —
-    the classic window scale-killer. This is the exact distributed
-    two-pass form instead:
-
-      1. repartitionByRange on the sort key: partition p holds a
-         contiguous key range, ids ascending with the ranges.
-      2. row_number within each partition (window keyed on the range
-         partition id — P-way parallel, never global).
-      3. per-partition counts (P rows, metadata-sized) -> prefix-sum
-         offsets + grand total via tiny windows over those P rows,
-         broadcast-joined back.
-      4. global rank = offset[pid] + local row_number; ntile/pr/cd are
-         then pure arithmetic on (rank, N). The sort key includes the
-         unique o_orderkey, so rank == row_number (no tie handling
-         needed; DuckDB's oracle orders the same way).
-
-    Both data shuffles move only the 2-column projection; the only
-    driver-sized object is the P-row offset table. P follows
-    spark.sql.shuffle.partitions, so parallelism scales with the
-    cluster, not the data skew of one task.
+    the classic window scale-killer. Uses the exact distributed two-pass
+    rank (`global_rank`, above): ntile/pr/cd are then pure arithmetic
+    on (rank, N). The sort key includes the unique o_orderkey, so rank
+    is tie-free (DuckDB's oracle orders the same way).
     """
-    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    keys = [F.col("o_totalprice"), F.col("o_orderkey")]
-    loc = (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(P, *keys)
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "lr",
-            F.row_number().over(
-                Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-            ),
-        )
-    )
-    cnt = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        cnt.withColumn("off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
-        .withColumn("n_total", F.sum("c").over(Window.partitionBy(F.lit(1))))
-        .select("pid", "off", "n_total")
-    )
-    rank = F.col("lr") + F.col("off")
-    n = F.col("n_total")
-    q, r = (n / 4).cast("long"), n % 4
-    ntile4 = (
-        F.when((rank - 1) < r * (q + 1), F.floor((rank - 1) / (q + 1)) + 1)
-        .otherwise(r + F.floor((rank - 1 - r * (q + 1)) / q) + 1)
-        .cast("int")
-    )
-    return loc.join(F.broadcast(offs), "pid").select(
+    ranked = global_rank(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
         "o_orderkey",
-        ntile4.alias("quartile"),
+    )
+    rank, n = F.col("rank"), F.col("n_total")
+    return ranked.select(
+        "o_orderkey",
+        exact_ntile(rank, n, 4).alias("quartile"),
         F.round((rank - 1).cast("double") / (n - 1), 6).alias("pr"),
         F.round(rank.cast("double") / n, 6).alias("cd"),
     )

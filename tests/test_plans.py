@@ -80,18 +80,19 @@ def test_hash_sample_group_limit_pushdown(spark):
 
 
 def test_ntile_pctile_no_global_window(spark):
-    # win_ntile_pctile's two-pass form must never sort the data through a
-    # single partition: the row_number window is keyed by the range
-    # partition id, and the only SinglePartition exchange allowed is the
-    # one over the P-row per-partition count table (metadata-sized).
+    # win_ntile_pctile's two-pass form (windows.global_rank) must never
+    # sort the data through a single partition. The local ordinal comes
+    # from monotonically_increasing_id after a range partition + local
+    # sort, so the plan has NO data-sized window at all: the only
+    # windows are the prefix-sum/total over the P-row count table, and
+    # the only SinglePartition exchange is over that same tiny table.
     df = windows.win_ntile_pctile(spark, SF_ORACLE)
     plan = _plan(df)
-    rn_windows = [
-        ln for ln in plan.splitlines()
-        if "Window [row_number()" in ln
-    ]
-    assert rn_windows, "expected a row_number window in the plan"
-    assert all("windowspecdefinition(pid" in ln for ln in rn_windows)
+    assert "rangepartitioning" in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the P-row offset windows"
+    assert all("sum(c#" in ln for ln in win_lines), win_lines
+    assert "row_number()" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
 
 
@@ -271,10 +272,13 @@ def test_no_operator_plans_a_cartesian_product(spark):
 
 # Keys whose plans legitimately contain an Exchange SinglePartition —
 # every one is either a global aggregate's final 1-row combine over
-# map-side partials, or a window/spine over data already reduced to
-# bounded cardinality. A data-sized global sort would instead appear as
-# rangepartitioning (checked per-op where it matters). Any NEW key
-# showing up here must be consciously added with a justification.
+# map-side partials, or a window over data already reduced to bounded
+# cardinality (per-day spines, the P-row per-partition count table of
+# windows.global_rank — P follows spark.sql.shuffle.partitions, i.e.
+# metadata-sized, never data-sized). A data-sized global sort would
+# instead appear as rangepartitioning (checked per-op where it
+# matters). Any NEW key showing up here must be consciously added with
+# a justification.
 _SINGLE_PARTITION_OK = {
     "agg_global",            # 1-row final combine of partial aggs
     "approx_quantile",       # 1-row sketch merge
@@ -287,9 +291,9 @@ _SINGLE_PARTITION_OK = {
     "scan_parquet",          # count-style 1-row summary
     "maintenance_compact_files",  # two 1-row phase summaries
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
+    "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
     "win_moving_avg",        # global frame over per-day pre-agg (~2.5k rows max)
     "win_percent_of_total",  # grand-total window over the 25-row nation agg
-    "agg_hist_equi_depth",   # global ntile = declared correctness form (scale path documented)
     "win_range_frame",       # same bounded per-day spine
     "ts_gap_fill",           # date-spine window, bounded by calendar days
     "ts_interpolate_linear", # same spine shape
