@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
@@ -158,41 +158,60 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF sessionizer: one (user, sorted ts list) row in, one row
-    out per 30-min-gap session — arbitrary per-group Python emit logic,
-    the basis node shape Spark SQL can't express as a single window chain.
+    """Python UDTF sessionizer — power-law-safe split of work:
 
-    Scale shape: the collect_list groupBy shuffles once on user_id and a
-    user's events must fit in one Arrow batch — fine for per-user event
-    counts; for power-law users switch to applyInPandasWithState.
+    Session-BOUNDARY detection (gap > 30 min) runs JVM-side as per-user
+    lag + running-sum windows: streaming frames, sort spills to disk,
+    so a heavy user with 10^6 events never materializes in memory. The
+    UDTF then receives one sorted ts array PER SESSION (bounded by
+    session length, not by a user's lifetime history) and emits the
+    session row with arbitrary Python logic — the basis node shape.
+    Its first version collected each user's FULL history into one Arrow
+    batch; that dies on power-law users (see test_property.py's
+    heavy-user test). `stream_stateful_sessions` is the streaming
+    sibling (applyInPandasWithState, bounded state).
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sid INT, n_events INT, dur_seconds DOUBLE")
-    class Sessionize:
+    @udtf(returnType="n_events INT, dur_seconds DOUBLE")
+    class SessionStats:
         def eval(self, ts_list):
-            gap = 30 * 60
-            sid, n = 0, 0
-            start = prev = None
+            n, start, end = 0, None, None
             for ts in ts_list:
-                if prev is None or (ts - prev).total_seconds() > gap:
-                    if sid > 0:
-                        yield sid, n, round((prev - start).total_seconds(), 6)
-                    sid, n, start = sid + 1, 0, ts
-                n, prev = n + 1, ts
-            if sid > 0:
-                yield sid, n, round((prev - start).total_seconds(), 6)
+                if start is None or ts < start:
+                    start = ts
+                if end is None or ts > end:
+                    end = ts
+                n += 1
+            if n:
+                yield n, round((end - start).total_seconds(), 6)
 
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("ts")).alias("ts_arr")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > 30 * 60),
+        1,
+    ).otherwise(0)
+    per_session = (
+        ev.select("user_id", "ts")
+        .withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_list("ts")).alias("ts_arr"))
     )
-    per_user.createOrReplaceTempView("udtf_user_ts")
-    spark.udtf.register("basis_sessionize", Sessionize)
+    per_session.createOrReplaceTempView("udtf_user_sessions")
+    spark.udtf.register("basis_session_stats", SessionStats)
     return spark.sql(
         """
-        SELECT u.user_id, s.sid, s.n_events, s.dur_seconds
-        FROM udtf_user_ts u, LATERAL basis_sessionize(u.ts_arr) s
+        SELECT u.user_id, u.sid, s.n_events, s.dur_seconds
+        FROM udtf_user_sessions u, LATERAL basis_session_stats(u.ts_arr) s
         """
     )
 

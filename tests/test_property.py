@@ -280,3 +280,52 @@ def test_window_topk_per_group(spark, duck, k, desc):
         WHERE rn <= {k}
     """
     compare_frames(df, duck, sql, key=f"prop_topk[{k},{d}]")
+
+
+def test_sessionizer_heavy_user(spark, tmp_path_factory):
+    """Power-law regression: one user with 1e5 events must sessionize
+    without collecting their lifetime history into a single Arrow batch.
+    udtf_explode_sessions bounds the UDTF input at one SESSION (boundary
+    detection runs JVM-side with streaming window frames), so a heavy
+    user costs a spillable sort, never an unbounded array."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basis_spark.operators.udfs import udtf_explode_sessions
+
+    n_heavy = 100_000
+    per_session = 10
+    # Heavy user 0: sessions of 10 events 60s apart, 2h gap between
+    # sessions -> 10_000 sessions, each 540s long.
+    i = np.arange(n_heavy)
+    sess, pos = i // per_session, i % per_session
+    heavy_ts = sess * 7200 + pos * 60
+    # User 1: one 5-event session.
+    light_ts = np.arange(5) * 60
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n_heavy + 5, dtype=np.int64),
+            "ts": base + np.concatenate([heavy_ts, light_ts]).astype("timedelta64[s]"),
+            "user_id": np.concatenate(
+                [np.zeros(n_heavy, dtype=np.int64), np.ones(5, dtype=np.int64)]
+            ),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = tmp_path_factory.mktemp("heavy_events")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / "events.parquet"))
+
+    out = udtf_explode_sessions(spark, str(d)).toPandas()
+    heavy = out[out.user_id == 0]
+    assert len(heavy) == n_heavy // per_session
+    assert (heavy.n_events == per_session).all()
+    assert (heavy.dur_seconds == 540.0).all()
+    assert sorted(heavy.sid) == list(range(1, n_heavy // per_session + 1))
+    light = out[out.user_id == 1]
+    assert len(light) == 1
+    assert light.n_events.iloc[0] == 5 and light.dur_seconds.iloc[0] == 240.0
