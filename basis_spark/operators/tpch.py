@@ -7,9 +7,11 @@ domains (nations NATION_0..24, p_type in {ECONOMY,..,PROMO,..}, p_name
 "<adj> <noun>"). Each query below keeps the reference query's JOIN/
 aggregation/subquery SHAPE — the part that exercises the engine — and
 adapts filters to the available columns, documented per query. Queries
-that need partsupp (Q2/Q11/Q20) or receipt-commit lag (Q12) are adapted
-where the shape survives (Q9, Q16, Q21 via l_shipdate lateness) and
-dropped where it doesn't.
+that need partsupp (Q2/Q11/Q20) are dropped — their defining move is a
+partsupp aggregate/subquery (min supplycost, value share, availqty vs
+sold qty) and no fixture column can stand in without inventing data.
+Q12's receipt-commit lateness survives as l_shipdate - o_orderdate
+ship-lag buckets (see tpch_q12); Q9/Q16/Q21 likewise adapt.
 
 Determinism note: reference Q3/Q10/Q18 end in ORDER BY revenue LIMIT N.
 A float-revenue tie near the cut line would make the kept set
@@ -390,6 +392,60 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", "c_name", "revenue",
             F.round(F.col("c_acctbal"), 2).alias("c_acctbal"), "n_name",
+        )
+    )
+
+
+# -------------------------------------------------------------- Q12 ----
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 90 THEN 'LATE'
+                WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 30 THEN 'SLOW'
+                ELSE 'FAST' END AS lateness,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (shipping modes & order priority), adapted: the fixture has
+    no l_shipmode/l_commitdate/l_receiptdate, so the reference's
+    "was the line late?" dimension becomes ship-lag buckets
+    (l_shipdate - o_orderdate: FAST <=30d, SLOW 31-90d, LATE >90d) and
+    the GROUP BY shifts from ship mode to that bucket. The engine shape
+    is intact: orders x lineitem equi-join, a shipdate range filter
+    pushed to the scan, and the signature high/low conditional counts
+    on o_orderpriority."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.when(lag > 90, "LATE")
+            .when(lag > 30, "SLOW")
+            .otherwise("FAST")
+            .alias("lateness"),
+            F.when(high, 1).otherwise(0).alias("h"),
+        )
+        .groupBy("lateness")
+        .agg(
+            F.sum("h").alias("high_line_count"),
+            F.sum(1 - F.col("h")).alias("low_line_count"),
         )
     )
 
