@@ -495,7 +495,10 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.round(F.sum("value"), 2).alias("v"))
-    spine = users.crossJoin(days)
+    # Calendar side pinned broadcast (matches ts_gap_fill's spine): at
+    # scale the days spine is always the tiny side and the hint must
+    # not depend on AQE noticing.
+    spine = users.crossJoin(F.broadcast(days))
     j = spine.join(actual, ["user_id", "d"], "left")
     w_prev = (
         Window.partitionBy("user_id")
