@@ -13,6 +13,8 @@ is what keeps state-store size proportional to the window, not history.
 from __future__ import annotations
 
 import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +49,35 @@ def split_events_to_chunks(
     return out, ev
 
 
+def split_events_to_chunks_shuffled(
+    spark: SparkSession, sf_dir: str, delivery: tuple[int, ...]
+) -> str:
+    """Chunks as above, but DELIVERED out of order: the parquet file
+    mtimes are rewritten so chunk `delivery[0]` is oldest, then
+    `delivery[1]`, ... Structured Streaming's file source processes
+    files oldest-modification-first (latestFirst=false), so with
+    maxFilesPerTrigger=1 the micro-batch sequence IS `delivery` — the
+    adversarial reordering harness for the watermark tests. Scratch is
+    applicationId-keyed (fresh per session, no cross-process clashes)."""
+    src, _ = split_events_to_chunks(spark, sf_dir)
+    tag = "-".join(map(str, delivery))
+    out = os.path.join(
+        scratch_dir("stream_chunks_ooo"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}_{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(out, "_done")):
+        base = time.time()
+        for pos, chunk in enumerate(delivery):
+            dst = os.path.join(out, f"chunk={chunk}")
+            shutil.copytree(os.path.join(src, f"chunk={chunk}"), dst, dirs_exist_ok=True)
+            for root, _dirs, files in os.walk(dst):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    os.utime(p, (base + pos * 10, base + pos * 10))
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
 def _read_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     schema = spark.read.parquet(os.path.join(chunk_dir, "chunk=0")).schema
     return (
@@ -74,7 +105,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        assert q.awaitTermination(timeout=300), "stream timed out (300s)"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -139,14 +170,21 @@ def stream_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_watermark_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_watermark_drop_late(
+    spark: SparkSession, sf_dir: str, delivery: tuple[int, ...] | None = None
+) -> DataFrame:
     """Watermark semantics demo: out-of-order input with a tight watermark.
 
     Feeds chunks where one chunk arrives 'late'; the 10-minute watermark
     drops rows older than watermark from the aggregation state. Asserted
     stream-side only (SURVEY §2.J: watermarks have no batch oracle).
+    `delivery` reorders chunk arrival (see split_events_to_chunks_shuffled)
+    — the adversarial reordering tests pin what gets dropped.
     """
-    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    if delivery is None:
+        chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    else:
+        chunk_dir = split_events_to_chunks_shuffled(spark, sf_dir, delivery)
     s = _read_stream(spark, chunk_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -157,7 +195,12 @@ def stream_watermark_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
-def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_click_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    delivery: tuple[int, ...] | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
     """Watermarked stream-stream inner join: clicks joined to purchases
     of the same user within [click_ts, click_ts + 30 min].
 
@@ -168,9 +211,16 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffered purchase once the click-side watermark passes purchase_ts.
     The events fixture is ordered (zero observed lateness), so the
     1-hour delay is safely generous and the inner join emits exactly the
-    batch result (tests/test_stream_batch_equiv.py).
+    batch result (tests/test_stream_batch_equiv.py). Under `delivery`
+    reordering the 1-hour delay is NOT generous (chunks span ~7.5 days
+    each) and the watermark drops the late chunk's rows; a `delay`
+    covering the actual disorder ("31 days") restores exact batch
+    equality — both pinned in the reordering tests.
     """
-    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    if delivery is None:
+        chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    else:
+        chunk_dir = split_events_to_chunks_shuffled(spark, sf_dir, delivery)
     clicks = (
         _read_stream(spark, chunk_dir)
         .filter(F.col("event_type") == "click")
@@ -179,7 +229,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "1 hour")
+        .withWatermark("click_ts", delay)
     )
     purchases = (
         _read_stream(spark, chunk_dir)
@@ -190,7 +240,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             F.round("value", 2).alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", "1 hour")
+        .withWatermark("purchase_ts", delay)
     )
     cond = (
         (F.col("user_id") == F.col("p_user_id"))
@@ -334,7 +384,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = s.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
-        q.awaitTermination(timeout=300)
+        assert q.awaitTermination(timeout=300), "stream timed out (300s)"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.read.parquet(latest[-1])

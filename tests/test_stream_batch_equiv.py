@@ -64,3 +64,62 @@ def test_stream_upsert_foreachbatch_equals_batch(spark):
     batch = incremental.stream_upsert_cdc(spark, SF_SMALL)
     cols = ["user_id", "last_type", "last_value", "n_versions"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_watermark_drops_late_chunk_under_reordering(spark):
+    """Adversarial delivery order (0,3,1,2): chunk 2 (~7.5 days of
+    events) arrives LAST, two batches after chunk 3 pushed the
+    watermark ~8 days past it, so the 10-minute watermark must drop
+    chunk 2's rows from the aggregation. Delivery (0,3,1,2) and not a
+    simple swap because Spark's late-record filter applies the
+    PREVIOUS batch's watermark (measured on 4.1.2: a late file
+    arriving one batch after the watermark-setter is admitted,
+    numRowsDroppedByWatermark=0; two batches after, dropped) — the
+    late chunk must trail the setter by two batches to be dropped
+    under either semantic. Pinned: every emitted window is a (<=)
+    subset of the batch count, at least one window vanishes entirely,
+    and the out-of-order run emits strictly fewer events than
+    in-order."""
+    from pyspark.sql import functions as F
+
+    from basis_spark.io import load
+
+    ooo = jobs.stream_watermark_drop_late(spark, SF_SMALL, delivery=(0, 3, 1, 2))
+    inorder = jobs.stream_watermark_drop_late(spark, SF_SMALL)
+    batch = (
+        load(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    b = {r["ws"]: r["n"] for r in batch.collect()}
+    o = {r["ws"]: r["n"] for r in ooo.collect()}
+    i = {r["ws"]: r["n"] for r in inorder.collect()}
+    assert set(o) <= set(b), "stream emitted a window batch never saw"
+    assert all(o[w] <= b[w] for w in o), "stream emitted MORE than batch for a window"
+    assert set(i) - set(o), "no window vanished: reordering did not drop anything"
+    assert sum(o.values()) < sum(i.values())
+    assert len(o) > 0
+
+
+def test_stream_join_reordering_tight_vs_covering_watermark(spark):
+    """Same adversarial delivery for the stream-stream join. With the
+    1-hour watermark (<< the ~15-day disorder) the late chunk's matches
+    are dropped: strict subset of batch. With a 31-day watermark that
+    COVERS the disorder, reordering must not change the result at all:
+    exact batch equality. This is the watermark contract: correctness
+    under reordering is bounded-disorder x covering-delay."""
+    cols = ["click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"]
+    batch = _rows(incremental.stream_stream_join(spark, SF_SMALL), cols)
+    tight = _rows(
+        jobs.stream_click_purchase_join(spark, SF_SMALL, delivery=(0, 3, 1, 2)), cols
+    )
+    covering = _rows(
+        jobs.stream_click_purchase_join(
+            spark, SF_SMALL, delivery=(0, 3, 1, 2), delay="31 days"
+        ),
+        cols,
+    )
+    assert covering == batch, "covering watermark must make reordering invisible"
+    assert set(tight) <= set(batch)
+    assert len(tight) < len(batch), "tight watermark should have dropped late matches"
