@@ -34,67 +34,156 @@ from pyspark.sql import functions as F
 _graph_counter = itertools.count()
 
 
+_SQL_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)      # whitespace + comments
+    | (?P<string>'(?:[^']|'')*')          # string literal ('' escape)
+    | (?P<qident>`(?:[^`]|``)*`)          # backtick-quoted identifier
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<num>\d+(?:\.\d*)?)
+    | (?P<punct>.)
+    """,
+    re.S | re.X,
+)
+
+# Keywords that end a FROM clause's table-list context (JOIN re-opens a
+# table position; everything here closes it until the next FROM/JOIN).
+_FROM_ENDERS = {
+    "where", "on", "using", "group", "order", "having", "limit",
+    "union", "except", "intersect", "qualify", "window", "select",
+    "lateral", "pivot", "unpivot", "tablesample", "values",
+}
+# Tokens that may sit between JOIN-ish keywords and the table name.
+_JOIN_MODIFIERS = {"inner", "left", "right", "full", "cross", "natural",
+                   "semi", "anti", "outer"}
+_SQL_KEYWORDS = _FROM_ENDERS | _JOIN_MODIFIERS | {
+    "join", "when", "and", "or", "not", "as", "from",
+}
+
+
 def _rewrite_table_refs(sql: str, mapping: dict[str, str], node: str) -> str:
-    """Rewrite input-node names to their namespaced view names, but ONLY
-    in table positions (after FROM/JOIN, plus comma-separated FROM
-    lists). A blanket word-boundary substitution also rewrote columns,
-    aliases, and string literals that happened to share an input's name
-    (`SELECT src FROM src`, `WHERE label = 'src'`), corrupting the
-    query. String literals are masked before rewriting so their content
-    is never touched; a column named like an input now resolves against
-    the (renamed) view as intended. An input that never appears in a
-    table position raises — that SQL can't be reading the input, which
-    is a wiring mistake better surfaced than silently run."""
-    lits: list[str] = []
+    """Rewrite input-node names to their namespaced view names, ONLY in
+    table positions — a tokenizer + FROM-clause state machine, not a
+    regex (round-3 verdict: the regex pass misresolved quoted
+    identifiers and aliases shadowing an input name).
 
-    def _mask(m: re.Match) -> str:
-        lits.append(m.group(0))
-        return f"\x00{len(lits) - 1}\x00"
+    Token walk: strings/comments pass through untouched (a literal
+    'src' is never a table ref); a table position opens after FROM or
+    JOIN (and again after each comma while the FROM list at that paren
+    depth is open) and closes at WHERE/GROUP/ON/... or ')'. Whatever
+    identifier fills an ALIAS slot — `FROM x src`, `(SELECT ...) src`
+    — is skipped even when it matches an input, so alias shadowing
+    keeps standard SQL scoping: `src.col` then resolves against the
+    alias, untouched by the rewrite. Backtick-quoted table refs
+    (`` FROM `src` ``) rewrite like bare ones; dotted refs
+    (`FROM cat.src`) never match a node input (inputs are single-part
+    names). A rewritten ref with no explicit alias gets `AS <input>`
+    appended so qualified column refs keep resolving. An input that
+    never appears in a table position raises — that SQL can't be
+    reading the input, a wiring mistake better surfaced than silently
+    run."""
+    toks = list(_SQL_TOKEN.finditer(sql))
+    out: list[str] = []
+    seen: dict[str, int] = dict.fromkeys(mapping, 0)
+    # Per-paren-depth state: is a FROM table-list open, and is the next
+    # identifier a table position?
+    in_from = [False]
+    expect_table = [False]
+    expect_alias = False  # last token was a table ref / subquery close
 
-    masked = re.sub(r"'(?:[^']|'')*'", _mask, sql)
-    ident = r"[A-Za-z_][A-Za-z0-9_]*"
-    for uname, view in mapping.items():
-        esc = re.escape(uname)
+    def _sig(i: int) -> tuple[str, str] | None:
+        """Kind+lowercased text of token i if significant, else None."""
+        m = toks[i]
+        if m.lastgroup == "ws":
+            return None
+        return m.lastgroup, m.group(0).lower()
 
-        def repl(m: re.Match, view: str = view, uname: str = uname) -> str:
-            # If an explicit alias follows the table ref, keep it; else
-            # alias the namespaced view back to the original name so
-            # qualified column refs (`src.col`) keep resolving.
-            alias = m.groupdict().get("alias")
-            if alias and alias.lower() not in _SQL_KEYWORDS:
-                return f"{m.group(1)}{view}"
-            return f"{m.group(1)}{view} AS {uname}"
-
-        pat_fj = re.compile(
-            rf"(?i)((?:\bfrom\b|\bjoin\b)\s+){esc}\b"
-            rf"(?:(?=\s+(?:as\s+)?(?P<alias>{ident}))|)"
-        )
-        masked, n1 = pat_fj.subn(repl, masked)
-        # comma-continued FROM lists: FROM a, b, c
-        pat_comma = re.compile(
-            rf"(?i)(\bfrom\b[^()]*?,\s*){esc}\b"
-            rf"(?:(?=\s+(?:as\s+)?(?P<alias>{ident}))|)"
-        )
-        n2_total = 0
-        while True:
-            masked, n2 = pat_comma.subn(repl, masked)
-            n2_total += n2
-            if n2 == 0:
-                break
-        if n1 + n2_total == 0:
+    i = 0
+    while i < len(toks):
+        m = toks[i]
+        kind, text = m.lastgroup, m.group(0)
+        low = text.lower()
+        if kind in ("ws", "string", "num"):
+            out.append(text)
+            i += 1
+            continue
+        if kind == "punct":
+            if text == "(":
+                # A '(' in table position CONSUMES it (subquery or
+                # parenthesized join); the inner context may open with a
+                # table name (`FROM (src JOIN ...)`) — a subquery's
+                # SELECT clears it via _FROM_ENDERS.
+                inner = expect_table[-1]
+                expect_table[-1] = False
+                in_from.append(inner)
+                expect_table.append(inner)
+                expect_alias = False
+            elif text == ")":
+                if len(in_from) > 1:
+                    in_from.pop()
+                    expect_table.pop()
+                expect_alias = True  # `(SELECT ...) alias`
+            elif text == "," and in_from[-1]:
+                expect_table[-1] = True
+                expect_alias = False
+            elif text == ".":
+                expect_alias = False
+            out.append(text)
+            i += 1
+            continue
+        # identifier or quoted identifier
+        if kind == "ident" and low == "from":
+            in_from[-1] = True
+            expect_table[-1] = True
+            expect_alias = False
+        elif kind == "ident" and low == "join":
+            expect_table[-1] = True
+            expect_alias = False
+        elif kind == "ident" and low in _JOIN_MODIFIERS:
+            expect_alias = False
+        elif kind == "ident" and low in _FROM_ENDERS:
+            in_from[-1] = False
+            expect_table[-1] = False
+            expect_alias = False
+        elif expect_table[-1] and not (kind == "ident" and low in _SQL_KEYWORDS):
+            name = text[1:-1].replace("``", "`") if kind == "qident" else text
+            # dotted ref (cat.src)? inputs are single-part — skip whole ref
+            j = i + 1
+            while j < len(toks) and _sig(j) is None:
+                j += 1
+            dotted = j < len(toks) and _sig(j) == ("punct", ".")
+            if not dotted and name in mapping:
+                seen[name] += 1
+                # explicit alias next (AS x / bare x)? keep it, else
+                # alias the view back to the input name.
+                k = j
+                if k < len(toks) and _sig(k) == ("ident", "as"):
+                    has_alias = True
+                else:
+                    nxt = _sig(k) if k < len(toks) else None
+                    has_alias = nxt is not None and (
+                        nxt[0] == "qident"
+                        or (nxt[0] == "ident" and nxt[1] not in _SQL_KEYWORDS)
+                    )
+                out.append(mapping[name] if has_alias else f"{mapping[name]} AS {name}")
+            else:
+                out.append(text)
+            expect_table[-1] = False
+            expect_alias = True
+            i += 1
+            continue
+        elif expect_alias or (kind == "ident" and low == "as"):
+            # alias slot (possibly after AS): never rewritten
+            expect_alias = low == "as"
+        out.append(text)
+        i += 1
+    for uname, n in seen.items():
+        if n == 0:
             raise ValueError(
                 f"SQL node {node!r} declares input {uname!r} but never "
                 f"references it in a table position (FROM/JOIN)"
             )
-    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
-
-
-_SQL_KEYWORDS = {
-    "where", "on", "join", "inner", "left", "right", "full", "cross",
-    "natural", "group", "order", "having", "limit", "union", "except",
-    "intersect", "using", "qualify", "window", "when", "and", "or",
-    "not", "lateral", "tablesample", "semi", "anti", "as",
-}
+    return "".join(out)
 
 
 @dataclass

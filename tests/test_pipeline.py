@@ -172,6 +172,35 @@ def test_sql_rewrite_unreferenced_input_raises(spark):
         g.produce("out")
 
 
+def test_sql_rewrite_quoted_identifier(spark):
+    """Backtick-quoted table refs must rewrite like bare ones (the
+    round-3 regex pass missed them)."""
+    g = pipeline.Graph(spark)
+    g.source("src", load(spark, SF_SMALL, "nation"))
+    g.sql_node("out", "SELECT count(*) AS n FROM `src`", inputs=["src"])
+    assert g.produce("out").collect()[0]["n"] == load(spark, SF_SMALL, "nation").count()
+
+
+def test_sql_rewrite_alias_shadowing_input(spark):
+    """A subquery alias that shadows an input name keeps standard SQL
+    scoping: the alias slot is never rewritten, qualified refs resolve
+    against the alias, and the real table ref still rewrites."""
+    g = pipeline.Graph(spark)
+    g.source("src", load(spark, SF_SMALL, "nation"))
+    g.sql_node(
+        "out",
+        """
+        SELECT src.one, cnt.n
+        FROM (SELECT 1 AS one) src
+        CROSS JOIN (SELECT count(*) AS n FROM src) cnt
+        """,
+        inputs=["src"],
+    )
+    r = g.produce("out").collect()[0]
+    assert r["one"] == 1
+    assert r["n"] == load(spark, SF_SMALL, "nation").count()
+
+
 def test_high_watermark_timestamp_column(spark):
     """Watermark over a timestamp column: persisted losslessly, compared
     in the column's native type (ADVICE r1: int() coercion raised)."""
