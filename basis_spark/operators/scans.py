@@ -403,7 +403,13 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched. At 100 TB the same job runs per partition-dir with the
     target count = dir_bytes / 128 MB, and the repartition shuffle is
     the unavoidable cost of re-clustering."""
-    out = os.path.join(scratch_dir("compact"), os.path.basename(sf_dir.rstrip("/")))
+    # applicationId-scoped scratch (like source_jdbc): the process-local
+    # written-guard can't see a concurrent pytest/oracle_sweep process,
+    # which could otherwise overwrite small/big mid-read (ADVICE r3).
+    out = os.path.join(
+        scratch_dir("compact"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
     small, big = os.path.join(out, "small"), os.path.join(out, "big")
     if out not in _compacted_written:
         ev = load(spark, sf_dir, "events")
@@ -452,12 +458,17 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     data."""
     import csv as _csv
 
+    # Atomic write (temp + rename): an interrupted run must not leave a
+    # partial rows.csv that the exists-guard would then reuse forever
+    # (ADVICE r3).
     out = os.path.join(scratch_dir("csv_permissive"), "rows.csv")
     if not os.path.exists(out):
-        with open(out, "w", newline="") as fh:
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with open(tmp, "w", newline="") as fh:
             w = _csv.writer(fh)
             for i in range(1000):
                 w.writerow([i, "oops" if i % 97 == 0 else i * 1.5])
+        os.replace(tmp, out)
     schema = "id BIGINT, v DOUBLE, _corrupt_record STRING"
     df = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
