@@ -163,3 +163,62 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return g.produce("summary")
+
+
+@register(
+    "reactive_propagate",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value * 1.1), 2) AS s
+    FROM events GROUP BY 1
+    """,
+)
+def reactive_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reactive subscription runtime (basis_spark/reactive.py) end
+    to end, oracle-checked: three source blocks (event_id mod 3 — every
+    row exactly once) fed one poll apart through a two-node chain
+    (enrich map -> accumulator-style partial rollup). Each poll
+    processes ONLY the new block; the rollup node appends per-increment
+    PARTIALS (the reference's accumulator pattern) and the final read
+    merges them — so the result must equal the one-shot full recompute
+    the oracle runs. applicationId-scoped block store: built once per
+    session, replayed reads after."""
+    import os
+
+    from basis_spark.io import scratch_dir
+    from basis_spark.reactive import Reactor
+
+    base = os.path.join(
+        scratch_dir("reactive"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    r = Reactor(spark, base)
+    r.source("raw")
+    r.node(
+        "enriched",
+        # net stays unrounded per row: value*1.1 lands on exact
+        # half-cents for every odd cent, where Spark (HALF_UP) and
+        # DuckDB (HALF_EVEN) disagree; only the final sum is rounded.
+        lambda inc: inc.select(
+            "event_type", (F.col("value") * 1.1).alias("net")
+        ),
+        ["raw"],
+    )
+    r.node(
+        "rollup",
+        lambda inc: inc.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("net").alias("ps")
+        ),
+        ["enriched"],
+    )
+    if r.n_blocks("raw") == 0:
+        ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        for i in range(3):
+            r.feed("raw", ev.filter(F.col("event_id") % 3 == i))
+            r.poll()
+    assert r.n_blocks("rollup") == 3
+    return (
+        r.read("rollup")
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("s"))
+    )
