@@ -11,7 +11,7 @@ collects to the driver or leaves whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
@@ -460,4 +460,70 @@ def agg_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("lo"),
             F.round(F.max("value"), 2).alias("hi"),
         )
+    )
+
+
+@register(
+    "event_attribution_last_touch",
+    oracle="""
+    WITH x AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_ts
+        FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT event_id AS purchase_id, user_id, click_id,
+           round(epoch(CAST(ts AS TIMESTAMP) - CAST(click_ts AS TIMESTAMP)), 6)
+               AS gap_seconds
+    FROM x
+    WHERE event_type = 'purchase' AND click_id IS NOT NULL
+      AND ts - click_ts <= INTERVAL 7 DAY
+    """,
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent PRECEDING click within a 7-day lookback — the marketing-
+    analytics staple. One user_id shuffle; the ignore-nulls last() over
+    a strictly-before ROWS frame is a streaming window (no self-join,
+    no range join), so state per user is O(1) at any history length."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    gap = F.col("ts").cast("double") - F.col("click_ts").cast("double")
+    return enriched.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("click_id").isNotNull()
+        & (gap <= 7 * 86400)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "click_id",
+        F.round(gap, 6).alias("gap_seconds"),
     )

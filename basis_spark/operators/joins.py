@@ -555,3 +555,50 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.coalesce("_hit", F.lit(False)).alias("has_recent"),
     )
+
+
+@register(
+    "join_runtime_prefilter",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a selective dim predicate becomes a bucket
+    prefilter on the fact BEFORE the real join — the hand-rolled form
+    of Spark's runtime bloom/semi filters (this build doesn't register
+    bloom_filter_agg as a SQL function).
+
+    Build side: distinct xxhash64-bucket ids of the qualifying customer
+    keys (a few-KB int set regardless of fact size). The fact stream
+    broadcast-SEMI-joins on its own key's bucket — a map-side probe
+    that discards most non-qualifying orders before they reach the real
+    join's shuffle/build. The prefilter passes a superset (bucket
+    collisions), so the exact equi-join after it keeps semantics
+    identical to the plain join the oracle runs; at 100 TB the win is
+    shuffle width, cut to ~selectivity of the dim predicate."""
+    M = 1 << 13
+    cust_hi = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    buckets = cust_hi.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(M)).alias("b")
+    ).distinct()
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    pre = o.withColumn("b", F.pmod(F.xxhash64("o_custkey"), F.lit(M))).join(
+        F.broadcast(buckets), "b", "left_semi"
+    )
+    return (
+        pre.join(F.broadcast(cust_hi), pre.o_custkey == cust_hi.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -1625,3 +1625,41 @@ def text_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id=<NUM>",
     )
     return docs.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
+    "dedup_source_crossdup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp
+        FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_pairs
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    doc pairs share a content-set fingerprint (doc_fingerprint's md5 of
+    the sorted distinct token set) — the "which crawls copy from each
+    other" dedup diagnostic that decides source priorities before a
+    keep-best pass.
+
+    One shuffle on fp for the self-join (pairs only form inside a
+    fingerprint group, so join width = duplicate mass, not corpus
+    size), then a bounded (source x source) aggregation. Skew guard at
+    100 TB: a boilerplate fingerprint shared by millions of docs makes
+    a quadratic group — cap or salt such groups (the fixture's are
+    small, max group ~10)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    t = docs.select("source", fp.alias("fp"))
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
