@@ -602,3 +602,48 @@ def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_band_bucketed",
+    oracle="""
+    SELECT s_suppkey, c_custkey, round(c_acctbal - s_acctbal, 2) AS bal_gap
+    FROM supplier JOIN customer
+      ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 10
+    """,
+)
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band join's SCALE form (join_theta_range documents this
+    rewrite; this key implements it): bucket the band column into
+    band-width bins and EQUI-join on the bin, then refine with the
+    exact predicate. A row of s can only match c rows in its own bin or
+    the next (c in (s, s+10] with width-10 bins), so the supplier side
+    explodes x2 and the join becomes a plain shuffled equi-join —
+    candidate width is band occupancy, not |S|x|C|, and no side needs
+    to broadcast. Same rows as the nested-loop form, plan-asserted
+    shuffle join (tests/test_plans.py)."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s2 = s.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / 10),
+                F.floor(F.col("s_acctbal") / 10) + 1,
+            )
+        ),
+    )
+    c2 = c.withColumn("bin", F.floor(F.col("c_acctbal") / 10))
+    cond = (F.col("c_acctbal") > F.col("s_acctbal")) & (
+        F.col("c_acctbal") <= F.col("s_acctbal") + 10
+    )
+    return (
+        s2.hint("shuffle_hash")
+        .join(c2, "bin")
+        .filter(cond)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_gap"),
+        )
+    )

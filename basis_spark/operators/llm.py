@@ -1663,3 +1663,128 @@ def dedup_source_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "text_contamination_check",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM tok WHERE len(t) >= 5),
+    train AS (SELECT DISTINCT g FROM grams WHERE source <> 'src0'),
+    ev AS (SELECT DISTINCT doc_id, g FROM grams WHERE source = 'src0')
+    SELECT ev.doc_id, count(*) AS n_grams, count(train.g) AS n_hit,
+           round(count(train.g) * 1.0 / count(*), 6) AS contamination
+    FROM ev LEFT JOIN train ON ev.g = train.g
+    GROUP BY 1
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detector (the n-gram-overlap check run
+    before any benchmark number is trusted): treating src0 as the eval
+    set, score each eval doc by the fraction of its distinct token
+    5-grams that appear anywhere in the training sources.
+
+    Both sides explode to (doc, 5-gram) rows via JVM higher-order
+    functions (transform over a token-index sequence — no Python), the
+    train side reduces to a distinct gram set, and one left join on the
+    gram scores every eval doc. Shuffles are keyed on the gram string;
+    at 100 TB you'd key on xxhash64(gram) instead (8-byte shuffle rows;
+    collisions only ever inflate contamination by ~2^-64) — strings
+    kept here so the DuckDB oracle is exact."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 5)
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, 5), " "),
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("source") != "src0").select("g").distinct()
+    ev = grams.filter(F.col("source") == "src0").select("doc_id", "g").distinct()
+    hit = train.withColumn("hit", F.lit(1))
+    return (
+        ev.join(hit, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "similarity_centroid_classify",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings),
+    cent AS (
+        SELECT label AS clabel, d, avg(x) AS c FROM dims GROUP BY 1, 2),
+    dots AS (
+        SELECT v.vec_id, v.label, c.clabel,
+               round(sum(v.x * c.c), 6) AS dot
+        FROM dims v JOIN cent c ON v.d = c.d GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, clabel) AS rn
+        FROM dots)
+    SELECT label, clabel AS predicted, count(*) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def similarity_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: assign every embedding to
+    its closest label centroid (max dot product — vectors are
+    L2-normalized) and report the label x predicted confusion matrix,
+    the standard embedding-space quality check before clustering or ANN
+    index choices.
+
+    Centroid build is the scalable (label, dim) aggregation (posexplode
+    -> avg — 640 tiny rows, never a collect_list of vectors), arrays
+    reassembled order-safe via struct sort and BROADCAST to the scoring
+    pass: one map-side zip_with/aggregate dot per (vector, centroid),
+    rank-1 window per vec_id, bounded 10x10 output. Dot products are
+    rounded at 6dp BEFORE the argmax on both engines so float summation
+    order can't flip a near-tie differently per engine (clabel breaks
+    exact ties)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("d", "x"))
+    cent = dims.groupBy(F.col("label").alias("clabel"), "d").agg(F.avg("x").alias("c"))
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("embedding", "cvec", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "clabel", dot.alias("dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("clabel"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

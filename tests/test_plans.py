@@ -319,3 +319,14 @@ def test_single_partition_exchanges_are_declared(spark):
         if "Exchange SinglePartition" in plan:
             got.add(key)
     assert got <= _SINGLE_PARTITION_OK, f"undeclared: {sorted(got - _SINGLE_PARTITION_OK)}"
+
+
+def test_band_join_is_shuffled_equi_join(spark):
+    # join_band_bucketed exists to replace the BroadcastNestedLoopJoin
+    # band join with a bin-keyed equi-join: the plan must contain a
+    # hash/sort-merge join and no nested-loop at all.
+    from basis_spark.operators import joins
+
+    plan = _plan(joins.join_band_bucketed(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
