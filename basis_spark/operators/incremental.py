@@ -433,3 +433,50 @@ def incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(F.coalesce("ok", "nk").alias("o_orderkey"), change.alias("change"))
         .filter(F.col("change") != "unchanged")
     )
+
+
+@register(
+    "incremental_scd2",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    runs AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from
+        FROM chg WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               IS NULL AS is_current
+    FROM runs
+    """,
+)
+def incremental_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from an event log: one
+    validity-interval row per (user, run of equal event_type), with
+    valid_from/valid_to/is_current — the warehouse-dimension complement
+    of the type-1 latest-wins ops (merge_upsert, stream_upsert_cdc).
+
+    Two windows on the SAME user_id partitioning (change-point filter
+    via lag, interval close via lead) — Catalyst reuses the exchange,
+    so the whole build is one shuffle; both frames are streaming, state
+    O(1) per user. At 100 TB the change-point filter also collapses the
+    data first: output rows = attribute changes, not events."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    runs = chg.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    vt = F.lead("valid_from").over(w2)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        vt.alias("valid_to"),
+        vt.isNull().alias("is_current"),
+    )

@@ -513,3 +513,44 @@ def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("d").cast("int").alias("quarter"),
         (F.weekday("d") >= 5).alias("is_weekend"),
     )
+
+
+@register(
+    "scan_schema_evolution_merge",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN '<pre-schema>' ELSE event_type END
+               AS event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: a lake dir whose early files predate a
+    column (here event_type) must still scan as one table. Two file
+    generations are written (gen=0 without the column, gen=1 with it)
+    and read back with mergeSchema=true — Spark unions the footer
+    schemas and null-fills the missing column for old files; the oracle
+    recomputes the same split from the source arithmetic. At 100 TB
+    mergeSchema's footer sweep is the cost to watch: production pins
+    the schema from the metastore and only new-column reads pay it.
+    applicationId-scoped scratch, guarded write."""
+    out = os.path.join(
+        scratch_dir("schema_evolution"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        ev = load(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "gen=0"))
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+        open(done, "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=0"), os.path.join(out, "gen=1")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("<pre-schema>")).alias("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))

@@ -281,3 +281,24 @@ def test_compression_ratio_matches_local_zlib(spark):
         b = row.text.encode("utf-8")
         want = round(len(zlib.compress(b, 6)) / max(1, len(b)), 6)
         assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+
+
+def test_pca_gramian_matches_numpy(spark):
+    """embeddings_pca_power (rows-only tier): the distributed-Gramian +
+    local-eigh principal direction must align with a direct numpy
+    eigendecomposition of X^T X to |cos| >= 0.9999."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from basis_spark.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    out = QUERIES["embeddings_pca_power"](spark, SF_ORACLE).orderBy("d").collect()
+    v = np.array([r["loading"] for r in out])
+    X = np.array(
+        pq.read_table(f"{SF_ORACLE}/embeddings.parquet").column("embedding").to_pylist()
+    )
+    _, V = np.linalg.eigh(X.T @ X)
+    top = V[:, -1]
+    assert len(out) == X.shape[1]
+    assert abs(v @ top) / np.linalg.norm(v) >= 0.9999
