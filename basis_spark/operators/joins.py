@@ -647,3 +647,54 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_gap"),
         )
     )
+
+
+@register(
+    "join_point_in_time_state",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type <> 'purchase' THEN event_type END AS state,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+        FROM events),
+    x AS (
+        SELECT user_id, ts, event_id, purchase_id,
+               last_value(state IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS state_at
+        FROM u)
+    SELECT purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts, state_at
+    FROM x WHERE purchase_id IS NOT NULL AND state_at IS NOT NULL
+    """,
+)
+def join_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join of facts to an SCD2-style state
+    stream: each purchase is joined to the browsing state (last
+    non-purchase event type) the user was in strictly before it — the
+    ML-feature-store rule that forbids looking into the future.
+
+    Same union + ignore-nulls-last window shape as join_asof: both
+    sides land in ONE user_id shuffle and a streaming frame resolves
+    every fact against the interval covering it — no range join, no
+    per-fact dim probe. Equivalent to joining the materialized
+    incremental_scd2 intervals on valid_from <= ts < valid_to, but the
+    fused form never builds the interval table."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("state"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_id"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = u.withColumn("state_at", F.last("state", ignorenulls=True).over(w))
+    return x.filter(
+        F.col("purchase_id").isNotNull() & F.col("state_at").isNotNull()
+    ).select("purchase_id", "user_id", "ts", "state_at")

@@ -1837,3 +1837,79 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i), float(round(x, 6))) for i, x in enumerate(top)],
         "d int, loading double",
     )
+
+
+@register(
+    "text_containment_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM tok WHERE len(t) >= 5),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / sa.sz, 6) AS containment_ab,
+           round(inter * 1.0 / sb.sz, 6) AS containment_ba
+    FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / sa.sz >= 0.5 OR inter * 1.0 / sb.sz >= 0.5
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: 5-gram containment C(A->B) =
+    |A ∩ B| / |A| in both directions, keeping pairs where either side
+    is >=50% contained — catches a short doc quoted inside a long one,
+    which symmetric Jaccard dilutes below any threshold (Jaccard of a
+    50-gram doc inside a 1000-gram doc is <=0.05; its containment
+    is 1.0).
+
+    Pair generation is the gram-keyed self-join, so candidate width is
+    SHARED-gram mass — token 5-grams are selective even on this tiny
+    vocabulary (25 surviving pairs from 500 docs). At 100 TB the gram
+    key becomes xxhash64 and ultra-frequent grams (boilerplate) get
+    capped the same way dedup_source_crossdup documents; the two
+    broadcast-sized size joins are per-doc aggregates."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 5)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, 5), " "),
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    cab = F.col("inter") / F.col("sza")
+    cba = F.col("inter") / F.col("szb")
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter((cab >= 0.5) | (cba >= 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cab, 6).alias("containment_ab"),
+            F.round(cba, 6).alias("containment_ba"),
+        )
+    )

@@ -554,3 +554,48 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy(
         F.coalesce(F.col("event_type"), F.lit("<pre-schema>")).alias("event_type")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+@register(
+    "incremental_backfill_partition",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                          ELSE value END), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def incremental_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill: recompute ONE partition of a
+    hive-partitioned lake table and INSERT OVERWRITE just that
+    partition (partitionOverwriteMode=dynamic), leaving every other
+    partition's files untouched — the correction-job pattern (reprocess
+    yesterday, never rewrite the table).
+
+    Here the 'click' partition is backfilled with doubled values; the
+    read-back aggregate proves clicks changed and the other four
+    partitions didn't. STATIC overwrite mode (the default) would have
+    dropped them — that distinction is the whole operator. At 100 TB
+    dynamic overwrite scopes the commit to the touched partitions, so
+    backfill cost tracks the correction, not the table.
+    applicationId-scoped scratch, guarded."""
+    out = os.path.join(
+        scratch_dir("backfill"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        ev = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        fixed = ev.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        fixed.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("event_type").parquet(out)
+        open(done, "w").close()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
