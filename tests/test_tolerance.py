@@ -302,3 +302,22 @@ def test_pca_gramian_matches_numpy(spark):
     top = V[:, -1]
     assert len(out) == X.shape[1]
     assert abs(v @ top) / np.linalg.norm(v) >= 0.9999
+
+
+def test_cosine_neardup_lsh_recall(spark):
+    """dedup_cosine_neardup_lsh (rows-only tier): the banded-LSH pair
+    set must recover >= 0.8 of the brute-force pairs at the same
+    threshold, with no false positives (exact re-rank)."""
+    from basis_spark.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    brute = {
+        (r["i"], r["j"]) for r in QUERIES["dedup_cosine_neardup"](spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r["i"], r["j"])
+        for r in QUERIES["dedup_cosine_neardup_lsh"](spark, SF_ORACLE).collect()
+    }
+    assert brute, "brute pair set is empty; recall vacuous"
+    assert lsh <= brute, "exact re-rank must not admit false positives"
+    assert len(lsh & brute) / len(brute) >= 0.8
