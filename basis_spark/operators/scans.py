@@ -599,3 +599,58 @@ def incremental_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFram
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+def _zorder_terms_sql() -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(((user_id % 256) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(
+            f"(((CAST(floor(value) AS BIGINT) % 256) >> {i}) & 1) * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "maintenance_zorder_cluster",
+    oracle=f"""
+    SELECT ({_zorder_terms_sql()}) // 1024 AS z_bucket,
+           count(*) AS n,
+           CAST(min(user_id % 256) AS BIGINT) AS min_x,
+           CAST(max(user_id % 256) AS BIGINT) AS max_x,
+           CAST(min(CAST(floor(value) AS BIGINT) % 256) AS BIGINT) AS min_y,
+           CAST(max(CAST(floor(value) AS BIGINT) % 256) AS BIGINT) AS max_y
+    FROM events GROUP BY 1
+    """,
+)
+def maintenance_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimension clustering — the lake layout
+    trick behind Delta/Iceberg OPTIMIZE ZORDER BY: interleaving the
+    bits of two bucketed dimensions gives ONE sort key whose contiguous
+    ranges are small bounding boxes in BOTH dimensions, so min/max
+    file stats prune scans filtered on either column. The oracle
+    hash-checks the Morton arithmetic (per-z-bucket counts and
+    bounding boxes); the layout benefit itself — per-FILE bounding-box
+    area after repartitionByRange(z) vs a single-column sort — is
+    asserted in tests/test_property.py (file boundaries are invisible
+    to DuckDB). At 100 TB this runs as the compaction job's sort key:
+    same one range shuffle maintenance_compact_files pays anyway."""
+    ev = load(spark, sf_dir, "events")
+    bx = F.pmod(F.col("user_id"), 256)
+    by = F.pmod(F.floor(F.col("value")).cast("long"), 256)
+    z = None
+    for i in range(8):
+        tx = F.shiftright(bx, i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        ty = F.shiftright(by, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+        z = tx + ty if z is None else z + tx + ty
+    return (
+        ev.select(bx.alias("x"), by.alias("y"), z.alias("z"))
+        .groupBy((F.col("z") / 1024).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

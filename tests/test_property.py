@@ -329,3 +329,71 @@ def test_sessionizer_heavy_user(spark, tmp_path_factory):
     light = out[out.user_id == 1]
     assert len(light) == 1
     assert light.n_events.iloc[0] == 5 and light.dur_seconds.iloc[0] == 240.0
+
+
+@given(cutoff=st.integers(min_value=0, max_value=400000))
+@settings(**SETTINGS)
+def test_global_rank_exact_under_filters(spark, duck, cutoff):
+    """windows.global_rank (the distributed two-pass exact rank behind
+    win_ntile_pctile and agg_hist_equi_depth) must equal a plain SQL
+    row_number for arbitrary subsets — gapless, 1-based, tie-free."""
+    from basis_spark.operators.windows import global_rank
+
+    df = (
+        load(spark, SF_ORACLE, "orders")
+        .filter(F.col("o_totalprice") > cutoff)
+        .select("o_orderkey", "o_totalprice")
+    )
+    ranked = global_rank(df, "o_totalprice", "o_orderkey").select(
+        "o_orderkey", F.col("rank").cast("long").alias("rank")
+    )
+    sql = f"""
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+        FROM orders WHERE o_totalprice > {cutoff}
+    """
+    compare_frames(ranked, duck, sql, key=f"prop_global_rank[{cutoff}]")
+
+
+def test_zorder_layout_shrinks_bounding_boxes(spark, tmp_path):
+    """The point of maintenance_zorder_cluster: files laid out by the
+    Morton key are prunable on BOTH dimensions, while a single-column
+    sort leaves the second dimension's per-file span at full width
+    (raw box AREA is the wrong metric - thin full-width slabs can beat
+    squares on area while a filter on y still has to read every file).
+    Pinned per dimension: under z-order the mean per-file y-span is
+    less than half the x-sorted layout's (where it is the full domain),
+    and the x-span stays bounded below half the domain too."""
+    from basis_spark.io import load as _load
+
+    ev = _load(spark, SF_ORACLE, "events")
+    bx = F.pmod(F.col("user_id"), 256)
+    by = F.pmod(F.floor(F.col("value")).cast("long"), 256)
+    z = None
+    for i in range(8):
+        tx = F.shiftright(bx, i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        ty = F.shiftright(by, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+        z = tx + ty if z is None else z + tx + ty
+    base = ev.select(bx.alias("x"), by.alias("y"), z.alias("z"))
+
+    def mean_spans(sort_col, label):
+        out = str(tmp_path / label)
+        base.repartitionByRange(16, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        ).write.parquet(out)
+        per_file = (
+            spark.read.parquet(out)
+            .groupBy(F.col("_metadata.file_name").alias("f"))
+            .agg(
+                (F.max("x") - F.min("x") + 1).alias("sx"),
+                (F.max("y") - F.min("y") + 1).alias("sy"),
+            )
+        )
+        r = per_file.agg(F.avg("sx"), F.avg("sy")).collect()[0]
+        return r[0], r[1]
+
+    zx, zy = mean_spans("z", "by_z")
+    lx, ly = mean_spans("x", "by_x")
+    assert zy < ly / 2, (zy, ly)
+    assert zx < 128, zx
+    assert lx < zx  # the single-dim sort is still best for its own column
