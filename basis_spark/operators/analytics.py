@@ -527,3 +527,38 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.round(gap, 6).alias("gap_seconds"),
     )
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b
+        FROM events),
+    cnt AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY 1, 2)
+    SELECT a, b, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY a), 6) AS p
+    FROM cnt
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = b | current = a) — the path-analysis /
+    anomaly-baseline staple (event_path_trigrams' order-2 sibling).
+    One user_id shuffle for the lead window; the (a, b) aggregation
+    and the row-normalizing window both run on the 25-cell matrix —
+    bounded by the type vocabulary, scale-free after the first agg."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    )
+    cnt = seq.filter(F.col("b").isNotNull()).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("a")
+    return cnt.select(
+        "a", "b", "n", F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p")
+    )

@@ -698,3 +698,68 @@ def join_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.filter(
         F.col("purchase_id").isNotNull() & F.col("state_at").isNotNull()
     ).select("purchase_id", "user_id", "ts", "state_at")
+
+
+@register(
+    "join_asof_forward_nearest",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_ts,
+               min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_ts
+        FROM events)
+    SELECT user_id, event_id, ts, back_ts, fwd_ts,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch(ts - back_ts) <= epoch(fwd_ts - ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join direction variants (pandas merge_asof direction=
+    'backward'|'forward'|'nearest' parity) in ONE pass: the backward
+    match is the running max over the preceding frame (join_asof's
+    shape), the forward match is the running min over the FOLLOWING
+    frame on the same sort — both frames are streaming aggregates over
+    one user_id sort, so adding the forward direction costs zero extra
+    shuffles — and 'nearest' is arithmetic over the two. Ties (equal
+    gap both sides) resolve backward, matching pandas."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    order = [F.col("ts"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(wb).alias("back_ts"),
+        F.min(click_ts).over(wf).alias("fwd_ts"),
+    )
+    back_gap = F.col("ts").cast("double") - F.col("back_ts").cast("double")
+    fwd_gap = F.col("fwd_ts").cast("double") - F.col("ts").cast("double")
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(back_gap <= fwd_gap, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "back_ts", "fwd_ts", nearest.alias("nearest_ts")
+    )
