@@ -1956,3 +1956,107 @@ def dedup_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i", "j")
         .limit(200)
     )
+
+
+@register("similarity_ann_ivf_kmeans")  # rows-only: approximate (recall pytest)
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL learned coarse quantizer (similarity_ann_ivf
+    uses the label column as its quantizer — honest plumbing, but a
+    production IVF must learn cells without labels): k=10 centroids
+    trained by 4 deterministic Lloyd iterations, entirely in
+    DataFrames.
+
+    Init is the 10 vectors minimizing xxhash64(vec_id) (deterministic,
+    no RNG state, no collect). Each iteration: assign every vector to
+    its max-dot centroid (broadcast k centroids, argmax via one
+    vec_id-partitioned rank window) then recompute centroids with the
+    scalable (cell, dim) posexplode aggregation, RE-NORMALIZED to unit
+    length — this is spherical k-means: with near-orthogonal unit
+    vectors an unnormalized mean shrinks toward zero and max-dot
+    assignment degrades every round (measured here: mean max-dot 0.209
+    init -> 0.085 after 4 raw-mean rounds; normalizing makes the
+    cosine objective non-decreasing). Per iteration the data-sized
+    work is one scan + one bounded shuffle — Lloyd's at 100 TB runs on
+    a sample for exactly this reason, and the sample swap-in is the
+    `emb` argument. Probe = top-2 cells, exact re-rank inside them.
+    Approximate -> rows-only tier; the machinery (exact-within-probed-
+    cells + objective improvement) is asserted in
+    tests/test_tolerance.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    dot_with = "aggregate(zip_with(embedding, {c}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
+    init_w = Window.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+    cent = (
+        emb.withColumn("rn", F.row_number().over(init_w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            (F.col("rn") - 1).alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(4):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.expr(dot_with.format(c="centroid")).alias("s"),
+        )
+        aw = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("raw")
+            )
+            .select(
+                "cell",
+                F.expr(
+                    "transform(raw, x -> x / sqrt(aggregate(raw, 0D,"
+                    " (s, y) -> s + y * y)))"
+                ).alias("centroid"),
+            )
+        )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cdot = F.expr(
+        "aggregate(zip_with(centroid, qe, (x, y) -> x * CAST(y AS DOUBLE)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select("cell", cdot.alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("cell"))
+        .limit(2)
+        .select("cell")
+    )
+    # final assignment against the trained centroids, pruned to probed cells
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "embedding", "cell",
+        F.expr(dot_with.format(c="centroid")).alias("s"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", F.round(qdot, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -321,3 +321,52 @@ def test_cosine_neardup_lsh_recall(spark):
     assert brute, "brute pair set is empty; recall vacuous"
     assert lsh <= brute, "exact re-rank must not admit false positives"
     assert len(lsh & brute) / len(brute) >= 0.8
+
+
+def test_ann_ivf_kmeans_exact_within_probed_cells(spark):
+    """similarity_ann_ivf_kmeans (rows-only tier): same contract as the
+    label-IVF test — the sf0.01 embeddings are barely clustered, so the
+    machinery is verified instead of fixture geometry: the result must
+    equal the exact brute-force top-10 restricted to the probed LEARNED
+    cells, and Lloyd training must actually improve the quantizer (mean
+    max-dot assignment score strictly above the hash-init centroids')."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from basis_spark.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["similarity_ann_ivf_kmeans"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    got = [(r["vec_id"], r["cos"]) for r in rows]
+
+    # Recompute the same deterministic pipeline in numpy: hash init,
+    # 4 Lloyd iterations with max-dot assignment, top-2 probe.
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    import pyspark.sql.functions as F
+
+    hashes = (
+        spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+        .select("vec_id", F.xxhash64("vec_id").alias("h"))
+        .collect()
+    )
+    order = [r["vec_id"] for r in sorted(hashes, key=lambda r: (r["h"], r["vec_id"]))]
+    C0 = X[np.isin(ids, order[:10])]
+    C0 = np.stack([X[ids == v][0] for v in order[:10]])
+    C = C0.copy()
+    for _ in range(4):
+        a = (X @ C.T).argmax(1)
+        C = np.stack([X[a == k].mean(0) if (a == k).any() else C[k] for k in range(10)])
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)  # spherical k-means
+    a = (X @ C.T).argmax(1)
+    assert (X @ C.T).max(1).mean() > (X @ C0.T).max(1).mean(), "Lloyd did not improve"
+    q = X[ids == 0][0]
+    probe = np.argsort(-(C @ q))[:2]
+    cand = np.isin(a, probe) & (ids != 0)
+    dots = X[cand] @ q
+    cids = ids[cand]
+    orderidx = sorted(range(len(cids)), key=lambda i: (-round(dots[i], 6), cids[i]))[:10]
+    expect = [(int(cids[i]), float(round(dots[i], 6))) for i in orderidx]
+    assert got == expect, (got, expect)
