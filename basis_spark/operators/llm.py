@@ -2060,3 +2060,80 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "text_span_dup_mass",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, i AS start, array_to_string(t[i:i+4], ' ') AS g
+        FROM tok, unnest(range(1, len(t) - 3)) AS u(i)
+        WHERE len(t) >= 5),
+    firstdoc AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+    dup AS (
+        SELECT gr.doc_id, gr.start
+        FROM grams gr JOIN firstdoc f ON gr.g = f.g
+        WHERE f.first_doc < gr.doc_id),
+    cov AS (
+        SELECT DISTINCT doc_id, start + o AS pos
+        FROM dup, unnest(range(0, 5)) AS v(o)),
+    sizes AS (SELECT doc_id, len(t) AS n_tokens FROM tok)
+    SELECT s.doc_id, s.n_tokens,
+           CAST(coalesce(count(c.pos), 0) AS BIGINT) AS n_dup_tokens,
+           round(coalesce(count(c.pos), 0) * 1.0 / s.n_tokens, 6) AS dup_mass
+    FROM sizes s LEFT JOIN cov c ON s.doc_id = c.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def text_span_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate mass per doc — the diagnostic behind
+    substring/span dedup (Lee et al.'s 'Deduplicating Training Data'
+    family): the fraction of a doc's tokens covered by at least one
+    token 5-gram that FIRST occurred in an earlier doc. dup_mass 1.0 =
+    the doc is entirely stitched from earlier material (drop it);
+    fractional values say how much a span-level pass would trim where
+    doc-level dedup keeps the doc.
+
+    Pipeline: grams with start positions (JVM transform), first-doc
+    ownership via one gram-keyed aggregation joined back (shuffle
+    width = gram mass), covered positions by exploding each duplicated
+    gram's 5-position span and distinct-ing — overlap-correct by
+    construction. At 100 TB: xxhash64 gram keys and a frequency cap on
+    boilerplate grams, as the other gram ops document."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 5)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice(F.col("t"), i, 5), " ").alias("g"),
+                ),
+            )
+        ).alias("sg"),
+    ).select("doc_id", F.col("sg.start").alias("start"), F.col("sg.g").alias("g"))
+    firstdoc = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    dup = (
+        grams.join(firstdoc, "g")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "start")
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + 4)).alias("pos"),
+    ).distinct()
+    sizes = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        sizes.join(cov, "doc_id", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("pos").alias("n_dup_tokens"),
+            F.round(F.count("pos") / F.col("n_tokens"), 6).alias("dup_mass"),
+        )
+    )

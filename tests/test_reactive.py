@@ -114,3 +114,26 @@ def test_partial_input_freshness(spark, tmp_path):
     r.poll()
     assert seen == [(True, False), (False, True)]
     assert r.read("merged").count() == 30
+
+
+def test_crash_between_block_and_commit_replays_not_skips(spark, tmp_path):
+    """Recovery contract: consumption state commits AFTER the output
+    block lands, so a crash between the two re-processes the increment
+    (at-least-once — a duplicate block readers dedupe) but never skips
+    one. Simulated by deleting the consumption state a completed poll
+    wrote."""
+    import os
+
+    r = Reactor(spark, str(tmp_path))
+    r.source("raw")
+    r.node("out", lambda inc: inc.select("event_id"), ["raw"])
+    r.feed("raw", _events_slice(spark, 0, 100))
+    r.poll()
+    assert r.n_blocks("out") == 1
+
+    os.remove(str(tmp_path / "out" / "_consumed.json"))  # crash before commit
+    assert set(r.poll()) == {"out"}, "lost state must trigger replay"
+    assert r.n_blocks("out") == 2  # duplicate block, nothing silently merged
+    assert r.read("out").count() == 200
+    assert r.read("out").dropDuplicates(["event_id"]).count() == 100
+    assert r.poll() == {}  # recommitted; no further replay
