@@ -515,25 +515,11 @@ def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scan_schema_evolution_merge",
-    oracle="""
-    SELECT CASE WHEN event_id % 2 = 0 THEN '<pre-schema>' ELSE event_type END
-               AS event_type,
-           count(*) AS n, round(sum(value), 2) AS sum_value
-    FROM events GROUP BY 1
-    """,
-)
-def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-on-read evolution: a lake dir whose early files predate a
-    column (here event_type) must still scan as one table. Two file
-    generations are written (gen=0 without the column, gen=1 with it)
-    and read back with mergeSchema=true — Spark unions the footer
-    schemas and null-fills the missing column for old files; the oracle
-    recomputes the same split from the source arithmetic. At 100 TB
-    mergeSchema's footer sweep is the cost to watch: production pins
-    the schema from the metastore and only new-column reads pay it.
-    applicationId-scoped scratch, guarded write."""
+def _schema_evolution_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two file generations of the events lake: gen=0 predates the
+    event_type column, gen=1 carries it. applicationId-scoped scratch,
+    guarded write; shared by scan_schema_evolution_merge and
+    schema_drift_report."""
     out = os.path.join(
         scratch_dir("schema_evolution"),
         f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
@@ -548,9 +534,29 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "value", "event_type"
         ).write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
         open(done, "w").close()
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(out, "gen=0"), os.path.join(out, "gen=1")
-    )
+    return os.path.join(out, "gen=0"), os.path.join(out, "gen=1")
+
+
+@register(
+    "scan_schema_evolution_merge",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN '<pre-schema>' ELSE event_type END
+               AS event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: a lake dir whose early files predate a
+    column (here event_type) must still scan as one table. Two file
+    generations (see _schema_evolution_dirs) are read back with
+    mergeSchema=true — Spark unions the footer schemas and null-fills
+    the missing column for old files; the oracle recomputes the same
+    split from the source arithmetic. At 100 TB mergeSchema's footer
+    sweep is the cost to watch: production pins the schema from the
+    metastore and only new-column reads pay it."""
+    g0, g1 = _schema_evolution_dirs(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(g0, g1)
     return merged.groupBy(
         F.coalesce(F.col("event_type"), F.lit("<pre-schema>")).alias("event_type")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -653,4 +659,59 @@ def maintenance_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("min_y"),
             F.max("y").alias("max_y"),
         )
+    )
+
+
+@register(
+    "source_arrow_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow interchange roundtrip (the reference's dcp converts blocks
+    along a records <-> DataFrame <-> Arrow <-> storage graph; this is
+    the Arrow leg): DataFrame -> pyarrow.Table (df.toArrow) -> back via
+    createDataFrame. Arrow is the CLIENT/interchange format — toArrow
+    materializes on the driver by design, so this is the typed,
+    zero-copy-ish analogue of source_records, not a lake sink; the
+    parquet/orc/json ops cover the distributed storage legs. Value
+    fidelity (int64/double/string) is what the oracle hash pins."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    return spark.createDataFrame(cust.toArrow())
+
+
+@register(
+    "schema_drift_report",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('event_id', 'bigint', 'bigint', 'kept'),
+        ('value', 'double', 'double', 'kept'),
+        ('event_type', NULL, 'string', 'added'))
+        AS t(column_name, gen0_type, gen1_type, status)
+    """,
+)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift between two file generations of the same table:
+    per column, its type in each generation and an added / removed /
+    type_changed / kept status — the report a lake catalog runs before
+    deciding whether a merge/evolution is safe or breaking. Pure
+    metadata work (two parquet footer reads), so it is driver-side by
+    nature; the oracle pins the expected report for the evolution the
+    fixture generations encode."""
+    g0, g1 = _schema_evolution_dirs(spark, sf_dir)
+    s0 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(g0).schema}
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(g1).schema}
+    rows = []
+    for c in sorted(set(s0) | set(s1)):
+        t0, t1 = s0.get(c), s1.get(c)
+        status = (
+            "added" if t0 is None
+            else "removed" if t1 is None
+            else "kept" if t0 == t1
+            else "type_changed"
+        )
+        rows.append((c, t0, t1, status))
+    return spark.createDataFrame(
+        rows, "column_name string, gen0_type string, gen1_type string, status string"
     )
