@@ -480,3 +480,57 @@ def incremental_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt.alias("valid_to"),
         vt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "stream_reactive_bridge",
+    oracle="""
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def stream_reactive_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference model in one operator: Structured Streaming
+    INGESTION feeding the REACTIVE graph. Each file-source micro-batch
+    (one basis-style block) lands in a Reactor source via foreachBatch,
+    and poll() propagates it through a transform node into append-only
+    output blocks — so the streaming side owns delivery/exactly-once
+    bookkeeping (its checkpoint) while the reactive side owns
+    at-most-once per-consumer propagation (its consumption
+    watermarks). The accumulated downstream state must equal the batch
+    recompute the oracle runs. applicationId-scoped block store: built
+    once per session, replayed reads after."""
+    import os
+
+    from basis_spark.io import scratch_dir
+    from basis_spark.reactive import Reactor
+    from basis_spark.streaming.jobs import _read_stream, split_events_to_chunks
+
+    base = os.path.join(
+        scratch_dir("reactive_bridge"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    r = Reactor(spark, base)
+    r.source("raw")
+    r.node(
+        "clicks",
+        lambda inc: inc.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.round("value", 2).alias("value")
+        ),
+        ["raw"],
+    )
+    if r.n_blocks("raw") == 0:
+        chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+        s = _read_stream(spark, chunk_dir)
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            r.feed("raw", batch_df)
+            r.poll()
+
+        q = (
+            s.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=300), "bridge stream timed out (300s)"
+    return r.read("clicks")
