@@ -743,3 +743,38 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_cont"),
     )
+
+
+@register(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(any_value(m), 6) AS median_value,
+           round(quantile_cont(abs(e.value - m), 0.5), 6) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY 1
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    outlier pipelines use where stddev is poisoned by the outliers
+    themselves. Two chained aggregations on the SAME event_type key
+    (median, then median of |x - m|), so the second groupBy reuses the
+    first's partitioning; the 5-row median table broadcasts back.
+    Exact percentile here; approx_percentile is the documented swap-in
+    at 100 TB (same shape, sketch-mergeable)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("m"), 6).alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)), 6
+            ).alias("mad"),
+        )
+    )

@@ -701,3 +701,26 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
+
+
+@register(
+    "win_zscore_normalize",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+    FROM events
+    """,
+)
+def win_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (z = (x - mu_g) / sigma_g) as an
+    unordered analytic window — the ML feature-normalization staple.
+    One event_type shuffle; the whole-partition frame computes mu and
+    sigma in the same pass as the projection, no separate stats join.
+    (When the group count is small, the groupBy-stats + broadcast-join
+    form agg_mad_robust uses is the alternative; the window form wins
+    when groups are many and a second scan is the cost to avoid.)"""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "user_id", F.round(z, 6).alias("z"))
