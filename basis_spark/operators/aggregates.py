@@ -778,3 +778,39 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(avg(e.value), 6) AS raw_mean,
+           round(avg(least(greatest(e.value, lo), hi)), 6) AS winsorized_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY 1
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group (values clipped at p05/p95 before
+    averaging) next to the raw mean — agg_mad_robust's companion for
+    outlier-tolerant pipelines. Same shape: exact per-group percentile
+    boundaries (5 rows) broadcast back, clip + avg in one reused
+    event_type aggregation; approx_percentile is the 100 TB swap-in."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+        )
+    )

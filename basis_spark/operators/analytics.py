@@ -562,3 +562,53 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.select(
         "a", "b", "n", F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p")
     )
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY 1)
+    SELECT o_custkey,
+           CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintile scores
+    per customer — the classic CRM cut. Each quintile is an EXACT
+    SQL-ntile over the per-customer rollup, computed with the
+    distributed two-pass rank (windows.global_rank — no
+    single-partition sort) per dimension; the three ranked frames join
+    back on custkey. The ranked table is customer-sized (already
+    reduced from orders), so three range shuffles of it are cheap
+    relative to the one orders scan."""
+    from basis_spark.operators.windows import exact_ntile, global_rank
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    out = None
+    for col, score in (
+        ("last_order", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        ranked = global_rank(base.select("o_custkey", col), col, "o_custkey").select(
+            "o_custkey",
+            exact_ntile(F.col("rank"), F.col("n_total"), 5).alias(score),
+        )
+        out = ranked if out is None else out.join(ranked, "o_custkey")
+    return out
