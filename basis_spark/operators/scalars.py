@@ -606,3 +606,34 @@ def str_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "str_pad_format",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(c_mktsegment, 12, '.') AS seg_cell,
+           printf('%s#%06d=%.2f', c_mktsegment, c_custkey, c_acctbal)
+               AS display,
+           repeat('*', CAST(c_nationkey % 5 AS INT)) AS stars
+    FROM customer
+    """,
+)
+def str_pad_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding / printf-style formatting parity (report and fixed-width
+    export surfaces): lpad/rpad/format_string/repeat — all JVM, map
+    only. Dialect note pinned by the oracle: Spark's format_string is
+    java.util.Formatter, DuckDB's printf is C printf; the common subset
+    (%s, zero-padded %d, %.2f) renders identically and is what the op
+    declares."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_cell"),
+        F.format_string(
+            "%s#%06d=%.2f", F.col("c_mktsegment"), F.col("c_custkey"), F.col("c_acctbal")
+        ).alias("display"),
+        F.repeat(F.lit("*"), F.pmod(F.col("c_nationkey"), 5).cast("int")).alias("stars"),
+    )
