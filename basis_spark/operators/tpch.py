@@ -792,23 +792,32 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND c_acctbal > (
           SELECT avg(c_acctbal) FROM customer
           WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY c_nationkey
     """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22 global sales opportunity: rich customers with no orders.
+    """Q22 global sales opportunity: rich customers with no RECENT
+    orders (none since 2001-01-01 — the fixture's final 7 months).
 
-    Adaptation: phone-prefix country codes -> c_nationkey membership (no
-    c_phone column). Shape faithful: scalar-avg subquery (computed as a
-    1-row cross-joined aggregate, which Spark broadcasts), NOT EXISTS ->
-    left-anti join against orders."""
+    Adaptations: phone-prefix country codes -> c_nationkey membership
+    (no c_phone column); and the reference's "no orders at all" is
+    recency-scoped because EVERY fixture customer has orders at sf0.01,
+    which made the round-1..3 form return 0 rows — a vacuous oracle
+    pass (0 == 0) that hid nothing only by luck (found by the round-4
+    zero-row oracle audit). Shape faithful: scalar-avg subquery
+    (1-row cross-joined aggregate, broadcast), NOT EXISTS ->
+    left-anti join against the filtered orders."""
     nats = [0, 1, 2, 3, 4, 5, 6]
     cust = load(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nats))
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("_avg_bal")
     )
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2001-01-01")
+    )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))

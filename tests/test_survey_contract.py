@@ -35,3 +35,15 @@ def test_survey_matches_registry_both_directions():
 
 def test_every_oracle_key_is_registered():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_no_vacuous_oracles(duck):
+    """Every oracle must return at least one row at sf0.01: a 0-row
+    oracle hash-matches ANY implementation that also returns nothing
+    (tpch_q22 sat vacuously green for three rounds this way — every
+    fixture customer has orders, so its NOT EXISTS never fired until
+    the predicate was recency-scoped in r4)."""
+    from basis_spark.registry import ORACLES
+
+    empty = [k for k, sql in ORACLES.items() if not duck.execute(sql).fetchall()]
+    assert empty == [], f"vacuous (0-row) oracles: {empty}"
