@@ -814,3 +814,37 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 6).alias("winsorized_mean"),
         )
     )
+
+
+@register("sketch_count_min")  # approximate -> rows-only; bounds in test_tolerance.py
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode/Muthukrishnan) per-user event counts:
+    d=4 hash rows x w=256 counters, est(k) = min_d counter[d][h_d(k)].
+    Always >= the true count; excess is bounded by ~N/w per row w.h.p.
+
+    The sketch itself is the scale story: the counter table is d*w rows
+    TOTAL regardless of stream size (one map-side-combined shuffle on
+    (row, bucket) builds it), so merging per-partition/per-day sketches
+    is a d*w-sized union — the mergeable-summaries contract that lets a
+    100 TB stream keep heavy-hitter counts in KBs of state. The probe
+    joins the distinct-key table to the broadcast counter table and
+    takes the min across rows. Hashes are seeded xxhash64 —
+    deterministic, so the rows-only tier is stable run to run."""
+    D, W = 4, 256
+    ev = load(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("r")
+    cells = (
+        ev.select("user_id", rows)
+        .select("user_id", "r", F.pmod(F.xxhash64("user_id", "r"), F.lit(W)).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = ev.select("user_id").distinct()
+    probe = keys.select(
+        "user_id", rows
+    ).select("user_id", "r", F.pmod(F.xxhash64("user_id", "r"), F.lit(W)).alias("b"))
+    return (
+        probe.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+    )

@@ -612,3 +612,158 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ranked if out is None else out.join(ranked, "o_custkey")
     return out
+
+
+@register(
+    "event_funnel_window",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+                     AND e.ts <= v.t + INTERVAL 24 HOUR
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+                     AND e.ts <= c.t + INTERVAL 24 HOUR
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 2, 'view>click<24h', count(*) FROM c
+        UNION ALL SELECT 3, 'view>click>purchase<24h', count(*) FROM p) t
+    """,
+)
+def event_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: each stage must land within 24h
+    of the previous stage's first event (the form marketing attribution
+    actually uses — an unbounded funnel overcounts conversions that
+    happen weeks later). Same single-shuffle-key shape as event_funnel:
+    three min-aggregations on user_id; the window predicate rides the
+    join condition, so no extra pass over events."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_within(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = (
+                e.join(prev, "user_id")
+                .filter(
+                    (F.col("ts") > F.col("t"))
+                    & (F.col("ts") <= F.col("t") + F.expr("INTERVAL 24 HOURS"))
+                )
+                .drop("t")
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_within("view", None)
+    c = first_within("click", v)
+    p = first_within("purchase", c)
+    out = v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+    for df, stage in ((c, "view>click<24h"), (p, "view>click>purchase<24h")):
+        out = out.unionByName(
+            df.agg(F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+    return out
+
+
+def _pagerank_oracle(iters: int, d: float) -> str:
+    """Unrolled power-iteration PageRank as DuckDB CTEs (one block per
+    iteration — DuckDB has no mutable iteration outside recursive CTEs,
+    and unrolling keeps each step a plain aggregate the oracle and the
+    Spark loop share term-for-term)."""
+    head = f"""
+    WITH edges_raw AS (
+        SELECT src, dst, count(*) AS c FROM (
+            SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                   event_type AS dst
+            FROM events) t
+        WHERE src IS NOT NULL GROUP BY src, dst),
+    edges AS (
+        SELECT src, dst, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY src) AS p
+        FROM edges_raw),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges UNION SELECT dst FROM edges) u),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    blocks = []
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        blocks.append(f"""
+    dang{i} AS (SELECT COALESCE(sum(r.rank), 0) AS dm FROM {prev} r
+                WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = r.node)),
+    c{i} AS (SELECT e.dst AS node, sum(r.rank * e.p) AS contrib
+             FROM {prev} r JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    {cur} AS (SELECT n.node,
+                     (1 - {d}) / nn.n
+                     + {d} * (COALESCE(c.contrib, 0) + dang{i}.dm / nn.n) AS rank
+              FROM nodes n CROSS JOIN nn CROSS JOIN dang{i}
+              LEFT JOIN c{i} c ON c.node = n.node)""")
+    return (
+        head
+        + ","
+        + ",".join(blocks)
+        + f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters}"""
+    )
+
+
+_PAGERANK_ITERS, _PAGERANK_D = 5, 0.85
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(_PAGERANK_ITERS, _PAGERANK_D))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (damping 0.85,
+    5 power iterations, dangling mass redistributed uniformly).
+
+    The scale split: edge extraction is the only data-sized stage — one
+    window over (user_id, ts) then a groupBy(src, dst), i.e. one shuffle
+    of the event stream into a graph of |types|^2 weighted edges. The
+    power iterations then run on the AGGREGATED graph, so per-iteration
+    cost is edge-sized joins, never event-sized — at 100 TB with a
+    high-cardinality node type (urls, not event types) this is the
+    standard join+groupBy PageRank whose per-round shuffle is O(edges),
+    the same contract as dedup_cluster_cc's large-star rounds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges_raw = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("src")
+    edges = edges_raw.select(
+        "src", "dst", (F.col("c").cast("double") / F.sum("c").over(wp)).alias("p")
+    ).localCheckpoint()  # graph is tiny; cut lineage before the iteration loop
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # scalar |V| — graph-sized, not data-sized
+    rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    srcs = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(_PAGERANK_ITERS):
+        dang = (
+            rank.join(srcs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            rank.join(edges, rank["node"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        rank = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _PAGERANK_D) / n)
+                    + F.lit(_PAGERANK_D)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # keep the loop's plan depth bounded
+        )
+    return rank.select("node", F.round("rank", 6).alias("rank"))

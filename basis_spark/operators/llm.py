@@ -2137,3 +2137,110 @@ def text_span_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("pos") / F.col("n_tokens"), 6).alias("dup_mass"),
         )
     )
+
+
+@register(
+    "doc_fingerprint_winnow",
+    oracle="""
+    WITH gh AS (
+        SELECT doc_id,
+               [list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                        [CAST(ascii(substring(text, i + j, 1)) AS BIGINT)
+                         for j in range(0, 8)]),
+                    (h, c) -> (h * 31 + c) % 1000000007)
+                for i in range(1, length(text) - 8 + 2)] AS hs
+        FROM documents
+        WHERE length(text) >= 23),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               unnest([list_min(list_slice(hs, j, j + 15))
+                       for j in range(1, len(hs) - 16 + 2)]) AS fp
+        FROM gh)
+    SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+    FROM sel
+    """,
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every char 8-gram (same polynomial as
+    doc_fingerprint_rolling), slide a 16-gram window, keep each
+    window's MINIMUM hash — the value-based simplification of robust
+    winnowing (the selected set is identical; only positional metadata
+    is dropped). Guarantees every shared substring >= 23 chars yields a
+    shared fingerprint, which is what makes it the standard
+    contamination / clone detector.
+
+    Entirely JVM higher-order expressions — one narrow map computes all
+    gram hashes + window minima per doc, then one explode + distinct and
+    one shuffle on fp for cluster assignment. At 100 TB the fingerprint
+    table is ~|text|/w rows per doc (16x smaller than the gram table a
+    full-shingle join would shuffle)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 23)
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7),"
+        " i -> aggregate(transform(sequence(i, i + 7),"
+        "   p -> CAST(ascii(substring(text, p, 1)) AS BIGINT)),"
+        "  0L, (h, c) -> pmod(h * 31 + c, 1000000007L)))"
+    )
+    sel = F.explode(
+        F.expr("array_distinct(transform(sequence(1, size(hs) - 15),"
+               " j -> array_min(slice(hs, j, 16))))")
+    )
+    fps = docs.select("doc_id", hs.alias("hs")).select("doc_id", sel.alias("fp"))
+    return fps.select(
+        "doc_id", "fp", F.min("doc_id").over(Window.partitionBy("fp")).alias("cluster_id")
+    )
+
+
+@register(
+    "embeddings_outlier_centroid",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings),
+    cent AS (SELECT label, d, avg(x) AS c FROM e GROUP BY label, d),
+    dist AS (
+        SELECT e.vec_id, e.label,
+               sqrt(sum((e.x - cent.c) * (e.x - cent.c))) AS dist
+        FROM e JOIN cent ON e.label = cent.label AND e.d = cent.d
+        GROUP BY e.vec_id, e.label),
+    stats AS (
+        SELECT vec_id, label, dist,
+               avg(dist) OVER (PARTITION BY label) AS mu,
+               stddev_samp(dist) OVER (PARTITION BY label) AS sigma
+        FROM dist)
+    SELECT vec_id, label, round(dist, 4) AS dist,
+           dist > mu + 2 * sigma AS is_outlier
+    FROM stats
+    """,
+)
+def embeddings_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier flags: the mislabeled-example
+    / corrupted-embedding screen a training-data pipeline runs before
+    contrastive fine-tuning. posexplode -> per-(label,dim) mean (one
+    shuffle on a |labels| x 64 key space), join the exploded table back
+    to its centroid, reduce to per-vector L2 distance (shuffle on
+    vec_id), then a per-label window for the mu + 2 sigma cutoff. The
+    centroid table is labels x dims — broadcast-sized at any corpus
+    scale, so only the two data-sized exchanges remain at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = e.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    dist = (
+        e.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist"))
+    )
+    w = Window.partitionBy("label")
+    return dist.select(
+        "vec_id",
+        "label",
+        F.round("dist", 4).alias("dist"),
+        (F.col("dist") > F.avg("dist").over(w) + 2 * F.stddev_samp("dist").over(w)).alias(
+            "is_outlier"
+        ),
+    )

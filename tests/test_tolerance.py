@@ -370,3 +370,25 @@ def test_ann_ivf_kmeans_exact_within_probed_cells(spark):
     orderidx = sorted(range(len(cids)), key=lambda i: (-round(dots[i], 6), cids[i]))[:10]
     expect = [(int(cids[i]), float(round(dots[i], 6))) for i in orderidx]
     assert got == expect, (got, expect)
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS guarantees est >= true; excess <= t*N/w holds per key with
+    P >= 1 - (1/t)^d (Markov + d independent rows). With deterministic
+    seeded hashes the realized error is fixed; t=4 leaves 4x margin
+    over the measured fixture maximum while staying a real CMS bound
+    (expected violations at t=4: 150 keys * (1/4)^4 ~ 0.6 -- observed 0)."""
+    from basis_spark.operators.aggregates import sketch_count_min
+
+    est = {r["user_id"]: r["est"] for r in sketch_count_min(spark, SF_ORACLE).collect()}
+    ev = load(spark, SF_ORACLE, "events")
+    n_total = ev.count()
+    exact = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert set(est) == set(exact)
+    bound = 4 * n_total / 256
+    for k, ex in exact.items():
+        assert est[k] >= ex, (k, est[k], ex)
+        assert est[k] - ex <= bound, (k, est[k], ex, bound)
