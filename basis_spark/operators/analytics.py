@@ -767,3 +767,94 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)  # keep the loop's plan depth bounded
         )
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "basket_pair_support",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, count(*) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the support-counting core of Apriori):
+    co-occurring part pairs within an order, kept at support >= 2.
+
+    The self-join is on l_orderkey — both sides shuffle to the same
+    hash partitioning, so pairs are generated co-located (AQE may even
+    broadcast one side locally; on a cluster it's one co-partitioned
+    SMJ). Pair blow-up is bounded by max basket size squared (TPC-H
+    baskets are <= 7 lines, so <= 21 pairs/order) — linear in orders,
+    never quadratic in the table. The pair aggregation is the second
+    and last shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("l_orderkey", "part_a")
+    b = li.toDF("l_orderkey", "part_b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey,
+               round(sum(o.o_totalprice), 4) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT nationkey, rev,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY rev, o_custkey) AS i,
+               count(*) OVER (PARTITION BY nationkey) AS n,
+               sum(rev) OVER (PARTITION BY nationkey) AS tot
+        FROM rev)
+    SELECT nationkey, CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked GROUP BY nationkey
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue — the
+    concentration metric behind 'whale' analyses (G = 2*sum(i*x_i) /
+    (n*sum(x)) - (n+1)/n over ascending-ranked revenues). Revenue is
+    rounded to 4 dp BEFORE ranking so the rank order (rev, custkey) is
+    the same total order in both engines regardless of float summation
+    order. One shuffle to the per-customer rollup, one to nationkey for
+    the windows; per-nation partitions are customer-sized, and at
+    100 TB the rank inside each nation would swap to windows.global_rank
+    per group only if a single nation's customers overflow a partition."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    w = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        "rev",
+        F.row_number().over(w.orderBy("rev", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rev").over(w).alias("tot"),
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -2244,3 +2244,51 @@ def embeddings_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@register(
+    "text_perplexity_bucket",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang),
+    ppl AS (
+        SELECT tok.doc_id,
+               round(exp(-avg(ln(cnt.c / tot.n))), 6) AS ppl
+        FROM tok
+        JOIN cnt ON tok.lang = cnt.lang AND tok.token = cnt.token
+        JOIN tot ON tok.lang = tot.lang
+        GROUP BY tok.doc_id)
+    SELECT doc_id, ppl,
+           CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS INT) AS bucket
+    FROM ppl
+    """,
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-doc unigram perplexity
+    under the corpus's own per-language LM, then exact terciles
+    (head / middle / tail — CCNet keeps head+middle as training data,
+    routes tail to manual review). Ranking is over the ROUNDED
+    perplexity (6 dp) + doc_id, a total order both engines compute
+    identically, so bucket boundaries cannot flip on last-ulp float
+    noise. The tercile is exact_ntile over windows.global_rank — the
+    distributed two-pass rank, no single-partition sort — and its input
+    is the per-doc aggregate (corpus-sized rows, one row per doc)."""
+    from basis_spark.operators.windows import exact_ntile, global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    ppl = (
+        tok.join(cnt, ["lang", "token"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id")
+        .agg(F.round(F.exp(-F.avg(F.log(F.col("c") / F.col("n")))), 6).alias("ppl"))
+    )
+    ranked = global_rank(ppl, "ppl", "doc_id")
+    return ranked.select(
+        "doc_id", "ppl", exact_ntile(F.col("rank"), F.col("n_total"), 3).alias("bucket")
+    )

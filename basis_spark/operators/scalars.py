@@ -637,3 +637,45 @@ def str_pad_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("display"),
         F.repeat(F.lit("*"), F.pmod(F.col("c_nationkey"), 5).cast("int")).alias("stars"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH pr AS (
+        SELECT o_orderkey, o_totalprice,
+               -ln((list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                            for c in string_split_regex(
+                                substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 13), '')]),
+                       (a, d) -> a * 16 + d) + 0.5) / 4503599627370496.0)
+               / o_totalprice AS ekey
+        FROM orders)
+    SELECT o_orderkey, o_totalprice FROM pr
+    ORDER BY ekey, o_orderkey LIMIT 100
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority/exponential
+    race (Efraimidis-Spirakis A-ES): key = -ln(u)/w with u a
+    DETERMINISTIC uniform derived from md5(orderkey) (13 hex chars ->
+    52-bit integer -> (v+0.5)/2^52), keep the 100 smallest keys. Every
+    executor computes keys map-side; the only movement is the top-k
+    TakeOrdered combine — the same distributed-top-k contract as
+    similarity_topk, no data-sized sort. Hash-derived u (like
+    sample_hash_pergroup) instead of seeded RNG is what upgrades this
+    from the rows-only tier to a full value-hash oracle: the sample is
+    bit-reproducible on any engine, which is the property training-data
+    draws actually need. The output keeps the weight column so the
+    inclusion-probability ∝ weight contract is visible to the check."""
+    o = load(spark, sf_dir, "orders")
+    v = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10)
+    u = (v.cast("double") + 0.5) / F.lit(float(1 << 52))
+    ekey = -F.log(u) / F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", "o_totalprice", ekey.alias("ekey"))
+        .orderBy("ekey", "o_orderkey")
+        .limit(100)
+        .drop("ekey")
+    )
