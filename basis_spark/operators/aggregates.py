@@ -848,3 +848,30 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("c").alias("est"))
     )
+
+
+@register("sketch_hll_rollup")  # approximate -> rows-only; algebra pinned in pytest
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical HLL rollup — the hypertable/continuous-aggregate
+    pattern: sketch distinct users per (event_type, day) ONCE, then
+    answer the per-type rollup by UNIONING the day sketches, never
+    re-scanning raw events. Emits both the merged-estimate and (from
+    the same day sketches) the finest-grain day count, proving the
+    sketch algebra: tests/test_tolerance.py asserts the merged estimate
+    EQUALS the direct whole-range sketch estimate exactly — HLL union
+    is register-wise max, so rollup order cannot change the answer.
+    At 100 TB the day-sketch table is days x types rows of ~10 KB
+    binaries; every coarser rollup (week, month, global) is a
+    metadata-sized merge."""
+    ev = load(spark, sf_dir, "events")
+    day_sk = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    return (
+        day_sk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est_users"),
+        )
+    )

@@ -858,3 +858,52 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "ts_decompose_trend_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    tr AS (
+        SELECT day, rev,
+               avg(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily),
+    det AS (SELECT day, rev, trend, rev - trend AS detrended FROM tr),
+    seas AS (
+        SELECT day, rev, trend, detrended,
+               avg(detrended) OVER (PARTITION BY isodow(day)) AS seasonal
+        FROM det)
+    SELECT day, rev, round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
+           round(detrended - seasonal, 4) AS residual
+    FROM seas
+    """,
+)
+def ts_decompose_trend_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per ISO weekday, residual = the rest. The input is the per-day
+    rollup (calendar-bounded, ~2.4k rows at any SF — same contract as
+    win_moving_avg's declared global frame), so the ordered window is
+    over metadata-sized data; the only data-sized stage is the orders
+    scan + day aggregation. Revenue is rounded before the windows so
+    both engines decompose identical series. Spark weekday()+1 ==
+    DuckDB isodow (pinned in date_parts)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    wtr = Window.orderBy("day").rowsBetween(-3, 3)
+    det = daily.select(
+        "day", "rev", F.avg("rev").over(wtr).alias("trend")
+    ).withColumn("detrended", F.col("rev") - F.col("trend"))
+    wse = Window.partitionBy(F.weekday("day") + 1)
+    return det.select(
+        "day",
+        "rev",
+        F.round("trend", 4).alias("trend"),
+        F.round(F.avg("detrended").over(wse), 4).alias("seasonal"),
+        F.round(F.col("detrended") - F.avg("detrended").over(wse), 4).alias("residual"),
+    )

@@ -763,3 +763,85 @@ def join_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "back_ts", "fwd_ts", nearest.alias("nearest_ts")
     )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer)
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4) AS dist
+    FROM pts a JOIN pts b
+      ON a.c_custkey < b.c_custkey
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100.0
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join: all customer pairs within
+    euclidean distance 10 on a deterministic 1000x1000 plane (coords
+    md5-derived from custkey, so both engines see identical points —
+    the fixture has no geo columns).
+
+    The scale pattern every spatial engine uses: hash each point into a
+    d-sized grid cell, replicate the LEFT side into its 3x3 neighbor
+    cells (a bounded x9 fan-out, not a cross join), equi-join on cell
+    id, then the exact distance filter. The oracle is the brute-force
+    O(n^2) pair join — feasible at sf0.01 (1500 points), quadratic-dead
+    at 100 TB, which is exactly the gap the grid join closes: cost is
+    O(n x density per cell) with one shuffle on cell id. Distances
+    compare as squared doubles on identical inputs, so the candidate
+    set and the 4dp-rounded output match the oracle bit-for-bit."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(salt: str):
+        v = F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        return (v % 1000000) / 1000.0
+
+    pts = cust.select("c_custkey", coord("x").alias("x"), coord("y").alias("y"))
+    D = 10.0
+    cell = lambda c: F.floor(c / D).cast("long")  # noqa: E731
+    b = pts.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (cell(F.col("x")) * 1024 + cell(F.col("y"))).alias("cell"),
+    )
+    neigh = F.explode(
+        F.array(
+            *[
+                (cell(F.col("x")) + dx) * 1024 + (cell(F.col("y")) + dy)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    a = pts.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        neigh.alias("cell"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, "cell")
+        .filter((F.col("cust_a") < F.col("cust_b")) & (d2 <= D * D))
+        .select("cust_a", "cust_b", F.round(F.sqrt(d2), 4).alias("dist"))
+    )

@@ -715,3 +715,58 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, gen0_type string, gen1_type string, status string"
     )
+
+
+@register(
+    "maintenance_table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS ndv,
+           printf('%.2f', min(l_quantity)) AS min_s,
+           printf('%.2f', max(l_quantity)) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           printf('%.2f', min(l_extendedprice)), printf('%.2f', max(l_extendedprice))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    """,
+)
+def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (row count, null count, exact
+    NDV, min/max) for a representative column set — the stats table a
+    cost-based optimizer feeds on, and the first maintenance job any
+    warehouse schedules. One pass per SQL shape: Spark fuses the four
+    per-column aggregate branches over the same scan (count(DISTINCT x)
+    is the expand-based exact form; at 100 TB you swap NDV to
+    approx_count_distinct and keep the rest identical). Numeric bounds
+    are printf('%.2f')-formatted and dates strftime'd so both engines
+    render bounds byte-identically (str_pad_format pins this subset)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def stat(col: str, minmax_fmt):
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("ndv"),
+            minmax_fmt(F.min(col)).alias("min_s"),
+            minmax_fmt(F.max(col)).alias("max_s"),
+        )
+
+    num = lambda c: F.format_string("%.2f", c)  # noqa: E731
+    out = stat("l_quantity", num)
+    out = out.unionByName(stat("l_extendedprice", num))
+    out = out.unionByName(stat("l_returnflag", lambda c: c))
+    out = out.unionByName(stat("l_shipdate", lambda c: F.date_format(c, "yyyy-MM-dd")))
+    return out

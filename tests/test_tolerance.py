@@ -392,3 +392,31 @@ def test_count_min_sketch_bounds(spark):
     for k, ex in exact.items():
         assert est[k] >= ex, (k, est[k], ex)
         assert est[k] - ex <= bound, (k, est[k], ex, bound)
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """Sketch algebra: HLL union is register-wise max, so merging the
+    per-day sketches must give EXACTLY the estimate of sketching the
+    whole range directly (same lgConfigK) — the property that makes
+    hierarchical rollups answerable without rescanning raw data. Also
+    bound the estimate against exact distinct counts (+-5%)."""
+    from basis_spark.operators.aggregates import sketch_hll_rollup
+
+    rolled = {r["event_type"]: r["est_users"] for r in sketch_hll_rollup(spark, SF_ORACLE).collect()}
+    direct = {
+        r["event_type"]: r["est"]
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").cast("long").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["u"]
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert rolled == direct, (rolled, direct)
+    for et, ex in exact.items():
+        assert abs(rolled[et] - ex) / ex <= 0.05, (et, rolled[et], ex)
