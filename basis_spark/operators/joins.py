@@ -845,3 +845,105 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cust_a") < F.col("cust_b")) & (d2 <= D * D))
         .select("cust_a", "cust_b", F.round(F.sqrt(d2), 4).alias("dist"))
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer),
+    e AS (SELECT a.k AS u, b.k AS v FROM pts a JOIN pts b
+          ON a.k < b.k
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225.0),
+    tri AS (SELECT e1.u, e1.v, e2.v AS w
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT node, count(*) AS n_tri FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri) t
+    GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the distance-15 proximity graph
+    (same deterministic md5 plane as join_spatial_grid) — the clustering
+    primitive behind community/cohesion metrics.
+
+    Classic distributed triangle enumeration: edges stored oriented
+    (u < v, so each triangle is produced exactly once as u<v<w), wedge
+    join e1(u,v)⋈e2(v,w) shuffles on the shared middle vertex, then the
+    closing equi-join on (u,w). Both are hash joins on edge-sized
+    relations — never a cartesian. At 100 TB-scale graphs the u<v
+    orientation is upgraded to DEGREE ordering (low-degree vertex
+    first), which caps wedge fan-out per vertex at O(sqrt(|E|)) even on
+    power-law graphs — same plan, different sort key. Edge generation
+    reuses the grid-bucketed spatial join, so no O(n^2) stage anywhere."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(salt: str):
+        v = F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        return (v % 1000000) / 1000.0
+
+    pts = cust.select("c_custkey", coord("x").alias("x"), coord("y").alias("y"))
+    D = 15.0
+    cell = lambda c: F.floor(c / D).cast("long")  # noqa: E731
+    right = pts.select(
+        F.col("c_custkey").alias("v"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (cell(F.col("x")) * 1024 + cell(F.col("y"))).alias("cell"),
+    )
+    neigh = F.explode(
+        F.array(
+            *[
+                (cell(F.col("x")) + dx) * 1024 + (cell(F.col("y")) + dy)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    left = pts.select(
+        F.col("c_custkey").alias("u"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        neigh.alias("cell"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    e = (
+        left.join(right, "cell")
+        .filter((F.col("u") < F.col("v")) & (d2 <= D * D))
+        .select("u", "v")
+        .localCheckpoint()  # edges reused three times in the triangle join
+    )
+    e1 = e
+    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = e.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .select("u", "v", "w")
+    )
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select("v"))
+        .unionAll(tri.select("w"))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

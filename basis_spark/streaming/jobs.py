@@ -394,3 +394,38 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.col("nv").alias("n_versions"),
     )
+
+
+def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min: the d x w counter table of
+    aggregates.sketch_count_min built as a STREAMING aggregation over
+    the chunked event stream — each micro-batch's cell increments merge
+    into the running state (CMS is a sum sketch, so micro-batch merge
+    order is irrelevant), state is bounded at d*w cells regardless of
+    stream length. After the availableNow run drains, estimates are
+    probed from the final counter snapshot exactly like the batch op;
+    tests/test_stream_batch_equiv.py pins stream == batch EXACTLY
+    (deterministic seeded hashes + exact counter sums)."""
+    D, W = 4, 256
+    chunk_dir, ev = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    rows = F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("r")
+    cells = (
+        s.select("user_id", rows)
+        .select("r", F.pmod(F.xxhash64("user_id", "r"), F.lit(W)).alias("b"))
+        .groupBy("r", "b")
+        .count()
+        .withColumnRenamed("count", "c")
+    )
+    counters = _run_to_memory(cells, "complete")
+    probe = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", rows)
+        .select("user_id", "r", F.pmod(F.xxhash64("user_id", "r"), F.lit(W)).alias("b"))
+    )
+    return (
+        probe.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+    )

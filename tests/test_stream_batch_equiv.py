@@ -123,3 +123,17 @@ def test_stream_join_reordering_tight_vs_covering_watermark(spark):
     assert covering == batch, "covering watermark must make reordering invisible"
     assert set(tight) <= set(batch)
     assert len(tight) < len(batch), "tight watermark should have dropped late matches"
+
+
+def test_stream_count_min_equals_batch(spark):
+    """CMS is a sum sketch: merging micro-batch increments must land on
+    the identical counter table, so estimates match the batch sketch
+    EXACTLY (not within tolerance)."""
+    from basis_spark.operators.aggregates import sketch_count_min
+
+    stream = jobs.stream_count_min(spark, SF_SMALL)
+    batch = sketch_count_min(spark, SF_SMALL)
+    cols = ["user_id", "est"]
+    rows = _rows(stream, cols)
+    assert rows == _rows(batch, cols)
+    assert len(rows) > 0
