@@ -907,3 +907,288 @@ def ts_decompose_trend_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("detrended").over(wse), 4).alias("seasonal"),
         F.round(F.col("detrended") - F.avg("detrended").over(wse), 4).alias("residual"),
     )
+
+
+@register(
+    "sql_recursive_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                   event_type AS dst
+            FROM events) t
+        WHERE src IS NOT NULL AND src <> dst),
+    reach(src, dst, depth) AS (
+        SELECT src, dst, 1 FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.depth < 3 AND r.src <> e.dst)
+    SELECT src, dst, CAST(min(depth) AS INT) AS min_hops
+    FROM reach GROUP BY src, dst
+    """,
+)
+def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via RECURSIVE CTE (Spark 4's
+    WITH RECURSIVE — the SQL front-end surface for iterative queries):
+    which event types are reachable from which in <= 3 transition hops,
+    and in how few. The recursion is DEPTH-BOUNDED (depth < 3 plus the
+    no-self-loop guard) so the fixpoint is finite on the cyclic
+    transition graph; both engines run the same UNION ALL expansion and
+    the outer GROUP BY takes min hops. The recursive member is an
+    edge-sized join per level — the same per-round cost contract as
+    graph_pagerank's iterations; the data-sized stage is only the
+    lag-pair edge extraction. Executed through spark.sql over a temp
+    view: this operator exists to pin the SQL-string surface, not the
+    DataFrame API."""
+    ev = load(spark, sf_dir, "events")
+    vname = "events_rc_" + spark.sparkContext.applicationId.replace("-", "_")[-8:]
+    ev.createOrReplaceTempView(vname)
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                       event_type AS dst
+                FROM {vname}) t
+            WHERE src IS NOT NULL AND src <> dst),
+        reach(src, dst, depth) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT r.src, e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON r.dst = e.src
+            WHERE r.depth < 3 AND r.src <> e.dst)
+        SELECT src, dst, CAST(min(depth) AS INT) AS min_hops
+        FROM reach GROUP BY src, dst
+    """)
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    c AS (
+        SELECT day, rev,
+               sum(rev) OVER (ORDER BY day) AS cum
+        FROM daily),
+    p AS (
+        SELECT day, rev, cum,
+               max(cum) OVER (ORDER BY day) AS peak
+        FROM c)
+    SELECT day, round(cum, 4) AS cum, round(peak, 4) AS peak,
+           round(peak - cum, 4) AS drawdown
+    FROM p
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak-to-trough drawdown of the cumulative daily revenue
+    series — the risk metric every treasury/latency dashboard runs.
+    Ordered windows over the per-day rollup (calendar-bounded, same
+    declared contract as ts_decompose_trend_seasonal); the data-sized
+    work is only the day aggregation."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = daily.select("day", F.sum("rev").over(w).alias("cum"))
+    return out.select(
+        "day",
+        F.round("cum", 4).alias("cum"),
+        F.round(F.max("cum").over(w), 4).alias("peak"),
+        F.round(F.max("cum").over(w) - F.col("cum"), 4).alias("drawdown"),
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    m AS (SELECT round(avg(rev), 4) AS mu FROM daily),
+    c AS (
+        SELECT day, sum(rev - mu) OVER (ORDER BY day) AS cusum
+        FROM daily, m)
+    SELECT day, round(cusum, 4) AS cusum,
+           abs(cusum) = max(abs(cusum)) OVER () AS is_changepoint
+    FROM c
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue: running sum of
+    deviations from the global mean; the argmax of |CUSUM| is the
+    classic single-changepoint estimate (Page). The global mean is a
+    1-row broadcast; the ordered window runs over the calendar-bounded
+    daily rollup. Deviations accumulate over 4dp-rounded inputs so the
+    argmax flag cannot flip between engines."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    mu = daily.agg(F.round(F.avg("rev"), 4).alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(mu)).select(
+        "day", F.sum(F.col("rev") - F.col("mu")).over(w).alias("cusum")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return c.select(
+        "day",
+        F.round("cusum", 4).alias("cusum"),
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wall)).alias("is_changepoint"),
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    ev AS (
+        SELECT t0.user_id,
+               round(epoch(coalesce(p.tp, le.tl) - t0.t0) / 3600.0, 4) AS dur_h,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM t0
+        LEFT JOIN (SELECT e.user_id, min(e.ts) AS tp FROM events e
+                   JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t0
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id) p
+          ON t0.user_id = p.user_id
+        JOIN (SELECT user_id, max(ts) AS tl FROM events GROUP BY user_id) le
+          ON t0.user_id = le.user_id),
+    n AS (SELECT count(*) AS n0 FROM ev),
+    d AS (SELECT dur_h, count(*) AS d,
+                 count(*) FILTER (WHERE observed = 1) AS de
+          FROM ev GROUP BY dur_h),
+    r AS (
+        SELECT dur_h, de,
+               n0 - coalesce(sum(d) OVER (ORDER BY dur_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        FROM d, n)
+    SELECT dur_h, CAST(at_risk AS BIGINT) AS at_risk, CAST(de AS BIGINT) AS d_events,
+           CASE WHEN max(CASE WHEN de = at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur_h) = 1 THEN 0.0
+                ELSE round(exp(sum(CASE WHEN de < at_risk
+                                        THEN ln(1.0 - CAST(de AS DOUBLE) / at_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY dur_h)), 6) END AS survival
+    FROM r
+    WHERE de > 0
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-purchase after first
+    view, right-censored at each user's last event — the estimator
+    behind retention/conversion-time analyses. Durations reduce to a
+    per-user row (one shuffle on user_id), then the risk table is
+    distinct-duration-sized; the product over (1 - d/n) is computed as
+    exp(cumulative sum of logs) so it is a window expression, not an
+    iteration — both engines evaluate the identical fold over identical
+    4dp durations."""
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    base = (
+        t0.join(p, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            "user_id",
+            F.round(
+                (
+                    F.unix_micros(F.coalesce("tp", "tl")) - F.unix_micros("t0")
+                ).cast("double")
+                / 3.6e9,
+                4,
+            ).alias("dur_h"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    n0 = base.agg(F.count(F.lit(1)).alias("n0"))
+    d = base.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("observed").alias("de"),
+    )
+    wprev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.crossJoin(F.broadcast(n0)).select(
+        "dur_h",
+        "de",
+        (F.col("n0") - F.coalesce(F.sum("d").over(wprev), F.lit(0))).alias("at_risk"),
+    )
+    # 1 - d/n hits exactly 0 when everyone still at risk converts at the
+    # last time point; from there the curve is identically 0 (guarded on
+    # both sides so neither engine evaluates ln(0)).
+    hit_zero = F.max(
+        F.when(F.col("de") == F.col("at_risk"), 1).otherwise(0)
+    ).over(wcum)
+    log_term = F.when(
+        F.col("de") < F.col("at_risk"),
+        F.log(1.0 - F.col("de").cast("double") / F.col("at_risk")),
+    ).otherwise(0.0)
+    return (
+        r.select(
+            "dur_h",
+            F.col("at_risk").cast("long").alias("at_risk"),
+            F.col("de").cast("long").alias("d_events"),
+            F.when(hit_zero == 1, 0.0)
+            .otherwise(F.round(F.exp(F.sum(log_term).over(wcum)), 6))
+            .alias("survival"),
+        )
+        .filter(F.col("d_events") > 0)
+    )
+
+
+@register(
+    "abc_pareto_class",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey, round(sum(l_extendedprice), 4) AS rev
+        FROM lineitem GROUP BY 1),
+    c AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+               sum(rev) OVER () AS tot
+        FROM rev)
+    SELECT l_partkey, rev,
+           CASE WHEN cum / tot <= 0.80 THEN 'A'
+                WHEN cum / tot <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: class A carries
+    the first 80% of cumulative revenue, B to 95%, C the tail — the
+    inventory-management classic. The cumulative share runs through
+    windows.global_cumsum (distributed two-pass prefix sum — parts
+    scale with the fact table, so a single-partition ordered window
+    would be a data-sized global sort at 100 TB). The sort key is
+    (-rev, partkey) over 4dp-rounded revenue: both engines accumulate
+    identical doubles in identical order, so the 0.80/0.95 boundary
+    comparisons cannot diverge."""
+    from basis_spark.operators.windows import global_cumsum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("rev")
+    ).withColumn("neg_rev", -F.col("rev"))
+    c = global_cumsum(rev, "rev", "neg_rev", "l_partkey")
+    share = F.col("cum") / F.col("total")
+    return c.select(
+        "l_partkey",
+        "rev",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

@@ -679,3 +679,29 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("ekey")
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
+    FROM events
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into a variant, then typed variant_get paths — the
+    open-schema path that replaces per-field get_json_object re-parses
+    (one parse per row instead of one per extracted field; variant's
+    binary encoding also pushes through shuffles ~2x smaller than the
+    JSON text). Missing paths yield typed NULL, pinned by the second
+    column. json_extract (string-path) remains the legacy-shaped
+    sibling operator."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias("k_missing"),
+    )

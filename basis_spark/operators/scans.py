@@ -770,3 +770,40 @@ def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(stat("l_returnflag", lambda c: c))
     out = out.unionByName(stat("l_shipdate", lambda c: F.date_format(c, "yyyy-MM-dd")))
     return out
+
+
+@register(
+    "source_xml_parse",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS total
+    FROM orders
+    """,
+)
+def source_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 ships spark-xml's from_xml as a
+    built-in): serialize each order to an XML fragment, parse it back
+    with a declared schema, and emit the parsed fields. The oracle
+    recomputes from the base columns, so the check pins the full
+    serialize->parse roundtrip value-exactly (same contract as
+    source_csv_roundtrip). Map-only: both directions are JVM
+    expressions, no shuffle, and at scale the parse cost is the
+    per-row schema projection XML sources actually pay."""
+    o = load(spark, sf_dir, "orders")
+    xml = F.format_string(
+        "<order key=\"%d\"><status>%s</status><total>%.2f</total></order>",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    parsed = F.expr(
+        "from_xml(xml_doc, '_key BIGINT, status STRING, total DOUBLE')"
+    )
+    return (
+        o.select(xml.alias("xml_doc"))
+        .select(parsed.alias("p"))
+        .select(
+            F.col("p._key").alias("o_orderkey"),
+            F.col("p.status").alias("status"),
+            F.round(F.col("p.total"), 2).alias("total"),
+        )
+    )

@@ -724,3 +724,42 @@ def win_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return ev.select("event_id", "user_id", F.round(z, 6).alias("z"))
+
+
+def global_cumsum(df: DataFrame, val_col: str, *keys: str) -> DataFrame:
+    """Distributed EXACT prefix sum over a global total order — the
+    companion primitive to global_rank for cumulative-share analytics
+    (Pareto/ABC cuts, cumulative-distribution tables).
+
+    Same two-pass shape: range-partition + local sort on the key list,
+    per-partition sums (P rows, map-side combined) -> broadcast prefix
+    offsets, then cumsum = offset[pid] + local running sum. The local
+    running sum is a pid-partitioned ordered window, which costs one
+    hash exchange on pid (Catalyst cannot prove the range partitions
+    already co-locate each pid) — a PARALLEL data-sized shuffle, never
+    a SinglePartition sort; the only driver-sized object is the P-row
+    offset table. Returns input columns + `cum` (inclusive prefix sum
+    of val_col) + `total` (grand total on every row). Key list must be
+    a total order for determinism."""
+    spark = df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loc = (
+        df.repartitionByRange(P, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    psum = loc.groupBy("pid").agg(F.sum(val_col).alias("s"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        psum.withColumn("off", F.coalesce(F.sum("s").over(woff), F.lit(0.0)))
+        .withColumn("total", F.sum("s").over(Window.partitionBy(F.lit(1))))
+        .select("pid", "off", "total")
+    )
+    wloc = Window.partitionBy("pid").orderBy(*keys).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        loc.join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("off") + F.sum(val_col).over(wloc))
+        .drop("pid", "off")
+    )

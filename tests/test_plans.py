@@ -293,6 +293,10 @@ _SINGLE_PARTITION_OK = {
     "maintenance_compact_files",  # two 1-row phase summaries
     "maintenance_table_stats",    # four 1-row per-column stat combines
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
+    "ts_max_drawdown",       # same calendar-bounded per-day spine
+    "ts_cusum_changepoint",  # same spine + 1-row mean combine
+    "survival_kaplan_meier", # risk-table window, bounded by distinct durations (≤ users)
+    "abc_pareto_class",      # global_cumsum's P-row offset table only (data cumsum is pid-parallel)
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
     "customer_rfm_segmentation",  # 3x global_rank over the customer rollup: 3 P-row count tables
