@@ -2177,17 +2177,28 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is ~|text|/w rows per doc (16x smaller than the gram table a
     full-shingle join would shuffle)."""
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 23)
+    # char codes materialized ONCE per doc; each gram hash then folds an
+    # 8-slice of the codes array (the ascii(substring()) -per-character
+    # form re-evaluated 8 string ops per position and measured ~2.5x
+    # slower at sf0.1).
+    codes = F.expr(
+        "transform(sequence(1, length(text)),"
+        " p -> CAST(ascii(substring(text, p, 1)) AS BIGINT))"
+    )
     hs = F.expr(
-        "transform(sequence(1, length(text) - 7),"
-        " i -> aggregate(transform(sequence(i, i + 7),"
-        "   p -> CAST(ascii(substring(text, p, 1)) AS BIGINT)),"
+        "transform(sequence(1, size(cs) - 7),"
+        " i -> aggregate(slice(cs, i, 8),"
         "  0L, (h, c) -> pmod(h * 31 + c, 1000000007L)))"
     )
     sel = F.explode(
         F.expr("array_distinct(transform(sequence(1, size(hs) - 15),"
                " j -> array_min(slice(hs, j, 16))))")
     )
-    fps = docs.select("doc_id", hs.alias("hs")).select("doc_id", sel.alias("fp"))
+    fps = (
+        docs.select("doc_id", codes.alias("cs"))
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", sel.alias("fp"))
+    )
     return fps.select(
         "doc_id", "fp", F.min("doc_id").over(Window.partitionBy("fp")).alias("cluster_id")
     )

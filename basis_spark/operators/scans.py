@@ -473,6 +473,11 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).csv(out)
+    # Spark refuses plans that reference ONLY _corrupt_record from a raw
+    # CSV (column pruning can reduce a downstream count() to exactly
+    # that). cache() is the documented workaround; at scale you persist
+    # the parsed+flagged frame to a table instead of caching the input.
+    df = df.cache()
     status = F.when(F.col("_corrupt_record").isNotNull(), "corrupt").otherwise("ok")
     return df.select(status.alias("status"), "v").groupBy("status").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sum_v")
