@@ -1192,3 +1192,48 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    lagged AS (
+        SELECT g.k AS lag, d.rev AS x,
+               lag(d.rev, g.k) OVER (PARTITION BY g.k ORDER BY d.day) AS y
+        FROM daily d, generate_series(1, 7) g(k))
+    SELECT CAST(lag AS INT) AS lag, round(corr(x, y), 6) AS acf,
+           CAST(count(y) AS BIGINT) AS n_pairs
+    FROM lagged WHERE y IS NOT NULL GROUP BY lag
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 — the
+    seasonality screen run before committing to a decomposition window
+    (a weekly cycle shows as an acf spike at lag 7). The series is the
+    calendar-bounded daily rollup replicated x7 with a per-lag shifted
+    window, reduced by the built-in corr aggregate; the data-sized
+    stage is only the orders scan. Pearson corr on identical 4dp
+    inputs matches DuckDB at 6dp."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    # lag(rev, k) with k varying per row isn't a valid frame spec, so
+    # shift by ordinal join instead: y at row i is x at row i-lag.
+    rn = daily.select(
+        "day", "rev", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    left = rn.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("rev").alias("x"), (F.col("i") - F.col("lag")).alias("j")
+    )
+    right = rn.select(F.col("i").alias("j"), F.col("rev").alias("y"))
+    pairs = left.join(right, "j")
+    return pairs.groupBy("lag").agg(
+        F.round(F.corr("x", "y"), 6).alias("acf"),
+        F.count("y").cast("long").alias("n_pairs"),
+    )

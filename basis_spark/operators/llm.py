@@ -2303,3 +2303,102 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "ppl", exact_ntile(F.col("rank"), F.col("n_total"), 3).alias("bucket")
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest([substring(text, i, 3)
+                       for i in range(1, length(text) - 1)]) AS g
+        FROM documents)
+    SELECT doc_id, count(*) AS n_grams,
+           count(DISTINCT g) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+               AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (the Gopher/MassiveText quality
+    rule): 1 - distinct/total character 3-grams. Highly repetitive docs
+    (boilerplate, keyword stuffing, generation loops) score near 1 and
+    get dropped before training. One explode + one per-doc aggregate —
+    the distinct runs inside the doc_id group, so cardinality is
+    per-doc bounded and the shuffle key is doc_id only."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("g"),
+    )
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("g").cast("double") / F.count(F.lit(1)), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "text_bigram_pmi",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents)),
+    uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    n AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT t, t2, count(*) AS c2 FROM tok WHERE t2 IS NOT NULL GROUP BY t, t2)
+    SELECT bi.t AS w1, bi.t2 AS w2, CAST(bi.c2 AS BIGINT) AS n_pair,
+           round(ln((CAST(bi.c2 AS DOUBLE) * n.n)
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+    FROM bi JOIN uni u1 ON bi.t = u1.t
+            JOIN uni u2 ON bi.t2 = u2.t, n
+    WHERE bi.c2 >= 5
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (collocation
+    mining — the statistic behind phrase detection in tokenizer/embedding
+    pipelines): PMI = ln(P(a,b) / P(a)P(b)), support >= 5. Token
+    positions come from posexplode (order matters for adjacency);
+    unigram counts broadcast back onto the bigram table, and the corpus
+    total is a 1-row broadcast. Shuffles: tokens->doc window (doc_id),
+    bigram count, unigram count — all key-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    pairs = tok.withColumn("t2", F.lead("t").over(w))
+    uni = pairs.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        pairs.filter(F.col("t2").isNotNull())
+        .groupBy("t", "t2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("cb"))
+    return (
+        bi.join(F.broadcast(uni), "t")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("t").alias("w1"),
+            F.col("t2").alias("w2"),
+            F.col("c2").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") * F.col("n"))
+                    / (F.col("c").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

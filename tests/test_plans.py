@@ -297,6 +297,8 @@ _SINGLE_PARTITION_OK = {
     "ts_cusum_changepoint",  # same spine + 1-row mean combine
     "survival_kaplan_meier", # risk-table window, bounded by distinct durations (≤ users)
     "abc_pareto_class",      # global_cumsum's P-row offset table only (data cumsum is pid-parallel)
+    "text_bigram_pmi",       # 1-row corpus-total combine (unigram sum)
+    "ts_autocorrelation",    # ordinal window over the calendar-bounded daily rollup
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
     "customer_rfm_segmentation",  # 3x global_rank over the customer rollup: 3 P-row count tables
