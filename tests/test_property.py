@@ -455,3 +455,31 @@ def test_pagerank_mass_conservation(spark):
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) <= 1e-6 * len(rows), total
     assert all(r["rank"] > 0 for r in rows)
+
+
+@given(cutoff=st.integers(min_value=0, max_value=400000))
+@settings(**SETTINGS)
+def test_global_cumsum_exact_under_filters(spark, duck, cutoff):
+    """windows.global_cumsum (the distributed two-pass prefix sum behind
+    abc_pareto_class) must equal a plain SQL cumulative SUM for
+    arbitrary subsets. Sums run over integer-cast prices so float
+    accumulation order cannot blur the check — this pins ORDERING and
+    OFFSET arithmetic, the parts the two-pass form could get wrong."""
+    from basis_spark.operators.windows import global_cumsum
+
+    df = (
+        load(spark, SF_ORACLE, "orders")
+        .filter(F.col("o_totalprice") > cutoff)
+        .select("o_orderkey", F.floor("o_totalprice").cast("long").alias("p"))
+    )
+    out = global_cumsum(df, "p", "o_orderkey").select(
+        "o_orderkey", F.col("cum").cast("long").alias("cum"),
+        F.col("total").cast("long").alias("total"),
+    )
+    sql = f"""
+        SELECT o_orderkey,
+               sum(floor(o_totalprice)) OVER (ORDER BY o_orderkey) AS cum,
+               sum(floor(o_totalprice)) OVER () AS total
+        FROM orders WHERE o_totalprice > {cutoff}
+    """
+    compare_frames(out, duck, sql, key=f"prop_global_cumsum[{cutoff}]")
