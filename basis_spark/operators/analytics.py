@@ -1237,3 +1237,118 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("x", "y"), 6).alias("acf"),
         F.count("y").cast("long").alias("n_pairs"),
     )
+
+
+@register(
+    "interval_max_concurrency",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+        FROM (
+            SELECT user_id, ts, event_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events) x) s
+        GROUP BY user_id, sid),
+    pts AS (
+        SELECT user_id, sid, s AS t, 1 AS delta, -1 AS negd FROM sess
+        UNION ALL
+        SELECT user_id, sid, e AS t, -1 AS delta, 1 AS negd FROM sess),
+    run AS (
+        SELECT t, sum(delta) OVER (ORDER BY t, negd, user_id, sid
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM pts)
+    SELECT date_trunc('hour', CAST(t AS TIMESTAMP)) AS hour,
+           CAST(max(conc) AS BIGINT) AS max_conc
+    FROM run GROUP BY 1
+    """,
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour via the sweep-line: sessionize
+    (30-min gap), emit +1 at session start / -1 at end, running-sum the
+    deltas over the global (t, start-before-end, user, sid) order, and
+    take the per-hour max — the capacity-planning query every
+    connection-pool / concurrency dashboard runs. The running sum is
+    windows.global_cumsum (distributed two-pass prefix sum — the point
+    stream is event-scale, so a single-partition ordered window would
+    be a data-sized global sort). Touching intervals count as
+    overlapping (starts order before ends at equal t, pinned by the
+    negd tiebreak on both engines)."""
+    from basis_spark.operators.windows import global_cumsum
+
+    ev = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("prev").isNull()
+        | ((F.unix_micros("ts") - F.unix_micros("prev")) > 30 * 60 * 1000000),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id", F.lag("ts").over(wseq).alias("prev"))
+        .withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = sess.select(
+        "user_id", "sid", F.col("s").alias("t"), F.lit(1).alias("delta"), F.lit(-1).alias("negd")
+    ).unionByName(
+        sess.select(
+            "user_id", "sid", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            F.lit(1).alias("negd"),
+        )
+    )
+    run = global_cumsum(pts, "delta", "t", "negd", "user_id", "sid")
+    return (
+        run.groupBy(F.date_trunc("hour", "t").alias("hour"))
+        .agg(F.max("cum").cast("long").alias("max_conc"))
+    )
+
+
+@register(
+    "ts_forecast_snaive",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    f AS (
+        SELECT day, rev,
+               lag(rev, 7) OVER (ORDER BY day) AS snaive
+        FROM daily)
+    SELECT day, rev, snaive,
+           round(abs(rev - snaive), 4) AS abs_err,
+           round(abs(rev - snaive) / rev, 6) AS ape
+    FROM f WHERE snaive IS NOT NULL
+    """,
+)
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: forecast(t) = actual(t-7)
+    (same weekday last week) with per-day absolute and percentage
+    error — the baseline every revenue-forecasting pipeline must beat,
+    and the op that turns the engine into a backtesting harness.
+    Ordered lag over the calendar-bounded daily rollup (same declared
+    contract as ts_decompose_trend_seasonal)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    w = Window.orderBy("day")
+    f = daily.select("day", "rev", F.lag("rev", 7).over(w).alias("snaive"))
+    return f.filter(F.col("snaive").isNotNull()).select(
+        "day",
+        "rev",
+        "snaive",
+        F.round(F.abs(F.col("rev") - F.col("snaive")), 4).alias("abs_err"),
+        F.round(F.abs(F.col("rev") - F.col("snaive")) / F.col("rev"), 6).alias("ape"),
+    )

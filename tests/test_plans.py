@@ -299,6 +299,8 @@ _SINGLE_PARTITION_OK = {
     "abc_pareto_class",      # global_cumsum's P-row offset table only (data cumsum is pid-parallel)
     "text_bigram_pmi",       # 1-row corpus-total combine (unigram sum)
     "ts_autocorrelation",    # ordinal window over the calendar-bounded daily rollup
+    "ts_forecast_snaive",    # ordered lag over the same calendar-bounded rollup
+    "interval_max_concurrency",  # global_cumsum's P-row offset table (sweep itself is pid-parallel)
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
     "customer_rfm_segmentation",  # 3x global_rank over the customer rollup: 3 P-row count tables
