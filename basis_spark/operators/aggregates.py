@@ -875,3 +875,85 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est_users"),
         )
     )
+
+
+@register(
+    "agg_ols_multivar",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               round(sum(l_quantity), 2) AS s1,
+               round(sum(l_discount), 2) AS s2,
+               round(sum(l_extendedprice), 2) AS sy,
+               round(sum(l_quantity * l_quantity), 2) AS s11,
+               round(sum(l_discount * l_discount), 2) AS s22,
+               round(sum(l_quantity * l_discount), 2) AS s12,
+               round(sum(l_quantity * l_extendedprice), 2) AS s1y,
+               round(sum(l_discount * l_extendedprice), 2) AS s2y
+        FROM lineitem GROUP BY l_returnflag),
+    c AS (
+        SELECT l_returnflag, n, s1, s2, sy,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y
+        FROM s)
+    SELECT l_returnflag,
+           round((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12), 6) AS beta_qty,
+           round((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12), 6) AS beta_disc,
+           round((sy - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * s1
+                     - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * s2) / n,
+                 6) AS intercept
+    FROM c
+    """,
+)
+def agg_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (price ~ quantity + discount, per returnflag)
+    solved in closed form from sufficient statistics — the
+    normal-equations pattern that turns any distributed aggregate
+    engine into a regression fitter: ONE map-side-combined pass
+    accumulates the 9 sums, Cramer's rule on the centered moments runs
+    on the P-group result. The raw sums are rounded to 2dp before the
+    solve and the solve expressions are written term-for-term
+    identically on both engines, so the betas are bit-identical
+    doubles, not just close. Extending to k regressors is the same
+    pattern with a k x k Gramian (embeddings_pca_power already builds
+    exactly that)."""
+    li = load(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(q), 2).alias("s1"),
+        F.round(F.sum(d), 2).alias("s2"),
+        F.round(F.sum(y), 2).alias("sy"),
+        F.round(F.sum(q * q), 2).alias("s11"),
+        F.round(F.sum(d * d), 2).alias("s22"),
+        F.round(F.sum(q * d), 2).alias("s12"),
+        F.round(F.sum(q * y), 2).alias("s1y"),
+        F.round(F.sum(d * y), 2).alias("s2y"),
+    )
+    c = s.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
+    b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
+    return c.select(
+        "l_returnflag",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round((F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
