@@ -1352,3 +1352,53 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("rev") - F.col("snaive")), 4).alias("abs_err"),
         F.round(F.abs(F.col("rev") - F.col("snaive")) / F.col("rev"), 6).alias("ape"),
     )
+
+
+@register(
+    "retention_dn_curve",
+    oracle="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS cohort FROM f)
+    SELECT g.k AS day_n,
+           CAST(count(act.user_id) AS BIGINT) AS n_retained,
+           n.cohort AS n_cohort,
+           round(CAST(count(act.user_id) AS DOUBLE) / n.cohort, 6) AS rate
+    FROM generate_series(1, 14) g(k)
+    CROSS JOIN n
+    LEFT JOIN f ON TRUE
+    LEFT JOIN act ON act.user_id = f.user_id AND act.d = f.d0 + g.k * INTERVAL 1 DAY
+    GROUP BY g.k, n.cohort
+    """,
+)
+def retention_dn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic Dn retention curve (D1..D14): fraction of all users
+    active EXACTLY n days after their first active day — the growth
+    metric that cohort matrices get summarized into. Per-user first
+    day and distinct active days are two user-keyed aggregates; the
+    14 offsets replicate the (user, d0) table via a broadcast spine
+    (bounded x14 fan-out), then one existence join against the
+    distinct-day set. At scale both joins shuffle on user_id — the
+    same reused key."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = f.agg(F.count(F.lit(1)).alias("n_cohort"))
+    ks = spark.range(1, 15).select(F.col("id").cast("int").alias("day_n"))
+    probe = f.crossJoin(F.broadcast(ks)).select(
+        "user_id", "day_n", F.date_add("d0", F.col("day_n")).alias("d")
+    )
+    hits = probe.join(act, ["user_id", "d"], "left_semi")
+    return (
+        hits.groupBy("day_n")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+        .join(F.broadcast(ks), "day_n", "right")  # keep zero-retention days
+        .na.fill(0, ["n_retained"])
+        .crossJoin(F.broadcast(cohort))
+        .select(
+            "day_n",
+            "n_retained",
+            "n_cohort",
+            F.round(F.col("n_retained").cast("double") / F.col("n_cohort"), 6).alias("rate"),
+        )
+    )

@@ -298,6 +298,7 @@ _SINGLE_PARTITION_OK = {
     "survival_kaplan_meier", # risk-table window, bounded by distinct durations (≤ users)
     "abc_pareto_class",      # global_cumsum's P-row offset table only (data cumsum is pid-parallel)
     "text_bigram_pmi",       # 1-row corpus-total combine (unigram sum)
+    "retention_dn_curve",    # 1-row cohort-size combine
     "ts_autocorrelation",    # ordinal window over the calendar-bounded daily rollup
     "ts_forecast_snaive",    # ordered lag over the same calendar-bounded rollup
     "interval_max_concurrency",  # global_cumsum's P-row offset table (sweep itself is pid-parallel)
