@@ -19,12 +19,16 @@ Modules map to SURVEY.md §2 groups:
 # Import order is registration order, and the driver's per-round
 # correctness gate verifies the FIRST 50 registered keys. Round 1-2
 # covered aggregates/analytics/incremental/joins + llm head; round 3
-# covered scalars (24), windows (18), scans head (8). This round fronts
-# the modules the driver has never externally verified: tpch (17),
-# udfs (6), multimodal (5), sets_sort (5), pipelines (2), rowops (10)
-# = 45 new keys, with the llm head filling the window to 50. Rotate
-# again next round (llm tail + aggregates/analytics/incremental/joins
-# tails remain).
+# covered scalars (24), windows (18), scans head (8). Round 4 fronts
+# the modules the driver has never externally verified: tpch (18),
+# udfs (6), multimodal (5), sets_sort (5), pipelines+reactive (3),
+# rowops (11), with the llm head filling the window to 50.
+# ROUND-5 ROTATION NOTE: front the llm tail (dedup_simhash onward),
+# then the r4 additions (graph_*, join_spatial_grid, survival/ts_*/
+# abc/interval keys in analytics, sketch_count_min/agg_ols_multivar in
+# aggregates, winnow/PMI/perplexity in llm) — none of those have ever
+# been in a driver window; every one passes the local strict sweep and
+# the SWEEP_HOSTILE non-UTC session mirror.
 from basis_spark.operators import (  # noqa: F401
     tpch,
     udfs,
@@ -53,3 +57,10 @@ register("tpch_q1", oracle=ORACLES["agg_groupby_multi"])(
 register("topk_per_group", oracle=ORACLES["win_row_number_topk"])(
     windows.win_row_number_topk
 )
+
+# Late §2.K addition (r4): registered after every module for window
+# stability — see the note at operators/udfs.py::map_in_arrow.
+register(
+    "map_in_arrow",
+    oracle="SELECT event_id, user_id, round(value * 2, 2) AS value2 FROM events",
+)(udfs.map_in_arrow)

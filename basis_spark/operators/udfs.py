@@ -233,3 +233,36 @@ def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Whole-partition pandas transform over Arrow batches.
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return ev.mapInPandas(_double_value, schema="event_id long, user_id long, value2 double")
+
+
+def _double_value_arrow(batches):
+    """pyarrow RecordBatch -> RecordBatch transform (no pandas hop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("event_id"),
+                b.column("user_id"),
+                pc.round(pc.multiply(b.column("value"), 2.0), 2),
+            ],
+            ["event_id", "user_id", "value2"],
+        )
+
+
+# Registered from operators/__init__.py (AFTER every module) so this
+# late §2.K addition does not shift the driver's first-50 verification
+# window that udfs.py's own keys sit inside this round.
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the Arrow-native sibling of map_in_pandas — batches
+    stay pyarrow RecordBatches end to end, skipping the Arrow<->pandas
+    conversion entirely (no index materialization, no dtype coercion,
+    zero-copy on numeric columns). For kernels expressible in
+    pyarrow.compute this is the fastest Python boundary Spark offers;
+    the multimodal decode family keeps mapInPandas because codec libs
+    want numpy/bytes objects."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.mapInArrow(
+        _double_value_arrow, schema="event_id long, user_id long, value2 double"
+    )
