@@ -1402,3 +1402,98 @@ def retention_dn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_retained").cast("double") / F.col("n_cohort"), 6).alias("rate"),
         )
     )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, sid, min(ts) AS s, count(*) AS n
+        FROM (
+            SELECT user_id, ts, event_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events) x) s
+        GROUP BY user_id, sid)
+    SELECT CAST(s AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounced,
+           round(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE) / count(*), 6)
+               AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min gap rule, same
+    sessionization as stream_session / interval_max_concurrency) that
+    contain exactly one event. Session reduction is one user_id-keyed
+    window + aggregate; the daily rollup is a second bounded-key
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("prev").isNull()
+        | ((F.unix_micros("ts") - F.unix_micros("prev")) > 30 * 60 * 1000000),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id", F.lag("ts").over(wseq).alias("prev"))
+        .withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    bounced = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return sess.groupBy(F.to_date("s").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounced.alias("n_bounced"),
+        F.round(bounced.cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
+    )
+
+
+@register(
+    "latency_ship_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(lat_days, 0.5), 4) AS p50,
+           round(quantile_cont(lat_days, 0.9), 4) AS p90,
+           round(quantile_cont(lat_days, 0.99), 4) AS p99
+    FROM (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE) AS lat_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+    GROUP BY o_orderpriority
+    """,
+)
+def latency_ship_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency p50/p90/p99 per priority class — the SLA
+    distribution cut every fulfilment dashboard runs. One fact-fact
+    equi-join on l_orderkey (orders side reduces to two columns before
+    the shuffle), then an exact grouped percentile over the 5 priority
+    groups; at 100 TB approx_percentile is the documented swap-in, as
+    with every exact-percentile op here."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    lat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("double")
+            .alias("lat_days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("lat_days", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("lat_days", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("lat_days", F.lit(0.99)), 4).alias("p99"),
+    )
