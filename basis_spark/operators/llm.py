@@ -2402,3 +2402,66 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "eval_langid_confusion",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    lt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    totals AS (SELECT lang, sum(c) AS t FROM lt GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    scores AS (
+        SELECT tok.doc_id, langs.lang AS cand,
+               sum(ln((coalesce(lt.c, 0) + 1.0) / (totals.t + vocab.v))) AS score
+        FROM tok
+        CROSS JOIN langs
+        LEFT JOIN lt ON lt.lang = langs.lang AND lt.token = tok.token
+        JOIN totals ON totals.lang = langs.lang
+        CROSS JOIN vocab
+        GROUP BY tok.doc_id, langs.lang
+    ),
+    pred AS (
+        SELECT doc_id, cand AS pred_lang FROM (
+            SELECT doc_id, cand,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY round(score, 6) DESC, cand) AS rn
+            FROM scores) t
+        WHERE rn = 1)
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS row_frac
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (counts + row-normalized fractions) for the
+    self-trained naive-Bayes language identifier against the labeled
+    lang column — the classifier-evaluation pattern as a first-class
+    operator, so model QA runs inside the same engine as the pipeline
+    it gates. Reuses text_langid_ngram's prediction plan verbatim and
+    adds one broadcast join back to the labels plus a |langs|^2-bounded
+    aggregate; the per-true-lang normalization is a window over that
+    tiny matrix."""
+    docs = load(spark, sf_dir, "documents")
+    pred = text_langid_ngram(spark, sf_dir)
+    w = Window.partitionBy("true_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w), 6
+            ).alias("row_frac"),
+        )
+    )

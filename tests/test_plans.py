@@ -313,6 +313,7 @@ _SINGLE_PARTITION_OK = {
     "ts_interpolate_linear", # same spine shape
     "text_tfidf_topterms",   # vocab-sized IDF table combine
     "text_langid_ngram",     # lang-profile (tiny) build side
+    "eval_langid_confusion", # same langid plan + langs^2-bounded matrix window
     "tpch_q6", "tpch_q14", "tpch_q17", "tpch_q19",  # 1-row answers
     "tpch_q15",              # rank over the 100-row revenue relation
     "tpch_q22",              # 1-row avg-balance subquery
