@@ -2465,3 +2465,69 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_frac"),
         )
     )
+
+
+@register(
+    "text_url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://' || source || '.Example.COM:443/docs/'
+               || CAST(doc_id % 100 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&lang=' || lang || '&utm_campaign=x' AS url
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               'https://' || lower(regexp_extract(url, '^[A-Za-z]+://([^/:?]+)', 1))
+               || regexp_replace(
+                      coalesce(regexp_extract(url, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1), ''),
+                      '/$', '')
+               || '?lang=' || regexp_extract(url, 'lang=([^&]+)', 1) AS canon
+        FROM u)
+    SELECT canon, CAST(count(*) AS BIGINT) AS n_dupes,
+           min(doc_id) AS cluster_id
+    FROM c GROUP BY canon
+    """,
+)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first dedup pass every web
+    corpus runs, BEFORE any content hashing: lowercase the host, drop
+    the default port, strip the trailing slash, and discard tracking
+    params (utm_*), keeping only semantic ones. The messy URLs are
+    synthesized deterministically (mixed-case host, :443, tracking
+    params, doc_id%100 collisions so clusters exist); canonicalization
+    is a map-only regex chain, then one shuffle on the canonical key —
+    same contract as dedup_exact but on the identifier, not the
+    payload."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&lang="),
+        F.col("lang"),
+        F.lit("&utm_campaign=x"),
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/:?]+)", 1)),
+        F.regexp_replace(
+            F.coalesce(
+                F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?]+(/[^?]*)", 1),
+                F.lit(""),
+            ),
+            r"/$",
+            "",
+        ),
+        F.lit("?lang="),
+        F.regexp_extract(F.col("url"), r"lang=([^&]+)", 1),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_dupes"), F.min("doc_id").alias("cluster_id"))
+    )
