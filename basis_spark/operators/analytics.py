@@ -1497,3 +1497,115 @@ def latency_ship_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lat_days", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("lat_days", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register(
+    "sort_nulls_explicit",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY c.c_custkey)
+    SELECT c_custkey, spend FROM spend
+    ORDER BY spend ASC NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering sort — the dialect trap pinned as an
+    operator: Spark's default for ASC is NULLS FIRST, DuckDB's is NULLS
+    LAST, so any sorted export that doesn't declare null placement
+    silently reorders between engines. Here customers without recent
+    orders carry NULL spend; asc_nulls_last + the custkey tiebreak is
+    the declared total order on both sides. LIMIT keeps it a
+    TakeOrdered top-k combine, not a global sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    return spend.orderBy(F.asc_nulls_last("spend"), F.asc("c_custkey")).limit(50)
+
+
+@register(
+    "agg_pivot_dynamic",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() WITHOUT declared values: Spark runs a hidden distinct
+    pass over the pivot column to discover them (capped by
+    spark.sql.pivotMaxValues) — the two-scan cost that agg_pivot_api's
+    declared-values form avoids. Registered as its own key so the cost
+    difference is visible in PLANS.md next to the declared form; the
+    oracle enumerates the discovered set, which is deterministic for
+    the fixture (5 event types, alphabetical)."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type").agg(F.count(F.lit(1)))
+    return out.na.fill(0, [c for c in out.columns if c != "user_id"])
+
+
+@register(
+    "event_funnel_unordered",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY user_id)
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'view' AS stage, CAST(sum(v) AS BIGINT) AS n_users FROM s
+        UNION ALL SELECT 2, 'view+click',
+               CAST(count(*) FILTER (WHERE v = 1 AND c = 1) AS BIGINT) FROM s
+        UNION ALL SELECT 3, 'view+click+purchase',
+               CAST(count(*) FILTER (WHERE v = 1 AND c = 1 AND p = 1) AS BIGINT) FROM s) t
+    """,
+)
+def event_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (milestone) funnel: users who did ALL stages in any
+    order — the companion to event_funnel's strict-ordering form and
+    event_funnel_window's time-bounded form; together the three span
+    the funnel semantics analytics tools offer. ONE aggregation over
+    user_id (conditional max flags), then three 1-row conditional
+    counts — strictly cheaper than the ordered form's chained joins."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    out = s.agg(F.lit("view").alias("stage"), F.sum("v").cast("long").alias("n_users"))
+    out = out.unionByName(
+        s.agg(
+            F.lit("view+click").alias("stage"),
+            F.sum(F.when((F.col("v") == 1) & (F.col("c") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_users"),
+        )
+    )
+    return out.unionByName(
+        s.agg(
+            F.lit("view+click+purchase").alias("stage"),
+            F.sum(
+                F.when((F.col("v") == 1) & (F.col("c") == 1) & (F.col("p") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_users"),
+        )
+    )

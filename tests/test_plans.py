@@ -288,6 +288,7 @@ _SINGLE_PARTITION_OK = {
     "sketch_theta_set_ops",  # 1-row theta set-algebra pivot
     "event_funnel",          # three 1-row stage counts unioned
     "event_funnel_window",   # same shape: three 1-row stage counts unioned
+    "event_funnel_unordered",  # same shape: three 1-row conditional counts unioned
     "stream_watermark_late", # 1-row max-ts subquery broadcast
     "scan_parquet",          # count-style 1-row summary
     "maintenance_compact_files",  # two 1-row phase summaries
