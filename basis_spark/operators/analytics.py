@@ -1609,3 +1609,65 @@ def event_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_users"),
         )
     )
+
+
+@register(
+    "event_attribution_position",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT p.purchase_id, c.click_id,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.cts, c.click_id) AS rn,
+               count(*) OVER (PARTITION BY p.purchase_id) AS cnt
+        FROM p JOIN c ON p.user_id = c.user_id
+               AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 7 DAY)
+    SELECT purchase_id, click_id,
+           round(CASE WHEN cnt = 1 THEN 1.0
+                      WHEN cnt = 2 THEN 0.5
+                      WHEN rn = 1 OR rn = cnt THEN 0.4
+                      ELSE 0.2 / (cnt - 2) END, 6) AS credit
+    FROM j
+    """,
+)
+def event_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    credits its 7-day click path 40% first / 40% last / 20% spread over
+    the middle — the marketing-standard companion to
+    event_attribution_last_touch. One user-keyed join builds the
+    (purchase, click) paths; rank and count windows partition on
+    purchase_id, bounded by per-user click volume in the window. Credit
+    arithmetic is identical CASE terms on both engines, so rows
+    hash-match exactly."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id")
+    j = j.select(
+        "purchase_id",
+        "click_id",
+        F.row_number().over(w.orderBy("cts", "click_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    credit = (
+        F.when(F.col("cnt") == 1, 1.0)
+        .when(F.col("cnt") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("cnt")), 0.4)
+        .otherwise(0.2 / (F.col("cnt") - 2))
+    )
+    return j.select("purchase_id", "click_id", F.round(credit, 6).alias("credit"))

@@ -2531,3 +2531,61 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canon")
         .agg(F.count(F.lit(1)).alias("n_dupes"), F.min("doc_id").alias("cluster_id"))
     )
+
+
+@register(
+    "embeddings_truncate_mrl",
+    oracle="""
+    WITH q AS (
+        SELECT list_slice(embedding, 1, 16) AS qt FROM embeddings WHERE vec_id = 0),
+    t AS (
+        SELECT vec_id, label, list_slice(embedding, 1, 16) AS et, embedding
+        FROM embeddings WHERE vec_id <> 0),
+    s AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(list_zip(et, (SELECT qt FROM q)),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(et, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt((SELECT list_sum(list_transform(qt, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q)))
+                   AS cos_t
+        FROM t)
+    SELECT vec_id, label, round(cos_t, 6) AS cos_trunc
+    FROM s ORDER BY cos_t DESC, vec_id LIMIT 10
+    """,
+)
+def embeddings_truncate_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: score the query against
+    only the FIRST 16 of 64 dims (renormalized cosine) — the
+    coarse-to-fine retrieval trick MRL embeddings enable (prefix dims
+    carry most of the signal, so a 4x-cheaper first pass prunes
+    candidates before full-dim re-rank; similarity_topk IS that
+    re-rank). Map-only slice + dot product, TakeOrdered top-10; the
+    full-dim re-rank composition is the documented pipeline."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.expr("slice(embedding, 1, 16)").alias("qt")
+    )
+    t = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.expr("slice(embedding, 1, 16)").alias("et")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(et, qt, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        )
+    )
+    return (
+        t.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (dot / (norm("et") * norm("qt"))).alias("cos_t"),
+        )
+        .orderBy(F.desc("cos_t"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_t", 6).alias("cos_trunc"))
+    )
