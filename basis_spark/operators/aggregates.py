@@ -957,3 +957,66 @@ def agg_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "agg_moments_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS DOUBLE) AS n,
+               round(sum(o_totalprice), 2) AS s1,
+               round(sum(o_totalprice * o_totalprice), 2) AS s2,
+               round(sum(o_totalprice * o_totalprice * o_totalprice / 1e6), 2) AS s3,
+               round(sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice / 1e12), 2) AS s4
+        FROM orders GROUP BY o_orderstatus),
+    m AS (
+        SELECT o_orderstatus, n,
+               s1 / n AS m1,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 * 1e6 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 * 1e12 / n - 4 * (s1 / n) * (s3 * 1e6 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM s)
+    SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+           round(m3 / pow(m2, 1.5), 6) AS skewness_g1,
+           round(m4 / (m2 * m2) - 3, 6) AS kurtosis_g2
+    FROM m
+    """,
+)
+def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis from RAW MOMENTS — deliberately not
+    the built-ins: Spark's skewness() and DuckDB's skewness() use
+    different bias corrections (population g1 vs sample G1), so an
+    engine-portable moment pipeline computes central moments from one
+    pass of power sums and applies ONE declared definition (population
+    g1/g2) term-for-term identically on both engines. The s3/s4 sums
+    are pre-scaled (1e6/1e12) so the 2dp rounding that pins
+    cross-engine float identity doesn't destroy their precision. Same
+    sufficient-statistics contract as agg_ols_multivar: one
+    map-combined aggregation, arithmetic on the P-group result."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(x), 2).alias("s1"),
+        F.round(F.sum(x * x), 2).alias("s2"),
+        F.round(F.sum(x * x * x / 1e6), 2).alias("s3"),
+        F.round(F.sum(x * x * x * x / 1e12), 2).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") * 1e6 / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") * 1e12 / F.col("n")
+        - 4 * m1 * (F.col("s3") * 1e6 / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_g2"),
+    )

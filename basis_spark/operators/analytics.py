@@ -1671,3 +1671,139 @@ def event_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.2 / (F.col("cnt") - 2))
     )
     return j.select("purchase_id", "click_id", F.round(credit, 6).alias("credit"))
+
+
+@register(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'orders.custkey_fk_valid' AS expectation,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.discount_in_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk_valid',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events.event_id_unique',
+           CAST((SELECT count(*) - count(DISTINCT event_id) FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations pattern as
+    one operator): referential integrity (two anti-join counts), range
+    rules, null rules, and a uniqueness rule, each reported as
+    (expectation, n_violations, n_checked). FK checks are left_anti
+    joins — shuffle on the key, dim side broadcast when small; range
+    and null rules are map-side conditional counts folded into 1-row
+    aggregates. At 100 TB this is the nightly gate that runs BEFORE the
+    pipeline, on exactly the engine primitives the pipeline itself
+    uses."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def row(name, viol_df_count, total_df):
+        return viol_df_count.crossJoin(total_df).select(
+            F.lit(name).alias("expectation"),
+            F.col("n_violations"),
+            F.col("n_checked"),
+        )
+
+    fk_orders = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    fk_lineitem = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_checked"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    n_ev = ev.agg(F.count(F.lit(1)).alias("n_checked"))
+    price_rule = o.agg(
+        F.sum(
+            F.when(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1).otherwise(0)
+        ).cast("long").alias("n_violations")
+    )
+    disc_rule = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)
+        ).cast("long").alias("n_violations")
+    )
+    uniq_rule = ev.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_violations")
+    )
+    out = row("orders.custkey_fk_valid", fk_orders, n_orders)
+    out = out.unionByName(row("orders.totalprice_positive", price_rule, n_orders))
+    out = out.unionByName(row("lineitem.discount_in_range", disc_rule, n_li))
+    out = out.unionByName(row("lineitem.orderkey_fk_valid", fk_lineitem, n_li))
+    out = out.unionByName(row("events.event_id_unique", uniq_rule, n_ev))
+    return out
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+        SELECT user_id,
+               round(epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)), 4) AS gap_s
+        FROM e)
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(avg(gap_s), 4) AS mean_gap_s,
+           round(quantile_disc(gap_s, 0.5), 4) AS p50_gap_s,
+           round(quantile_disc(gap_s, 0.9), 4) AS p90_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics (mean/p50/p90 seconds
+    between consecutive events; percentiles are DISCRETE order
+    statistics — interpolated medians of 4dp-rounded gaps sit exactly
+    on .00005 rounding boundaries where the two engines' ulp-different
+    midpoint formulas diverge) — the burstiness profile behind
+    bot-detection and session-gap tuning (the 30-min rule the
+    sessionizers use should sit far above typical p90 gaps; this op
+    measures that). One user-keyed window for the lag, one user-keyed
+    aggregate — the same reused shuffle key."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double")
+            / 1e6,
+            4,
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)"), 4
+        ).alias("p50_gap_s"),
+        F.round(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)"), 4
+        ).alias("p90_gap_s"),
+    )

@@ -300,6 +300,7 @@ _SINGLE_PARTITION_OK = {
     "abc_pareto_class",      # global_cumsum's P-row offset table only (data cumsum is pid-parallel)
     "text_bigram_pmi",       # 1-row corpus-total combine (unigram sum)
     "retention_dn_curve",    # 1-row cohort-size combine
+    "dq_expectations_report",  # five 1-row rule-count combines unioned
     "ts_autocorrelation",    # ordinal window over the calendar-bounded daily rollup
     "ts_forecast_snaive",    # ordered lag over the same calendar-bounded rollup
     "interval_max_concurrency",  # global_cumsum's P-row offset table (sweep itself is pid-parallel)
