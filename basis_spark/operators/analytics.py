@@ -1807,3 +1807,54 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)"), 4
         ).alias("p90_gap_s"),
     )
+
+
+@register(
+    "ts_var_cvar",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    chg AS (
+        SELECT round(rev / lag(rev) OVER (ORDER BY day) - 1, 6) AS r
+        FROM daily),
+    v AS (SELECT round(quantile_disc(r, 0.05), 6) AS var95 FROM chg WHERE r IS NOT NULL)
+    SELECT v.var95,
+           round(avg(c.r), 6) AS cvar95,
+           CAST(count(*) AS BIGINT) AS n_tail
+    FROM chg c, v WHERE c.r <= v.var95
+    GROUP BY v.var95
+    """,
+)
+def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) at 95% on
+    daily revenue returns: VaR = the 5th-percentile return (DISCRETE
+    order statistic — an actual observed day, and immune to the
+    interpolation-boundary divergence event_interarrival_stats
+    documents), CVaR = mean return over the tail at or below it. The
+    return series is the calendar-bounded daily rollup; the tail filter
+    is a 1-row broadcast of VaR back onto it."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    w = Window.orderBy("day")
+    chg = daily.select(
+        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("r")
+    ).filter(F.col("r").isNotNull())
+    v = chg.agg(
+        F.round(
+            F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY r)"), 6
+        ).alias("var95")
+    )
+    return (
+        chg.crossJoin(F.broadcast(v))
+        .filter(F.col("r") <= F.col("var95"))
+        .groupBy("var95")
+        .agg(
+            F.round(F.avg("r"), 6).alias("cvar95"),
+            F.count(F.lit(1)).alias("n_tail"),
+        )
+        .select("var95", "cvar95", "n_tail")
+    )

@@ -2589,3 +2589,64 @@ def embeddings_truncate_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos_t", 6).alias("cos_trunc"))
     )
+
+
+@register(
+    "text_extract_typed_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               'contact ' || source || CAST(doc_id AS VARCHAR)
+               || '@mail-' || lang || '.com id=' || CAST(doc_id * 7919 AS VARCHAR)
+               || ' ref=' || lang || '-' || CAST(doc_id % 97 AS VARCHAR) AS line
+        FROM documents),
+    spans AS (
+        SELECT doc_id, 'EMAIL' AS span_type,
+               unnest(regexp_extract_all(line, '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+')) AS span
+        FROM w
+        UNION ALL
+        SELECT doc_id, 'ID',
+               unnest(regexp_extract_all(line, 'id=[0-9]+'))
+        FROM w
+        UNION ALL
+        SELECT doc_id, 'REF',
+               unnest(regexp_extract_all(line, 'ref=[a-z]+-[0-9]+'))
+        FROM w)
+    SELECT doc_id, span_type, span FROM spans
+    """,
+)
+def text_extract_typed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed span extraction (regex-tier NER): pull EMAIL / ID / REF
+    spans out of synthesized contact lines — the extraction
+    counterpart of text_mask_redact (that op removes PII; this one
+    routes it to a quarantine table). regexp_extract_all + explode per
+    type, all map-only; one union of three narrow extract passes over
+    the same projected line."""
+    docs = load(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".com id="),
+        (F.col("doc_id") * 7919).cast("string"),
+        F.lit(" ref="),
+        F.col("lang"),
+        F.lit("-"),
+        (F.col("doc_id") % 97).cast("string"),
+    )
+    w = docs.select("doc_id", line.alias("line"))
+    out = None
+    for span_type, pat in (
+        ("EMAIL", r"[A-Za-z0-9._-]+@[A-Za-z0-9.-]+"),
+        ("ID", r"id=[0-9]+"),
+        ("REF", r"ref=[a-z]+-[0-9]+"),
+    ):
+        part = w.select(
+            "doc_id",
+            F.lit(span_type).alias("span_type"),
+            F.explode(F.expr(f"regexp_extract_all(line, '{pat}', 0)")).alias("span"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

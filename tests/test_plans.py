@@ -303,6 +303,7 @@ _SINGLE_PARTITION_OK = {
     "dq_expectations_report",  # five 1-row rule-count combines unioned
     "ts_autocorrelation",    # ordinal window over the calendar-bounded daily rollup
     "ts_forecast_snaive",    # ordered lag over the same calendar-bounded rollup
+    "ts_var_cvar",           # same spine + 1-row VaR combine
     "interval_max_concurrency",  # global_cumsum's P-row offset table (sweep itself is pid-parallel)
     "win_ntile_pctile",      # P-row per-partition count table only (plan-asserted above)
     "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
