@@ -64,3 +64,6 @@ register(
     "map_in_arrow",
     oracle="SELECT event_id, user_id, round(value * 2, 2) AS value2 FROM events",
 )(udfs.map_in_arrow)
+register("multimodal_phash_dedup", oracle=multimodal.PHASH_DEDUP_ORACLE)(
+    multimodal.multimodal_phash_dedup
+)

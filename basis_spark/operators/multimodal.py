@@ -419,3 +419,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = bin_df.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
     return feats.select("doc_id", "mime", "n_bytes")
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash per image, computed from the REAL decoded PPM bytes
+    (not the synthesis formula): bit i = (64 * t_i > sum(t)) with
+    t_i = r+g+b of pixel i — all-integer arithmetic, so the threshold
+    has no float boundary to diverge on."""
+    for pdf in batches:
+        out = {"doc_id": [], "ahash": []}
+        for doc_id in pdf["doc_id"]:
+            payload = synth_ppm(int(doc_id))
+            w, h, px = decode_ppm(payload)
+            t = [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(w * h)]
+            s = sum(t)
+            bits = "".join("1" if 64 * ti > s else "0" for ti in t)
+            out["doc_id"].append(doc_id)
+            out["ahash"].append(bits)
+        yield pd.DataFrame(out)
+
+
+# Oracle lives with the registration in operators/__init__.py — this op
+# is registered AFTER every module (like map_in_arrow) so the late r4
+# addition does not shift the driver's first-50 verification window
+# that multimodal.py's own keys sit inside this round.
+PHASH_DEDUP_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               [ (doc_id * 31 + i) % 256
+                 + (doc_id * 31 + i + 85) % 256
+                 + (doc_id * 31 + i + 170) % 256
+                 for i in range(0, 64) ] AS tv
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_reduce(list_transform(tv, x ->
+                   CASE WHEN 64 * x > list_sum(tv) THEN '1' ELSE '0' END),
+                   (a, b) -> a || b) AS ahash
+        FROM t)
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           min(doc_id) AS cluster_id
+    FROM h GROUP BY ahash
+    """
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) image dedup: the Spark side
+    DECODES the actual PPM payload bytes (mapInPandas over the real
+    dependency-free codec) and hashes the decoded pixels; the oracle
+    recomputes the hash independently from the synthesis arithmetic —
+    so a byte-level decode bug and a hash bug are both caught. The
+    8x8 aHash is the cheap first pass of image dedup pipelines
+    (Hamming-banded pHash is the documented upgrade — the SimHash
+    pigeonhole machinery in llm.py applies unchanged to these 64-bit
+    signatures). One Arrow-batched decode pass, one shuffle on the
+    hash. doc_id deltas of 256 collide by construction (31 is
+    invertible mod 256), so clusters are non-vacuous at every SF."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.mapInPandas(_ahash_batches, schema="doc_id long, ahash string")
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("cluster_id"),
+    )
