@@ -67,3 +67,9 @@ register(
 register("multimodal_phash_dedup", oracle=multimodal.PHASH_DEDUP_ORACLE)(
     multimodal.multimodal_phash_dedup
 )
+register("set_intersect_all", oracle=sets_sort.INTERSECT_ALL_ORACLE)(
+    sets_sort.set_intersect_all
+)
+register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
+    sets_sort.set_except_all
+)

