@@ -72,6 +72,13 @@ def test_window_topk_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in _plan(df)
 
 
+def test_rank_with_ties_group_limit_pushdown(spark):
+    # rank()<=k pushes into WindowGroupLimit too (RankLike support),
+    # so the WITH TIES form keeps the same map-side state bound.
+    df = windows.win_topk_with_ties(spark, SF_ORACLE)
+    assert "WindowGroupLimit" in _plan(df)
+
+
 def test_hash_sample_group_limit_pushdown(spark):
     # sample_hash_pergroup's rn<=20 must push into WindowGroupLimit so
     # each map task keeps 20 rows per group before the shuffle.
