@@ -1858,3 +1858,54 @@ def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("var95", "cvar95", "n_tail")
     )
+
+
+@register(
+    "stat_chi_square",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+               count(*) AS obs
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, dow, obs,
+               sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+               sum(obs) OVER (PARTITION BY dow) AS col_tot,
+               sum(obs) OVER () AS n
+        FROM o)
+    SELECT round(sum(
+               (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+               * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n)), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM m
+    """,
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event_type x ISO weekday): the
+    contingency table is a bounded-key aggregate (types x 7 cells);
+    marginals are windows over that tiny table and the statistic is one
+    final combine. All inputs are integer counts, so the chi2 double is
+    the same arithmetic on both engines. The canonical screen for
+    'does traffic mix shift by weekday' before trusting a
+    day-of-week-pooled model."""
+    ev = load(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    m = o.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.round(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+    )

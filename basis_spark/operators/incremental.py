@@ -534,3 +534,64 @@ def stream_reactive_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert q.awaitTermination(timeout=300), "bridge stream timed out (300s)"
     return r.read("clicks")
+
+
+@register(
+    "stream_lateness_profile",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts,
+               max(CAST(ts AS TIMESTAMP)) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+        FROM events),
+    lat AS (
+        SELECT epoch(high_water - ts) AS late_s FROM a)
+    SELECT CASE WHEN late_s <= 0 THEN 'on_time'
+                WHEN late_s <= 3600 THEN 'late<=1h'
+                WHEN late_s <= 21600 THEN 'late<=6h'
+                ELSE 'late>6h' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lat GROUP BY 1
+    """,
+)
+def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lag profile: for each event, how far behind the
+    running event-time high-water mark (over ARRIVAL order = event_id)
+    did it arrive — the measurement that tells you what watermark
+    delay a streaming job actually needs (stream_watermark_late's 1h
+    delay should cover ~all of the mass below 'late<=1h'). The running
+    max is the two-pass distributed prefix pattern (same shape as
+    windows.global_cumsum, with max in place of sum: range-partition on
+    event_id, per-partition maxima broadcast as prefix offsets, local
+    running max per pid) — never a single-partition data sort."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loc = (
+        ev.repartitionByRange(P, F.col("event_id"))
+        .sortWithinPartitions("event_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    pmax = loc.groupBy("pid").agg(F.max("ts").alias("m"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmax.withColumn("prev_max", F.max("m").over(woff)).select("pid", "prev_max")
+    wloc = Window.partitionBy("pid").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    a = (
+        loc.join(F.broadcast(offs), "pid")
+        .withColumn(
+            "high_water",
+            F.greatest(
+                F.max("ts").over(wloc),
+                F.coalesce(F.col("prev_max"), F.col("ts")),
+            ),
+        )
+    )
+    late_s = (F.unix_micros("high_water") - F.unix_micros("ts")).cast("double") / 1e6
+    bucket = (
+        F.when(late_s <= 0, "on_time")
+        .when(late_s <= 3600, "late<=1h")
+        .when(late_s <= 21600, "late<=6h")
+        .otherwise("late>6h")
+    )
+    return a.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
