@@ -1909,3 +1909,46 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "stat_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice
+                    / pow(10, floor(log10(o_totalprice)))) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / tot, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+           round(CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM c, t
+    """,
+)
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    anomaly/fraud test for financial columns (fabricated amounts skew
+    away from the log10(1+1/d) curve). First digit by pure arithmetic
+    (no string round-trip), a 9-key aggregate, a 1-row total broadcast,
+    and the expected-frequency comparison computed identically on both
+    engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("observed_freq"),
+        benford.alias("benford_freq"),
+        F.round(
+            F.col("n").cast("double") / F.col("tot")
+            - F.log10(1.0 + 1.0 / F.col("digit")),
+            6,
+        ).alias("deviation"),
+    )
