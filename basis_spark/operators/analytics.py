@@ -1952,3 +1952,44 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("deviation"),
     )
+
+
+@register(
+    "dq_key_skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS max_n,
+                 round(avg(n), 4) AS avg_n,
+                 round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+          FROM c),
+    top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 5)
+    SELECT s.n_keys, s.max_n, s.avg_n, s.skew_ratio,
+           top.user_id AS hot_key, CAST(top.n AS BIGINT) AS hot_n
+    FROM s CROSS JOIN top
+    """,
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation key-skew diagnosis: per-key cardinality summary
+    (n_keys, max, avg, max/avg skew ratio) + the 5 hottest keys — the
+    measurement that decides whether a key needs salting
+    (join_skew_salted) or AQE skew-split before a 100 TB shuffle, run
+    on the same engine as the join it protects. One groupBy on the key,
+    a 1-row summary combine, and a TakeOrdered top-5 joined back."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 4).alias("avg_n"),
+        F.round(F.max("n").cast("double") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+    top = c.orderBy(F.desc("n"), F.asc("user_id")).limit(5)
+    return s.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "max_n",
+        "avg_n",
+        "skew_ratio",
+        F.col("user_id").alias("hot_key"),
+        F.col("n").cast("long").alias("hot_n"),
+    )

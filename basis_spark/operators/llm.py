@@ -2650,3 +2650,29 @@ def text_extract_typed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+        FROM documents)
+    SELECT h, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+    FROM n GROUP BY h
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: casefold + whitespace-collapse + trim
+    BEFORE hashing — the middle rung between dedup_exact (byte-exact)
+    and the near-dup family: catches re-wrapped/re-cased copies that
+    byte hashing misses without any banding machinery. Map-only
+    normalize+md5, one shuffle on the hash; at 100 TB this pass
+    typically removes 10-30% of a web corpus before MinHash runs,
+    shrinking the expensive stage's input by that factor."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return docs.select("doc_id", h.alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )

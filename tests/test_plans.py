@@ -310,6 +310,7 @@ _SINGLE_PARTITION_OK = {
     "dq_expectations_report",  # five 1-row rule-count combines unioned
     "stat_chi_square",       # marginal windows over the types x 7 contingency table + 1-row combine
     "stat_benford_digits",   # 1-row digit-total combine over the 9-key aggregate
+    "dq_key_skew_report",    # 1-row skew-summary combine over the per-key counts
     "stream_lateness_profile",  # P-row prefix-max offset table (running max is pid-parallel)
     "ts_autocorrelation",    # ordinal window over the calendar-bounded daily rollup
     "ts_forecast_snaive",    # ordered lag over the same calendar-bounded rollup
