@@ -16,19 +16,13 @@ Modules map to SURVEY.md §2 groups:
   pipelines   — end-to-end node-graph compositions (training-data flow)
 """
 
-# Import order is registration order, and the driver's per-round
-# correctness gate verifies the FIRST 50 registered keys. Round 1-2
-# covered aggregates/analytics/incremental/joins + llm head; round 3
-# covered scalars (24), windows (18), scans head (8). Round 4 fronts
-# the modules the driver has never externally verified: tpch (18),
-# udfs (6), multimodal (5), sets_sort (5), pipelines+reactive (3),
-# rowops (11), with the llm head filling the window to 50.
-# ROUND-5 ROTATION NOTE: front the llm tail (dedup_simhash onward),
-# then the r4 additions (graph_*, join_spatial_grid, survival/ts_*/
-# abc/interval keys in analytics, sketch_count_min/agg_ols_multivar in
-# aggregates, winnow/PMI/perplexity in llm) — none of those have ever
-# been in a driver window; every one passes the local strict sweep and
-# the SWEEP_HOSTILE non-UTC session mirror.
+# Registration order is the driver's verification order: the per-round
+# correctness gate checks the FIRST 50 keys of queries(). Rounds 1-4
+# externally verified 150 distinct keys (union reconstructed from the
+# four VERDICT.md tables + CORRECTNESS_r04.json). Instead of juggling
+# module import order, _ROTATION_FRONT below pins the exact 50-key
+# window per round at key granularity; module import order no longer
+# matters for the gate.
 from basis_spark.operators import (  # noqa: F401
     tpch,
     udfs,
@@ -73,3 +67,78 @@ register("set_intersect_all", oracle=sets_sort.INTERSECT_ALL_ORACLE)(
 register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
     sets_sort.set_except_all
 )
+
+# ---------------------------------------------------------------------
+# ROUND-5 DRIVER WINDOW (the first 50 keys the driver verifies).
+# tpch_q12 stays in per the r4 verdict (oracle re-cast to BIGINT —
+# confirm the fix externally); multimodal_shard_pack carries the same
+# latent HUGEINT cast fix; the other 48 are strict-oracle keys that
+# have NEVER been in a driver window (union of r1-r4 windows = 150
+# keys; 123 strict + 13 tolerance keys remain unverified after this).
+# Rounds 6-7 should front the next 50 from the same never-verified
+# list — recompute it from CORRECTNESS_r05.json ∪ the r1-r4 union.
+_ROTATION_FRONT = [
+    "tpch_q12",
+    "multimodal_shard_pack",
+    # llm tail (text/dedup/similarity/embeddings), never driver-checked
+    "text_tfidf_topterms",
+    "text_lang_partition",
+    "text_quality_score",
+    "text_langid_ngram",
+    "doc_fingerprint",
+    "doc_fingerprint_rolling",
+    "doc_fingerprint_winnow",
+    "multimodal_join",
+    "dedup_simhash_pairs",
+    "dedup_cluster_cc",
+    "dedup_keep_best",
+    "dedup_source_crossdup",
+    "dedup_exact_normalized",
+    "split_train_test",
+    "agg_duplicate_stats",
+    "similarity_range_search",
+    "similarity_centroid_classify",
+    "embeddings_quantize_int8",
+    "embeddings_outlier_centroid",
+    "embeddings_truncate_mrl",
+    "text_ngram_profile",
+    "text_normalize_clean",
+    "text_unigram_logprob",
+    "text_mask_redact",
+    "text_contamination_check",
+    "text_containment_pairs",
+    "text_span_dup_mass",
+    "text_perplexity_bucket",
+    "text_repetition_ratio",
+    "text_bigram_pmi",
+    "text_url_canonical_dedup",
+    "text_extract_typed_spans",
+    "eval_langid_confusion",
+    # joins/graph additions, never driver-checked
+    "join_asof_tolerance",
+    "join_asof_forward_nearest",
+    "join_null_safe",
+    "join_existence_flag",
+    "join_runtime_prefilter",
+    "join_band_bucketed",
+    "join_point_in_time_state",
+    "join_spatial_grid",
+    "graph_triangle_count",
+    "graph_pagerank",
+    # analytics additions, never driver-checked
+    "sql_recursive_closure",
+    "survival_kaplan_meier",
+    "ts_cusum_changepoint",
+    "stat_benford_digits",
+    "dq_key_skew_report",
+]
+assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
+
+from basis_spark.registry import QUERIES  # noqa: E402
+
+_missing = [k for k in _ROTATION_FRONT if k not in QUERIES]
+assert not _missing, f"rotation names unknown keys: {_missing}"
+_reordered = {k: QUERIES[k] for k in _ROTATION_FRONT}
+_reordered.update({k: v for k, v in QUERIES.items() if k not in _reordered})
+QUERIES.clear()
+QUERIES.update(_reordered)

@@ -1419,7 +1419,7 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(doc_id % 16 AS BIGINT) AS shard_id,
            count(*) AS n_docs,
-           sum(n_chars) AS total_bytes,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM documents
     GROUP BY 1

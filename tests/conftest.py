@@ -64,9 +64,14 @@ def _sort_key(row):
 
 
 def compare_frames(spark_df, duck_con, sql: str, key: str = "?"):
-    """Assert Spark result == DuckDB result (order-insensitive)."""
+    """Assert Spark result == DuckDB result (order-insensitive), incl.
+    Arrow output-type compatibility (the driver's hash is type-tagged;
+    r4 shipped tpch_q12 driver-red because this check was missing)."""
+    from basis_spark.typecheck import arrow_type_mismatches, spark_arrow_schema
+
     spark_cols = list(spark_df.columns)
     spark_rows = spark_df.collect()
+    duck_schema = duck_con.execute(sql).fetch_arrow_table().schema
     res = duck_con.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -74,6 +79,8 @@ def compare_frames(spark_df, duck_con, sql: str, key: str = "?"):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"[{key}] column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
+    bad_types = arrow_type_mismatches(spark_arrow_schema(spark_df), duck_schema)
+    assert not bad_types, f"[{key}] arrow type mismatch: {bad_types}"
     assert len(spark_rows) == len(duck_rows), (
         f"[{key}] row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     )

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Local mirror of the driver's correctness gate: runs every queries()
 entry against its oracle_sql() in DuckDB and compares row-count, schema
-(column names), and order-insensitive values (floats rounded to 6,
-timestamps via isoformat, rows sorted by repr so NULLs sort fine).
+(column names), ARROW OUTPUT TYPES (r5 hardening — the driver's value
+hash is type-tagged, so decimal128-vs-int64 fails there even when the
+values match; see basis_spark/typecheck.py), and order-insensitive
+values (floats rounded to 6, timestamps via isoformat, rows sorted by
+repr so NULLs sort fine).
 
 Usage:
     python tools/oracle_sweep.py [sf_dir]            # default sf0.01
@@ -47,6 +50,7 @@ def main() -> int:
     spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    from basis_spark.typecheck import arrow_type_mismatches, spark_arrow_schema
     import os
 
     if os.environ.get("SWEEP_HOSTILE"):
@@ -78,11 +82,16 @@ def main() -> int:
             if k not in oracles:
                 rows_only.append((k, len(srows)))
                 continue
+            duck_schema = con.execute(oracles[k]).fetch_arrow_table().schema
             res = con.execute(oracles[k])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
             if sorted(sdf.columns) != sorted(dcols):
                 fails.append((k, f"SCHEMA spark={sorted(sdf.columns)} duck={sorted(dcols)}"))
+                continue
+            bad_types = arrow_type_mismatches(spark_arrow_schema(sdf), duck_schema)
+            if bad_types:
+                fails.append((k, f"TYPES {'; '.join(bad_types)}"))
                 continue
             if len(srows) != len(drows):
                 fails.append((k, f"ROWCOUNT spark={len(srows)} duck={len(drows)}"))
