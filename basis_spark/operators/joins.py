@@ -881,15 +881,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same deterministic md5 plane as join_spatial_grid) — the clustering
     primitive behind community/cohesion metrics.
 
-    Classic distributed triangle enumeration: edges stored oriented
-    (u < v, so each triangle is produced exactly once as u<v<w), wedge
-    join e1(u,v)⋈e2(v,w) shuffles on the shared middle vertex, then the
-    closing equi-join on (u,w). Both are hash joins on edge-sized
-    relations — never a cartesian. At 100 TB-scale graphs the u<v
-    orientation is upgraded to DEGREE ordering (low-degree vertex
-    first), which caps wedge fan-out per vertex at O(sqrt(|E|)) even on
-    power-law graphs — same plan, different sort key. Edge generation
-    reuses the grid-bucketed spatial join, so no O(n^2) stage anywhere."""
+    Distributed triangle enumeration with DEGREE ordering
+    (node-iterator++): edges are oriented low-degree endpoint →
+    high-degree endpoint, wedges form only at each triangle's
+    minimum-degree vertex, and the closing equi-join runs against the
+    undirected edge list. All stages are hash joins on edge-sized
+    relations — never a cartesian — and per-vertex wedge fan-out is
+    capped at O(sqrt(|E|)) even on power-law graphs (a hub's edges all
+    point INTO it, so it emits no wedges; property-tested with a
+    1000-edge hub in tests/test_graph_cc.py). Edge generation reuses
+    the grid-bucketed spatial join, so no O(n^2) stage anywhere."""
     cust = load(spark, sf_dir, "customer").select("c_custkey")
 
     def coord(salt: str):
@@ -931,19 +932,61 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.join(right, "cell")
         .filter((F.col("u") < F.col("v")) & (d2 <= D * D))
         .select("u", "v")
-        .localCheckpoint()  # edges reused three times in the triangle join
+        .localCheckpoint()  # edges reused by the degree + closing joins
     )
-    e1 = e
-    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = e.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
-    tri = (
-        e1.join(e2, "v")
-        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
-        .select("u", "v", "w")
+    tri = triangles_per_node(e)
+    return tri
+
+
+def degree_oriented_edges(e: DataFrame) -> DataFrame:
+    """Orient an undirected edge list (u, v) from its LOWER-degree
+    endpoint to its higher-degree endpoint (ties broken by node id).
+
+    This is the node-iterator++ orientation: every wedge is generated at
+    its lowest-degree vertex, so per-vertex fan-out is bounded by
+    O(sqrt(|E|)) on ANY graph — a hub with d neighbors never becomes a
+    wedge center, because all its edges point INTO it. With the naive
+    u < v orientation a power-law hub of degree d would emit C(d, 2)
+    wedges; degree ordering is what makes triangle counting survive
+    skewed real-world graphs (see tests/test_graph_cc.py hub test)."""
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    u_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return ed.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangles_per_node(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts of an undirected u < v edge list.
+
+    Wedges form at the degree-ordered low endpoint (src, b, c with
+    b < c), then close against the undirected edge set (b, c) — one
+    shuffle-join keyed on src for wedges, one on (b, c) to close. Each
+    triangle is found exactly once (at its minimum-degree vertex), and
+    no stage is quadratic in any vertex's degree."""
+    oriented = degree_oriented_edges(e).localCheckpoint()
+    w2 = oriented.select("src", F.col("dst").alias("dst2"))
+    wedges = oriented.join(w2, "src").filter(F.col("dst") < F.col("dst2"))
+    tri = wedges.join(
+        e.select(F.col("u").alias("dst"), F.col("v").alias("dst2")),
+        ["dst", "dst2"],
+    ).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst2").alias("c")
     )
     nodes = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select("v"))
-        .unionAll(tri.select("w"))
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

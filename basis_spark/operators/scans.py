@@ -460,8 +460,12 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Atomic write (temp + rename): an interrupted run must not leave a
     # partial rows.csv that the exists-guard would then reuse forever
-    # (ADVICE r3).
-    out = os.path.join(scratch_dir("csv_permissive"), "rows.csv")
+    # (ADVICE r3). applicationId-scoped like every other exists-guarded
+    # scratch (r4 verdict item 6): concurrent sessions never share it.
+    out = os.path.join(
+        scratch_dir("csv_permissive"),
+        f"rows_{spark.sparkContext.applicationId}.csv",
+    )
     if not os.path.exists(out):
         tmp = f"{out}.tmp.{os.getpid()}"
         with open(tmp, "w", newline="") as fh:

@@ -29,9 +29,13 @@ def split_events_to_chunks(
     """Write events as n ordered parquet chunk files; returns (dir, batch_df).
 
     Chunks are split on event_id (arrival order) — each chunk is one
-    basis-style block/increment.
+    basis-style block/increment. Scratch is applicationId-keyed so
+    concurrent sessions never race on the _done guard.
     """
-    out = os.path.join(scratch_dir("stream_chunks"), os.path.basename(sf_dir.rstrip("/")))
+    out = os.path.join(
+        scratch_dir("stream_chunks"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
     ev = load(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(out, "_done")):
         n = ev.count()

@@ -40,3 +40,52 @@ def test_cc_disjoint_components(spark):
     edges = _converge(spark, rows)
     labels = {r["u"]: r["v"] for r in edges.collect()}
     assert labels == {11: 10, 12: 10, 21: 20, 22: 20, 31: 30}
+
+
+# ---------------------------------------------------------------------
+# Degree-ordered triangle counting (node-iterator++): correctness on
+# known shapes + the power-law hub property the r4 verdict asked for —
+# a 10^3-degree hub must NOT become a wedge center (with naive u < v
+# orientation it would emit C(1000, 2) ≈ 5·10^5 wedges; degree ordering
+# caps the oriented out-degree at O(sqrt(|E|))).
+from basis_spark.operators.joins import degree_oriented_edges, triangles_per_node
+
+
+def test_triangles_known_graph(spark):
+    # Two triangles sharing edge (1,2), plus a dangling edge.
+    rows = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (5, 6)]
+    e = spark.createDataFrame(rows, "u: long, v: long")
+    got = {r["node"]: r["n_tri"] for r in triangles_per_node(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangles_star_has_none(spark):
+    e = spark.createDataFrame([(0, i) for i in range(1, 50)], "u: long, v: long")
+    assert triangles_per_node(e).count() == 0
+
+
+def test_hub_graph_counts_and_bounded_fanout(spark):
+    # Hub 0 joined to leaves 1..1000; consecutive leaves also joined, so
+    # triangles are exactly (0, i, i+1) for i in 1..999: hub closes 999
+    # triangles, each leaf is in 1 or 2.
+    hub_edges = [(0, i) for i in range(1, 1001)]
+    leaf_edges = [(i, i + 1) for i in range(1, 1000)]
+    e = spark.createDataFrame(hub_edges + leaf_edges, "u: long, v: long")
+
+    got = {r["node"]: r["n_tri"] for r in triangles_per_node(e).collect()}
+    assert got[0] == 999
+    assert got[1] == 1 and got[1000] == 1
+    assert all(got[i] == 2 for i in range(2, 1000))
+
+    # The scale property: the hub's oriented out-degree must be 0 (all
+    # its edges point INTO it — every leaf has lower degree), and no
+    # vertex's wedge fan-out may approach the hub degree.
+    fan = {
+        r["src"]: r["c"]
+        for r in degree_oriented_edges(e)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert 0 not in fan, "hub must emit no wedges under degree ordering"
+    assert max(fan.values()) <= 3, f"fan-out should be leaf-sized, got {max(fan.values())}"
