@@ -6,12 +6,18 @@ o_shippriority, c_address/c_phone, p_mfgr/p_container columns; synthetic
 domains (nations NATION_0..24, p_type in {ECONOMY,..,PROMO,..}, p_name
 "<adj> <noun>"). Each query below keeps the reference query's JOIN/
 aggregation/subquery SHAPE — the part that exercises the engine — and
-adapts filters to the available columns, documented per query. Queries
-that need partsupp (Q2/Q11/Q20) are dropped — their defining move is a
-partsupp aggregate/subquery (min supplycost, value share, availqty vs
-sold qty) and no fixture column can stand in without inventing data.
-Q12's receipt-commit lateness survives as l_shipdate - o_orderdate
-ship-lag buckets (see tpch_q12); Q9/Q16/Q21 likewise adapt.
+adapts filters to the available columns, documented per query. The
+partsupp-dependent queries (Q2/Q11/Q20) were dropped through round 4;
+round 5 recovered all three by DERIVING the part-supplier relation
+from lineitem (min observed unit price per (partkey, suppkey) for Q2's
+supplycost; shipped revenue/quantity for Q11/Q20's value and
+comparison) — derived from observed rows, not invented. Q20's
+availqty, the one column with no observable stand-in, becomes a
+relative threshold against the part's best-supplier quantity; the
+nested semi-join + correlated-aggregate shape is intact (see each
+docstring). Q12's receipt-commit lateness survives as l_shipdate -
+o_orderdate ship-lag buckets (see tpch_q12); Q9/Q16/Q21 likewise
+adapt. The full 22-query suite is now covered.
 
 Determinism note: reference Q3/Q10/Q18 end in ORDER BY revenue LIMIT N.
 A float-revenue tie near the cut line would make the kept set
@@ -836,3 +842,196 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration lives in operators/__init__.py AFTER all module imports
 # so importing aggregates here doesn't hijack registration order (the
 # driver's correctness gate verifies the first 50 registered keys).
+
+
+# --------------------------------------------------------------- Q2 ----
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2),
+    eur AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name,
+               min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS best
+        FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, round(ps_supplycost, 4) AS supplycost
+    FROM eur JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'PROMO' AND ps_supplycost = best
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (recovered in round 5): the fixture has
+    no partsupp, but the part-supplier cost relation Q2 aggregates is
+    DERIVED from lineitem — min observed unit price per (partkey,
+    suppkey) — not invented. The engine shape is intact: build the
+    part×supplier cost relation, restrict suppliers to one region
+    (region→nation→supplier broadcast chain), and keep each part's
+    minimum-cost supplier(s) via the correlated-min predicate. The
+    reference's correlated subquery decorrelates to a per-part window
+    min over the region-filtered cost relation — one extra exchange on
+    ps_partkey instead of a re-executed subquery, and float equality is
+    safe because both engines compute the identical IEEE double min.
+
+    Scale: lineitem shuffles once for the (part, supp) aggregate; the
+    window partitions on ps_partkey (millions of parts — no skew); all
+    dims broadcast. p_size/p_type filters replace p_mfgr/p_container
+    (columns absent from the fixture)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "best",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+        )
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    return (
+        eur.filter(F.col("ps_supplycost") == F.col("best"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q11 ----
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l_partkey AS p_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS val
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 3
+        GROUP BY 1)
+    SELECT p_partkey, round(val, 2) AS part_value
+    FROM value_by_part
+    WHERE val > (SELECT 1.75 * avg(val) FROM value_by_part)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-stock identification (recovered in round 5): the
+    reference sums ps_supplycost*ps_availqty per part for one nation's
+    suppliers and keeps parts above a fraction-of-total scalar
+    subquery. Without partsupp, part value is DERIVED as the revenue of
+    each part shipped by one region's suppliers; the HAVING-share
+    scalar subquery survives, re-expressed scale-free as 1.75x the
+    average part value (TPC-H's fraction is 0.0001/SF — SF-dependent by
+    design; an avg multiple keeps the cut meaningful at every fixture
+    SF). Shape: group-aggregate → 1-row scalar aggregate → broadcast
+    back as a filter — no collect, no cartesian (BroadcastNestedLoop
+    on a single row).
+
+    Scale: lineitem shuffles once on l_partkey after the supplier/
+    nation broadcast prefilter; the scalar cut is a 1-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    vbp = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    cut = vbp.agg((F.lit(1.75) * F.avg("val")).alias("cut"))
+    return (
+        vbp.join(F.broadcast(cut))
+        .filter(F.col("val") > F.col("cut"))
+        .select("p_partkey", F.round("val", 2).alias("part_value"))
+    )
+
+
+# -------------------------------------------------------------- Q20 ----
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH sq AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+    sqm AS (
+        SELECT l_suppkey, qty,
+               max(qty) OVER (PARTITION BY l_partkey) AS part_max
+        FROM sq
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%'))
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND s_suppkey IN (SELECT l_suppkey FROM sqm
+                        WHERE qty >= 0.5 * part_max)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential-part-promotion suppliers (recovered in round 5):
+    the reference keeps suppliers whose ps_availqty exceeds half the
+    quantity they shipped of 'forest%' parts in a year, nested two
+    semi-joins deep. availqty cannot be derived, so the correlated
+    comparison becomes "supplier shipped >= half of the part's
+    best-supplier quantity" — the same nested shape: year-filtered
+    per-(part, supplier) aggregate, part-name semi-join, correlated
+    per-part aggregate threshold (window max), then a semi-join up to
+    the region's suppliers.
+
+    Scale: one lineitem shuffle on (partkey, suppkey); the part-name
+    filter semi-joins BEFORE the window so only matching parts flow
+    into the per-part max; the final supplier semi-join is
+    broadcast-sized (distinct suppkeys ≪ suppliers)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-01-01"))
+    )
+    small_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    sqm = sq.join(
+        F.broadcast(small_parts), sq.l_partkey == F.col("p_partkey"), "leftsemi"
+    ).withColumn("part_max", F.max("qty").over(Window.partitionBy("l_partkey")))
+    qualified = (
+        sqm.filter(F.col("qty") >= 0.5 * F.col("part_max"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualified),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "leftsemi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )

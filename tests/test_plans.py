@@ -331,6 +331,7 @@ _SINGLE_PARTITION_OK = {
     "tpch_q6", "tpch_q14", "tpch_q17", "tpch_q19",  # 1-row answers
     "tpch_q15",              # rank over the 100-row revenue relation
     "tpch_q22",              # 1-row avg-balance subquery
+    "tpch_q11",              # 1-row scalar-cut combine (1.75x avg part value)
 }
 
 
