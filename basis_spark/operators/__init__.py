@@ -12,6 +12,7 @@ Modules map to SURVEY.md §2 groups:
   incremental — §2.J streaming semantics (batch-equivalent forms)
   udfs        — §2.K UDF/UDAF/UDTF surface
   llm         — §2.L LLM-data-pipeline operators (+ extensions)
+  corpus      — training-corpus assembly (chunk/pack/vocab/mixture/eval)
   multimodal  — binary-column plumbing (decode stubbed; SURVEY §1.3)
   pipelines   — end-to-end node-graph compositions (training-data flow)
 """
@@ -38,6 +39,7 @@ from basis_spark.operators import (  # noqa: F401
     analytics,
     incremental,
     joins,
+    corpus,
 )
 from basis_spark.registry import ORACLES, register  # noqa: E402
 

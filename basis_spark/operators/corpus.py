@@ -1,0 +1,327 @@
+"""Training-corpus assembly operators — the steps between a curated
+document table and the shards a trainer actually reads: RAG-style
+chunking, sequence packing, vocabulary/OOV profiling, retrieval quality
+evaluation, mixture re-balancing, and boilerplate-prefix clustering.
+
+Scale design (100 TB):
+- Chunking/packing are map-side per document group — no global state.
+  Packing is next-fit per source group (applyInPandas); at 100 TB the
+  same code runs per (source, hash-bucket) so no group exceeds executor
+  memory, and pack ids are (bucket, local_id) pairs.
+- The vocabulary table is aggregate-then-broadcast: the corpus-sized
+  token stream never joins against anything bigger than the top-V list.
+- Retrieval eval broadcasts the (bounded) query set and evaluates
+  map-side against the full corpus — a BroadcastNestedLoopJoin by
+  design, never a shuffle-cartesian (the query set is fixed-size).
+- Mixture resampling is a metadata-sized rate table broadcast into a
+  map-only filter; membership is content-hash-stable (reruns, reshards
+  and incremental appends cannot change a document's fate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from basis_spark.io import load
+from basis_spark.registry import register
+
+CHUNK_WIN = 120       # chars per chunk
+CHUNK_STRIDE = 90     # chunk start spacing (overlap = WIN - STRIDE = 30)
+PACK_BUDGET = 1024    # tokens per packed training sequence
+VOCAB_TOP = 12        # top-V vocabulary (fixture corpus has 31 distinct words)
+EVAL_K = 10           # precision@k cutoff
+
+
+@register(
+    "chunk_docs_overlap",
+    oracle=f"""
+    WITH ks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                 CAST(floor((length(text)-1)/{CHUNK_STRIDE}.0) AS BIGINT))) AS k
+      FROM documents)
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           substring(text, CAST(k*{CHUNK_STRIDE} + 1 AS INT), {CHUNK_WIN}) AS chunk_text,
+           CAST(length(substring(text, CAST(k*{CHUNK_STRIDE} + 1 AS INT), {CHUNK_WIN}))
+                AS INTEGER) AS chunk_len
+    FROM ks
+    """,
+)
+def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (RAG / context-window prep):
+    every document becomes ceil(len/stride) chunks of WIN chars whose
+    starts are STRIDE apart, so consecutive chunks share WIN-STRIDE
+    chars of context. Pure map-side explode — sequence+substring are
+    JVM expressions, chunk count per doc is len/stride (bounded), and
+    no shuffle exists anywhere in the plan: at 100 TB this is a
+    straight scan-transform-write pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    ks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("k"),
+    )
+    chunk = F.expr(
+        f"substring(text, CAST(k*{CHUNK_STRIDE} + 1 AS INT), {CHUNK_WIN})"
+    )
+    return ks.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        (F.col("k") * CHUNK_STRIDE).alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )
+
+
+_PACK_SCHEMA = (
+    "source string, pack_id long, n_docs long, total_tokens long, "
+    "min_doc long, max_doc long"
+)
+
+
+def _pack_one_source(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Next-fit packing of one source's docs, ordered by doc_id: a doc
+    joins the open pack unless that would exceed the budget, else it
+    opens a new pack (an oversized doc gets a pack to itself)."""
+    pdf = pdf.sort_values("doc_id")
+    packs, acc, pid = [], 0, 0
+    for t in pdf["tok"]:
+        if acc > 0 and acc + t > PACK_BUDGET:
+            pid += 1
+            acc = int(t)
+        else:
+            acc += int(t)
+        packs.append(pid)
+    pdf = pdf.assign(pack_id=packs)
+    out = (
+        pdf.groupby("pack_id", as_index=False)
+        .agg(
+            source=("source", "first"),
+            n_docs=("doc_id", "size"),
+            total_tokens=("tok", "sum"),
+            min_doc=("doc_id", "min"),
+            max_doc=("doc_id", "max"),
+        )
+    )
+    return out[["source", "pack_id", "n_docs", "total_tokens", "min_doc", "max_doc"]]
+
+
+@register(
+    "pack_tokens_nextfit",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id, len(string_split(text,' ')) AS tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, tok, rn, CAST(0 AS BIGINT) AS pack_id, tok AS acc
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.tok, t.rn,
+             CASE WHEN p.acc + t.tok > {PACK_BUDGET} THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc + t.tok > {PACK_BUDGET} THEN t.tok ELSE p.acc + t.tok END
+      FROM packed p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pack_tokens_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (next-fit): concatenate consecutive docs into
+    packs of ≤ BUDGET tokens so short documents don't waste training
+    context — the standard LLM pretraining packing step. Next-fit is
+    inherently sequential per group, so it runs as applyInPandas per
+    source (one shuffle on source); the oracle reproduces the exact
+    same scan as a recursive CTE. At 100 TB the group key becomes
+    (source, hash_bucket) so every group is executor-sized; next-fit
+    (unlike first-fit-decreasing) needs only one pass and O(1) state,
+    which is why trainers use it for streaming packing."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    return toks.groupBy("source").applyInPandas(_pack_one_source, _PACK_SCHEMA)
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+    v AS (SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY word) cw
+          ORDER BY c DESC, word LIMIT {VOCAB_TOP})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE v.word IS NULL) AS DOUBLE) / count(*), 6)
+               AS oov_rate
+    FROM w LEFT JOIN v ON w.word = v.word GROUP BY doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate profiling: fit a top-V unigram
+    vocabulary on the corpus, then score every document's fraction of
+    out-of-vocabulary tokens — the cheap proxy for "will my tokenizer
+    fragment this document" used to route documents to byte-fallback
+    handling. Two aggregates: the vocab fit is corpus-wide but its
+    RESULT is V rows, which broadcasts into a map-side membership probe
+    (the token stream never shuffles against anything data-sized).
+    Ties at the V-boundary break on (count desc, word asc) so the
+    fitted vocab is deterministic on any engine."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(VOCAB_TOP)
+        .select("word", F.lit(1).alias("in_v"))
+    )
+    oov = F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "eval_retrieval_precision_at_k",
+    oracle=f"""
+    WITH d AS (
+      SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+             e.vec_id AS vec_id, e.label AS label,
+             round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY cos DESC, vec_id) AS rn FROM d)
+    SELECT q_vec_id, q_label,
+           round(CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS p_at_{EVAL_K}
+    FROM r WHERE rn <= {EVAL_K} GROUP BY 1, 2
+    """,
+)
+def eval_retrieval_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: for each held-out query vector,
+    retrieve the top-k cosine neighbors and score the fraction sharing
+    the query's label (precision@k) — the standard label-as-relevance
+    check run after every embedding-model or index change. The query
+    set (vec_id < 20) is bounded and broadcast, so the scoring pass is
+    map-side over the corpus (BroadcastNestedLoopJoin on the != guard,
+    never a shuffle cartesian); ranking is per-query WindowGroupLimit.
+    Cosines are rounded to 6dp BEFORE ranking so the rank order is
+    identical on any engine's float path; ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "q_label", "vec_id", "label", F.round(dot, 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    hit = F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVAL_K)
+        .groupBy("q_vec_id", "q_label")
+        .agg(
+            F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias(f"p_at_{EVAL_K}")
+        )
+    )
+
+
+@register(
+    "corpus_mixture_balance",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS cap FROM c),
+    keep AS (
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < CAST(m.cap AS DOUBLE) / c.n)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_doc
+    FROM keep GROUP BY lang
+    """,
+)
+def corpus_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture re-balancing: downsample every language to
+    (approximately) the smallest language's share using a content-hash
+    keep rule — how multilingual pretraining mixes are rebalanced
+    without an RNG, so a document's membership survives reruns,
+    resharding and incremental appends. The per-lang rate table is
+    metadata-sized and broadcast; the keep test itself is a map-only
+    filter (uniform hash in [0,1) < cap/n_lang). The 1-row min-count
+    combine is the only global step."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = c.agg(F.min("n").alias("cap"))
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(cap))
+        .filter(frac < F.col("cap").cast("double") / F.col("n"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+@register(
+    "dedup_doc_prefix",
+    oracle="""
+    SELECT md5(substring(text, 1, 64)) AS prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix clustering: hash the first 64 chars only —
+    catches template/boilerplate families (same header, differing
+    tails) that full-content hashing misses and near-dup banding pays
+    LSH machinery to find. A web-scale staple (cookie banners, SEO
+    headers). Map-only md5 of a fixed-size prefix — the full text
+    never enters the shuffle; one hash aggregation; n_sources shows
+    whether a prefix family is one crawler artifact or cross-site
+    boilerplate."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

@@ -332,6 +332,7 @@ _SINGLE_PARTITION_OK = {
     "tpch_q15",              # rank over the 100-row revenue relation
     "tpch_q22",              # 1-row avg-balance subquery
     "tpch_q11",              # 1-row scalar-cut combine (1.75x avg part value)
+    "corpus_mixture_balance",  # 1-row min-lang-count combine broadcast into the rate filter
 }
 
 

@@ -478,8 +478,8 @@ def test_global_cumsum_exact_under_filters(spark, duck, cutoff):
     )
     sql = f"""
         SELECT o_orderkey,
-               sum(floor(o_totalprice)) OVER (ORDER BY o_orderkey) AS cum,
-               sum(floor(o_totalprice)) OVER () AS total
+               CAST(sum(floor(o_totalprice)) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum,
+               CAST(sum(floor(o_totalprice)) OVER () AS BIGINT) AS total
         FROM orders WHERE o_totalprice > {cutoff}
     """
     compare_frames(out, duck, sql, key=f"prop_global_cumsum[{cutoff}]")
