@@ -13,6 +13,7 @@ Modules map to SURVEY.md §2 groups:
   udfs        — §2.K UDF/UDAF/UDTF surface
   llm         — §2.L LLM-data-pipeline operators (+ extensions)
   corpus      — training-corpus assembly (chunk/pack/vocab/mixture/eval)
+  stats       — two-sample distribution tests (KS, Mann-Whitney U)
   multimodal  — binary-column plumbing (decode stubbed; SURVEY §1.3)
   pipelines   — end-to-end node-graph compositions (training-data flow)
 """
@@ -40,6 +41,7 @@ from basis_spark.operators import (  # noqa: F401
     incremental,
     joins,
     corpus,
+    stats,
 )
 from basis_spark.registry import ORACLES, register  # noqa: E402
 

@@ -1993,3 +1993,151 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("hot_key"),
         F.col("n").cast("long").alias("hot_n"),
     )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey->region', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) t
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema in
+    one report: child row count + orphan count (children whose parent
+    key is missing) per edge — the pre-pipeline gate that catches
+    partial loads and late-arriving dimensions before a join silently
+    drops rows. Each edge is a left join reduced to a 1-row count
+    aggregate; dimension parents broadcast, the two fact-to-fact edges
+    shuffle on their keys. Zero orphans on the fixture — the oracle
+    pins the zeros, so a fixture regression (or a broken join) shows
+    up as a value mismatch, not silence."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    def edge(name, child, ck, parent, pk, bcast=True):
+        p = parent.select(F.col(pk).alias("__pk")).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        j = child.select(F.col(ck).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
+        )
+
+    out = edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey", bcast=False)
+    for e in (
+        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        edge("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+        edge("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ):
+        out = out.unionByName(e)
+    return out
+
+
+@register(
+    "melt_api",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def melt_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the native DataFrame.unpivot/melt API
+    (Spark >= 3.4) — the API-parity sibling of unpivot_stack, which
+    builds the same shape from a stack() expression. unpivot generates
+    an Expand node (each input row emits one output row per value
+    column) — map-side, no shuffle, and value columns are cast to a
+    common type by the API itself."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1),
+    act AS (SELECT day, count(*) AS active_users FROM du GROUP BY 1),
+    nu AS (SELECT first_day AS day, count(*) AS n FROM f GROUP BY 1)
+    SELECT a.day, CAST(a.active_users AS BIGINT) AS active_users,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.n, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users
+    FROM act a LEFT JOIN nu n ON a.day = n.day
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives + cumulative distinct users ("total users ever")
+    per day. COUNT(DISTINCT) over an ever-growing frame is the classic
+    scale trap (the naive window re-scans all history per day); the
+    first-seen decomposition makes it linear: cumulative distinct
+    through day d == users whose FIRST activity is <= d, so one
+    (user, day) dedup + one min-aggregate + a cumulative sum over the
+    calendar-bounded day spine (the only windowed relation — ~
+    #days rows, never data-sized)."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    act = du.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    nu = (
+        du.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        act.join(nu, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce(F.col("n"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )

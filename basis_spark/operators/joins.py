@@ -891,6 +891,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     point INTO it, so it emits no wedges; property-tested with a
     1000-edge hub in tests/test_graph_cc.py). Edge generation reuses
     the grid-bucketed spatial join, so no O(n^2) stage anywhere."""
+    e = proximity_edges(spark, sf_dir)
+    return triangles_per_node(e)
+
+
+def proximity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected u < v edge list of the distance-15 proximity graph
+    over the deterministic md5 plane (shared by graph_triangle_count
+    and graph_degree_distribution). Grid-bucketed candidate join — each
+    point probes its 3x3 neighbor cells — so edge generation is an
+    equi-join on cell, never O(n^2). localCheckpoint: the edge list is
+    reused by multiple downstream joins."""
     cust = load(spark, sf_dir, "customer").select("c_custkey")
 
     def coord(salt: str):
@@ -928,14 +939,60 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
-    e = (
+    return (
         left.join(right, "cell")
         .filter((F.col("u") < F.col("v")) & (d2 <= D * D))
         .select("u", "v")
         .localCheckpoint()  # edges reused by the degree + closing joins
     )
-    tri = triangles_per_node(e)
-    return tri
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer),
+    e AS (SELECT a.k AS u, b.k AS v FROM pts a JOIN pts b
+          ON a.k < b.k
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225.0),
+    deg AS (SELECT n, count(*) AS d FROM (
+              SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+            GROUP BY n)
+    SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(n) AS min_node
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the proximity graph — the first diagnostic
+    run on any real-world graph, because its tail DECIDES the physical
+    strategy for everything downstream (a power-law tail means the
+    wedge joins must be degree-ordered and the hot vertices salted;
+    see degree_oriented_edges). Two hash aggregations over the
+    edge-sized relation: per-node degree, then nodes per degree —
+    both map-side-combinable, no window, no skew amplification (the
+    second groupBy key is the degree, whose cardinality is tiny)."""
+    e = proximity_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("n").alias("min_node")
+    )
 
 
 def degree_oriented_edges(e: DataFrame) -> DataFrame:

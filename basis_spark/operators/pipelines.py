@@ -222,3 +222,41 @@ def reactive_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("s"))
     )
+
+
+@register(
+    "observe_pipeline_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(max(l_orderkey) AS BIGINT) AS max_order
+    FROM lineitem WHERE l_discount > 0.02
+    """,
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via DataFrame.observe(): named metrics
+    (row count, quantity sum, max order key; observe() forbids DISTINCT
+    aggregates — they cannot ride map tasks) are accumulated ON the
+    filtered stream as it executes — zero extra passes, zero extra
+    shuffles; the aggregates ride the same tasks that produce the
+    data. This is how a production pipeline exports per-batch health
+    numbers (basis's node-run metrics) without re-scanning: at 100 TB
+    a separate metrics query would double the IO. The operator drives
+    one action to harvest the observation, then returns the metrics as
+    a 1-row DataFrame; the oracle recomputes them declaratively."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.02)
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_orderkey").alias("max_order"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["sum_qty"]), int(m["max_order"]))],
+        "n_rows long, sum_qty double, max_order long",
+    )

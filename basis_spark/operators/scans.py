@@ -816,3 +816,31 @@ def source_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p.total"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's binaryFile source — the entry
+    point for multimodal corpora (images/audio/archives land as whole
+    files, not records). Each file becomes one row (path, length,
+    modificationTime, content BinaryType); downstream decode runs as
+    mapInPandas over the content column (operators/multimodal.py). The
+    source parallelizes at file granularity and prunes on path — at
+    100 TB you partition the lake by shard directory so a path glob is
+    partition pruning. The oracle (DuckDB read_blob over the same glob)
+    pins names + byte sizes; content equality is pinned byte-for-byte
+    in tests/test_corpus_ops.py via md5 against the local filesystem.
+    Projecting only (name, length) — not content — keeps the scan
+    metadata-only; the driver's compare never ships the payloads."""
+    df = spark.read.format("binaryFile").load(os.path.join(sf_dir, "*.parquet"))
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+    )

@@ -1,0 +1,111 @@
+"""Invariants of the round-5 corpus/stats/scan additions that the SQL
+oracles cannot express: binary payload equality, packing feasibility,
+chunk coverage, and hash-split stability."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+import basis_spark.operators  # noqa: F401  (registers all operators)
+from basis_spark.io import load
+from basis_spark.registry import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def test_binaryfile_content_matches_filesystem(spark):
+    """scan_binaryfile's oracle pins (name, size); here the CONTENT is
+    pinned byte-for-byte: Spark-side md5(content) must equal hashlib
+    over the same files read straight from disk."""
+    df = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(SF_ORACLE, "*.parquet"))
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("name"),
+            F.md5(F.col("content")).alias("h"),
+        )
+    )
+    got = {r["name"]: r["h"] for r in df.collect()}
+    want = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(SF_ORACLE, "*.parquet"))
+    }
+    assert got == want
+
+
+def test_pack_nextfit_budget_and_contiguity(spark):
+    """Every pack respects the 1024-token budget unless it holds a
+    single oversized doc, and packs partition each source's doc_id
+    range into contiguous, non-overlapping runs."""
+    rows = QUERIES["pack_tokens_nextfit"](spark, SF_ORACLE).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r["total_tokens"] <= 1024 or r["n_docs"] == 1, r
+        by_source.setdefault(r["source"], []).append(r)
+    for src, packs in by_source.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        for a, b in zip(packs, packs[1:]):
+            assert a["max_doc"] < b["min_doc"], (src, a, b)
+
+
+def test_chunk_overlap_covers_document(spark):
+    """Chunks tile every document: chunk k starts at k*stride, strides
+    cover the full text, and consecutive chunks share win-stride chars."""
+    docs = {r["doc_id"]: r["text"] for r in
+            load(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()}
+    out = QUERIES["chunk_docs_overlap"](spark, SF_ORACLE).collect()
+    seen: dict[int, list] = {}
+    for r in out:
+        text = docs[r["doc_id"]]
+        assert r["chunk_text"] == text[r["chunk_start"]: r["chunk_start"] + 120]
+        seen.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in seen.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # strides cover the text: last chunk starts within the tail
+        last = chunks[-1]
+        assert last["chunk_start"] < len(docs[doc_id])
+        assert last["chunk_start"] + 90 >= len(docs[doc_id]) - 1 or \
+            last["chunk_start"] + 120 >= len(docs[doc_id])
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start"] - a["chunk_start"] == 90
+            overlap = a["chunk_start"] + len(a["chunk_text"]) - b["chunk_start"]
+            if len(a["chunk_text"]) == 120:
+                assert overlap == 30
+
+
+def test_mixture_balance_is_a_subset_and_stable(spark):
+    """Balanced corpus keeps a subset per lang (never more than the
+    original), keeps the smallest lang in full, and is rerun-stable."""
+    base = dict(
+        load(spark, SF_ORACLE, "documents").groupBy("lang").count().collect()
+    )
+    out1 = {r["lang"]: r["n_kept"] for r in
+            QUERIES["corpus_mixture_balance"](spark, SF_ORACLE).collect()}
+    out2 = {r["lang"]: r["n_kept"] for r in
+            QUERIES["corpus_mixture_balance"](spark, SF_ORACLE).collect()}
+    assert out1 == out2  # hash membership, not RNG
+    cap = min(base.values())
+    smallest = min(base, key=lambda k: base[k])
+    assert out1[smallest] == base[smallest] == cap
+    for lang, kept in out1.items():
+        assert kept <= base[lang]
+
+
+def test_ks_self_comparison_is_zero(spark, duck):
+    """KS of a sample against itself must be exactly 0 — pins the
+    cumulative-share arithmetic of the two-pass scaffold."""
+    import basis_spark.operators.stats as stats
+
+    orig_b = stats.GROUP_B
+    stats.GROUP_B = stats.GROUP_A
+    try:
+        row = QUERIES["stat_ks_two_sample"](spark, SF_ORACLE).collect()[0]
+    finally:
+        stats.GROUP_B = orig_b
+    # A vs A: both indicator columns count the same rows
+    assert row["ks_stat"] == 0.0
+    assert row["n_a"] == row["n_b"]

@@ -333,6 +333,10 @@ _SINGLE_PARTITION_OK = {
     "tpch_q22",              # 1-row avg-balance subquery
     "tpch_q11",              # 1-row scalar-cut combine (1.75x avg part value)
     "corpus_mixture_balance",  # 1-row min-lang-count combine broadcast into the rate filter
+    "stat_ks_two_sample",    # P-row offset table + 1-row max-gap combine (cumsum is pid-parallel)
+    "stat_mann_whitney_u",   # same P-row offset table + 1-row U combine
+    "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
+    "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
 }
 
 
