@@ -1020,3 +1020,28 @@ def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_g1"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_g2"),
     )
+
+
+@register("agg_histogram_numeric")
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in approximate histogram_numeric(col, nb) — the
+    streaming-mergeable bin sketch (Ben-Haim/Tom-Tova decision-tree
+    histogram) behind ANALYZE-style distribution summaries: each task
+    keeps nb (center, height) pairs, merging closest pairs as values
+    stream through, and partials merge associatively — one partial agg
+    + one 1-row combine at any scale. Bin placement is data-order
+    dependent, hence approximate → rows-only check; the exact-sum and
+    range invariants are pinned in tests/test_tolerance.py (heights
+    sum to the row count, centers lie within [min, max])."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.explode(
+                F.expr("histogram_numeric(l_extendedprice, 10)")
+            ).alias("bin")
+        )
+        .select(
+            F.round(F.col("bin.x"), 4).alias("bin_center"),
+            F.col("bin.y").alias("height"),
+        )
+    )

@@ -2141,3 +2141,90 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_users", F.sum("new_users").over(w))
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+               WHERE event_type='view' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type='purchase' AND e.ts > v.vt GROUP BY e.user_id),
+    d AS (SELECT v.user_id, date_diff('second', v.vt, p.pt) AS delay_s
+          FROM v JOIN p ON v.user_id = p.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(avg(delay_s), 2) AS avg_delay_s,
+           round(quantile_cont(delay_s, 0.5), 2) AS p50_delay_s,
+           round(quantile_cont(delay_s, 0.9), 2) AS p90_delay_s
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: for users whose first purchase
+    follows their first view, the distribution (avg/p50/p90) of the
+    view→purchase delay — the funnel's TIME dimension, which the stage
+    counts (event_funnel) don't see. Two min-aggregates on user_id (one
+    shuffle key reused), a user-keyed join, then exact percentiles over
+    the per-user delays — the delay relation is users-sized, already
+    far smaller than the event log."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    d = v.join(p, "user_id").select(
+        (F.unix_timestamp("pt") - F.unix_timestamp("vt")).alias("delay_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("delay_s"), 2).alias("avg_delay_s"),
+        F.round(F.percentile("delay_s", F.lit(0.5)), 2).alias("p50_delay_s"),
+        F.round(F.percentile("delay_s", F.lit(0.9)), 2).alias("p90_delay_s"),
+    )
+
+
+@register(
+    "agg_pivot_multi",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (WHERE event_type='click') AS BIGINT) AS click_n,
+           round(avg(value) FILTER (WHERE event_type='click'), 6) AS click_avg,
+           CAST(count(*) FILTER (WHERE event_type='purchase') AS BIGINT) AS purchase_n,
+           round(avg(value) FILTER (WHERE event_type='purchase'), 6) AS purchase_avg
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + mean in
+    one pass) — the reshape agg_pivot_api can't express with a single
+    agg. Spark compiles pivot().agg(a, b) into one hash aggregation
+    whose grouping key is day and whose buffer holds every
+    (pivot_value × aggregate) cell — one shuffle total, no per-metric
+    re-scan; the explicit pivot-value list keeps the schema static (no
+    discovery pass) and bounds the row width."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg"),
+        )
+    )
+    return out.select(
+        "day",
+        F.col("click_n"),
+        F.col("click_avg"),
+        F.col("purchase_n"),
+        F.col("purchase_avg"),
+    )

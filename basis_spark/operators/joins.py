@@ -1047,3 +1047,72 @@ def triangles_per_node(e: DataFrame) -> DataFrame:
         .unionAll(tri.select("c"))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer),
+    e AS (SELECT a.k AS u, b.k AS v FROM pts a JOIN pts b
+          ON a.k < b.k
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225.0),
+    adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS n, count(*) AS d FROM adj GROUP BY 1),
+    cmn AS (SELECT e.u, e.v, count(*) AS common
+            FROM e JOIN adj a1 ON a1.a = e.u JOIN adj a2 ON a2.a = e.v AND a2.b = a1.b
+            GROUP BY e.u, e.v)
+    SELECT e.u, e.v, CAST(coalesce(c.common, 0) AS BIGINT) AS common,
+           round(CAST(coalesce(c.common, 0) AS DOUBLE)
+                 / (du.d + dv.d - coalesce(c.common, 0)), 6) AS jaccard
+    FROM e LEFT JOIN cmn c ON e.u = c.u AND e.v = c.v
+    JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every edge — the classic
+    link-prediction / tie-strength score (|N(u) ∩ N(v)| over the union).
+    Common neighbors come from ONE wedge equi-join (adjacency joined to
+    itself on the shared endpoint), never a set-intersection per pair:
+    each common neighbor w of an edge contributes exactly one row to
+    the count. All relations are edge-sized; per-vertex fan-out is the
+    degree, so on a power-law graph this inherits the same remedy the
+    triangle counter uses (degree-ordering/salting the hub side; the
+    fixture's proximity graph is benign, dq_key_skew_report is the
+    gate that decides)."""
+    e = proximity_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    cmn = (
+        e.join(adj.select(F.col("a").alias("u"), F.col("b").alias("w")), "u")
+        .join(adj.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c = F.coalesce(F.col("common"), F.lit(0))
+    return (
+        e.join(cmn, ["u", "v"], "left")
+        .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            c.cast("long").alias("common"),
+            F.round(c.cast("double") / (F.col("du") + F.col("dv") - c), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -2676,3 +2676,58 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", h.alias("h")).groupBy("h").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
     )
+
+
+_RP_OUT_DIMS = 8
+_RP_EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+@register(
+    "embeddings_random_projection",
+    oracle="""
+    WITH ev AS (SELECT vec_id, g.i AS i, embedding[g.i]::DOUBLE AS x
+                FROM embeddings, generate_series(1, 64) g(i)),
+    pj AS (SELECT ev.vec_id, j.j AS j,
+                  round(sum(x * CASE WHEN substring(md5(CAST(ev.i - 1 AS VARCHAR)
+                             || '_' || CAST(j.j AS VARCHAR)), 1, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                             THEN 1 ELSE -1 END), 6) AS p
+           FROM ev, generate_series(0, 7) j(j) GROUP BY 1, 2)
+    SELECT vec_id,
+           round(max(CASE WHEN j = 0 THEN p END), 6) AS p0,
+           round(max(CASE WHEN j = 1 THEN p END), 6) AS p1,
+           round(max(CASE WHEN j = 2 THEN p END), 6) AS p2,
+           round(max(CASE WHEN j = 3 THEN p END), 6) AS p3,
+           round(max(CASE WHEN j = 4 THEN p END), 6) AS p4,
+           round(max(CASE WHEN j = 5 THEN p END), 6) AS p5,
+           round(max(CASE WHEN j = 6 THEN p END), 6) AS p6,
+           round(max(CASE WHEN j = 7 THEN p END), 6) AS p7
+    FROM pj GROUP BY vec_id
+    """,
+)
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project 64-d embeddings to 8-d with
+    a DETERMINISTIC ±1 sign matrix derived from md5(i_j) — no fitted
+    model, no broadcast state, and any engine regenerates the identical
+    matrix (which is what makes the sketch usable as a cross-system
+    pre-filter key: distances are approximately preserved, so coarse
+    candidate pruning can run on 8 doubles before exact cosine on 64).
+    The whole projection is a JVM map-side expression per output dim —
+    a static sum over array elements, no explode, no shuffle, no UDF.
+    Honest caveat (tests/test_corpus_ops.py): on the fixture's
+    near-uniform random embeddings true distances concentrate (~12%
+    spread), so k=8 cannot ORDER them — the pinned property is JL
+    unbiasedness (mean norm ratio ≈ 1), and real-world manifold
+    embeddings are where the rank-preserving pre-filter pays off."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def proj(j: int):
+        terms = None
+        for i in range(64):
+            h = F.substring(F.md5(F.lit(f"{i}_{j}")), 1, 1)
+            sign = F.when(h.isin(*_RP_EVEN), 1.0).otherwise(-1.0)
+            t = F.element_at("embedding", i + 1).cast("double") * sign
+            terms = t if terms is None else terms + t
+        return F.round(terms, 6).alias(f"p{j}")
+
+    return emb.select("vec_id", *[proj(j) for j in range(_RP_OUT_DIMS)])

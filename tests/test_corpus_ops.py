@@ -109,3 +109,41 @@ def test_ks_self_comparison_is_zero(spark, duck):
     # A vs A: both indicator columns count the same rows
     assert row["ks_stat"] == 0.0
     assert row["n_a"] == row["n_b"]
+
+
+def test_histogram_numeric_invariants(spark):
+    """agg_histogram_numeric is approximate (bin placement is
+    data-order dependent) but two invariants are exact: heights sum to
+    the row count, and every bin center lies inside [min, max]."""
+    li = load(spark, SF_ORACLE, "lineitem")
+    n = li.count()
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    bins = QUERIES["agg_histogram_numeric"](spark, SF_ORACLE).collect()
+    assert len(bins) == 10
+    assert abs(sum(r["height"] for r in bins) - n) < 1e-6
+    for r in bins:
+        assert lo <= r["bin_center"] <= hi
+
+
+def test_random_projection_norm_unbiased(spark):
+    """JL unbiasedness: for a ±1 sign matrix, E[|Px|²/k] = |x|², so the
+    MEAN norm ratio across the corpus must sit near 1 (per-vector the
+    k=8 sketch has ~50% stdev — fine for a pre-filter ensemble, and
+    why top-k RANKS are not asserted: the fixture embeddings are
+    near-uniform random, so true distances concentrate within ~12% and
+    no 8-d sketch can order them; measured corr ≈ 0.08)."""
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in
+           load(spark, SF_ORACLE, "embeddings").collect()}
+    proj = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in
+            QUERIES["embeddings_random_projection"](spark, SF_ORACLE).collect()}
+    assert set(proj) == set(emb)
+    ratios = []
+    for i, v in emb.items():
+        true_sq = sum(x * x for x in v)
+        proj_sq = sum(p * p for p in proj[i]) / 8.0
+        ratios.append(proj_sq / true_sq)
+    mean = sum(ratios) / len(ratios)
+    # sigma/sqrt(500) ~= 0.023; 4-sigma band around 1
+    assert 0.9 <= mean <= 1.13, mean

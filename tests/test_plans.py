@@ -337,6 +337,8 @@ _SINGLE_PARTITION_OK = {
     "stat_mann_whitney_u",   # same P-row offset table + 1-row U combine
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
+    "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
+    "agg_histogram_numeric",   # 1-row sketch merge (nb-sized histogram state)
 }
 
 
