@@ -2228,3 +2228,67 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_n"),
         F.col("purchase_avg"),
     )
+
+
+@register(
+    "basket_rule_lift",
+    oracle="""
+    WITH n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n FROM lineitem GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+           round(CAST(p.support AS DOUBLE) / ia.n, 6) AS conf_a_to_b,
+           round(CAST(p.support AS DOUBLE) * n.n_orders / (ia.n * ib.n), 6) AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def basket_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics on top of pair support: confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)) — what turns raw co-occurrence
+    counts (basket_pair_support) into rankable rules. Baskets dedup to
+    distinct (order, part) first so multi-line quantities don't inflate
+    probabilities. The item-frequency table is parts-sized and
+    broadcast; the order total is a 1-row combine; the pair join is the
+    same co-partitioned self-join as the support pass — no new shuffle
+    shapes, just two cheap enrichment joins after the HAVING cut."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.toDF("l_orderkey", "part_a")
+    b = li.toDF("l_orderkey", "part_b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ia = item.toDF("part_a", "na")
+    ib = item.toDF("part_b", "nb")
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support").cast("double") / F.col("na"), 6).alias("conf_a_to_b"),
+            F.round(
+                F.col("support").cast("double") * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -12,7 +12,9 @@ them at import time would require a SparkSession before any exists.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -266,3 +268,107 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInArrow(
         _double_value_arrow, schema="event_id long, user_id long, value2 double"
     )
+
+
+def _median_series(v: pd.Series) -> float:
+    # np.percentile 'linear' == SQL percentile_cont/quantile_cont
+    return float(np.percentile(v.to_numpy(), 50))
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(avg(o_totalprice), 4) AS mean_price
+    FROM orders GROUP BY 1
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the third grouped-Python surface next to
+    applyInPandas (udaf_pandas_grouped) and applyInPandasWithState: a
+    Series→scalar aggregate usable INSIDE groupBy().agg() alongside
+    other pandas aggregates, sharing one shuffle (applyInPandas
+    replaces the whole agg pipeline; GROUPED_AGG composes — though
+    Spark forbids mixing it with JVM aggregates in the same agg()).
+    Each group's column arrives as one Arrow batch; partial aggregation
+    is not available for custom Python aggs, so group size must be
+    executor-bounded — fine for keyed medians, wrong for a global one
+    (that's approx_quantile's job)."""
+    median = F.pandas_udf(_median_series, "double")
+    pd_mean = F.pandas_udf(_mean_series, "double")
+    o = load(spark, sf_dir, "orders")
+    # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — both metrics go through pandas.
+    return o.groupBy("o_orderstatus").agg(
+        F.round(median("o_totalprice"), 4).alias("median_price"),
+        F.round(pd_mean("o_totalprice"), 4).alias("mean_price"),
+    )
+
+
+def _mean_series(v: pd.Series) -> float:
+    return float(v.to_numpy().mean())
+
+
+@register(
+    "win_pandas_udaf",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS roll_avg
+    FROM events
+    """,
+)
+def win_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF evaluated OVER A WINDOW FRAME — custom
+    Python aggregates in rolling windows (the API a bespoke risk metric
+    or exotic robust statistic needs when no builtin exists). Spark
+    re-evaluates the UDF per frame over Arrow slices; the frame must be
+    bounded (ROWS BETWEEN k PRECEDING) — an unbounded custom frame
+    would ship each partition's whole history per row. The oracle is
+    the built-in avg over the identical frame, proving the Python path
+    computes exactly what the JVM path would."""
+    pd_mean = F.pandas_udf(_mean_series, "double")
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(pd_mean("value").over(w), 6).alias("roll_avg"),
+    )
+
+
+def _score_batches(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # Per-batch-iterator init: build the lookup ONCE per Python worker
+    # task, not once per batch — the pattern for loading a model/
+    # tokenizer before streaming Arrow batches through it.
+    table = {"view": 1.0, "click": 2.0, "purchase": 5.0, "signup": 3.0, "error": -1.0}
+    for s in batches:
+        yield s.map(lambda t: table.get(t, 0.0))
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+                WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                WHEN 'error' THEN -1.0 ELSE 0.0 END AS DOUBLE) AS score
+    FROM events
+    """,
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF: the iterator-of-Series variant whose
+    function body runs ONCE per task around the batch loop — the
+    correct surface for expensive per-worker initialization (model
+    weights, tokenizers, codecs) amortized across every Arrow batch of
+    the partition, where a plain scalar pandas UDF would pay init per
+    batch. The stand-in init is a scoring table; the oracle (a CASE
+    expression) pins that the amortization changes nothing semantically."""
+    score = F.pandas_udf(_score_batches, "double")  # SCALAR_ITER via type hints
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", score("event_type").alias("score"))
