@@ -2292,3 +2292,36 @@ def basket_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH s AS (SELECT o_orderstatus, o_totalprice AS x,
+                      avg(o_totalprice) OVER (PARTITION BY o_orderstatus) AS mu
+               FROM orders)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(avg((x/mu) * ln(x/mu)), 6) AS theil_t
+    FROM s GROUP BY 1
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per group — the DECOMPOSABLE member of
+    the inequality family (unlike Gini, Theil splits exactly into
+    within-group + between-group terms, which is why concentration
+    dashboards use it for drill-down). Two-pass as two aggregations on
+    the SAME grouping key (mean, then the entropy sum with the mean
+    joined back) — the window in the oracle is per-group, so Spark gets
+    the same result from a groupBy + broadcast join of the 3-row means
+    table; no data-sized window anywhere."""
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", F.col("o_totalprice").alias("x"))
+    mu = o.groupBy("o_orderstatus").agg(F.avg("x").alias("mu"))
+    r = F.col("x") / F.col("mu")
+    return (
+        o.join(F.broadcast(mu), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(r * F.log(r)), 6).alias("theil_t"),
+        )
+    )

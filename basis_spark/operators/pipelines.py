@@ -260,3 +260,88 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), float(m["sum_qty"]), int(m["max_order"]))],
         "n_rows long, sum_qty double, max_order long",
     )
+
+
+@register(
+    "pipeline_rag_chunks",
+    oracle="""
+    WITH ks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST(floor((length(text)-1)/90.0) AS BIGINT))) AS k
+      FROM documents),
+    ch AS (SELECT doc_id, k AS chunk_id,
+                  substring(text, CAST(k*90+1 AS INT), 120) AS chunk_text FROM ks),
+    w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+    v AS (SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY word) cw
+          ORDER BY c DESC, word LIMIT 12),
+    cw AS (SELECT c.doc_id, c.chunk_id, unnest(string_split(c.chunk_text,' ')) AS word
+           FROM ch c),
+    sc AS (SELECT cw.doc_id, cw.chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  round(CAST(count(*) FILTER (WHERE v.word IS NOT NULL) AS DOUBLE)
+                        / count(*), 6) AS vocab_density
+           FROM cw LEFT JOIN v ON cw.word = v.word GROUP BY 1, 2)
+    SELECT doc_id, chunk_id, n_tokens, vocab_density FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY vocab_density DESC, chunk_id) AS rn FROM sc) t
+    WHERE rn = 1
+    """,
+)
+def pipeline_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing pipeline: chunk every document (sliding window,
+    corpus.chunk_docs_overlap's geometry), score each chunk's
+    vocabulary density against the corpus top-V vocabulary
+    (corpus.tokenizer_vocab_coverage's fit), and keep each document's
+    densest chunk — the "best passage per doc" selection an embedding
+    indexer runs before paying for vectors. One declarative plan:
+    the chunk explode is map-side, the V-row vocab broadcasts into the
+    membership probe, per-doc selection is WindowGroupLimit. Nothing
+    materializes between stages — filters/pruning push through the
+    whole composition, which is the point of the node-graph layer."""
+    from basis_spark.operators.corpus import CHUNK_STRIDE, CHUNK_WIN, VOCAB_TOP
+
+    docs = load(spark, sf_dir, "documents")
+    ks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("k"),
+    )
+    ch = ks.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        F.expr(
+            f"substring(text, CAST(k*{CHUNK_STRIDE} + 1 AS INT), {CHUNK_WIN})"
+        ).alias("chunk_text"),
+    )
+    w = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(VOCAB_TOP)
+        .select("word", F.lit(1).alias("in_v"))
+    )
+    cw = ch.select(
+        "doc_id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("word")
+    )
+    hits = F.sum(F.when(F.col("in_v").isNotNull(), 1).otherwise(0))
+    sc = (
+        cw.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias("vocab_density"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("vocab_density"), F.asc("chunk_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_id", "n_tokens", "vocab_density")
+    )

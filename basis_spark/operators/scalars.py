@@ -705,3 +705,31 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
         F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias("k_missing"),
     )
+
+
+@register(
+    "arr_explode_outer",
+    oracle="""
+    WITH m AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t = 'spark') AS toks
+               FROM documents)
+    SELECT doc_id, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS tok
+    FROM m WHERE len(toks) = 0
+    UNION ALL
+    SELECT doc_id, CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos,
+           unnest(toks) AS tok
+    FROM m WHERE len(toks) > 0
+    """,
+)
+def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_OUTER: rows whose array is empty survive as a single
+    (NULL, NULL) row instead of vanishing — the semantics that keep a
+    left-side entity present through a fan-out (a doc with zero matches
+    still appears in the joined feature table; plain explode would
+    silently drop it and every downstream LEFT JOIN would lie). The
+    oracle builds the same outer semantics from a guarded UNION, since
+    DuckDB's unnest is inner-only. Map-side generator, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t == F.lit("spark"))
+    return docs.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
