@@ -76,12 +76,15 @@ def _timed(action, k: int) -> list[float]:
 
 
 def main() -> None:
-    # Shuffle-partition sizing was A/B'd here (8 = bytes/128MB floor, vs
-    # the session's 2x-cores=64): 8 cut per-exchange task launch but lost
-    # reduce-side parallelism on 32 cores and the bench total regressed
-    # ~15% — with AQE already coalescing reducers, the pre-AQE count is
-    # the map of available cores, not data volume, at this SF. Kept at
-    # the session default.
+    # Shuffle-partition sizing re-A/B'd in round 5 with ORDER CONTROL
+    # (alternating P=16/64/16/64 over all 12 bench keys, median-of-5
+    # each): 2.71 / 2.16 / 2.24 / 2.13 s — i.e. once codegen is warm the
+    # partition count is noise at this SF, and a naive one-pass sweep
+    # (64 first) had mis-attributed ~27% of JIT warm-up to P. The
+    # sub-second floor is JVM/codegen/Py4J fixed cost, not task count;
+    # AQE's reducer coalescing already absorbs the pre-AQE number. Kept
+    # at the session default (2x cores), which is also the right
+    # starting point on a real cluster.
     spark = get_spark("basis-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     load_start = os.getloadavg()
