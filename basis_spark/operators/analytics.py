@@ -2325,3 +2325,69 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(r * F.log(r)), 6).alias("theil_t"),
         )
     )
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    tr AS (
+        SELECT day, rev,
+               avg(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend
+        FROM daily),
+    det AS (SELECT day, rev, trend, rev - trend AS detrended FROM tr),
+    seas AS (
+        SELECT day, detrended,
+               avg(detrended) OVER (PARTITION BY isodow(day)) AS seasonal,
+               trend
+        FROM det),
+    c AS (SELECT round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
+                 round(detrended - seasonal, 4) AS residual FROM seas)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(greatest(0, 1 - var_samp(residual)/var_samp(residual + trend)), 6)
+               AS strength_trend,
+           round(greatest(0, 1 - var_samp(residual)/var_samp(residual + seasonal)), 6)
+               AS strength_seasonal
+    FROM c
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-style decomposition-strength scores: how much of the
+    series' variance the trend and the weekly seasonal component each
+    explain (1 - Var(residual)/Var(component + residual), floored at
+    0) — the single-number summary that decides whether a forecaster
+    needs a seasonal term (compare ts_forecast_snaive) or whether
+    anomaly thresholds must be deseasonalized first. Reuses
+    ts_decompose_trend_seasonal's exact components (rounded identically
+    on both engines), reduced to a 1-row variance combine over the
+    calendar-bounded daily spine."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    wtr = Window.orderBy("day").rowsBetween(-3, 3)
+    det = daily.select(
+        "day", "rev", F.avg("rev").over(wtr).alias("trend")
+    ).withColumn("detrended", F.col("rev") - F.col("trend"))
+    wse = Window.partitionBy(F.weekday("day") + 1)
+    c = det.select(
+        F.round("trend", 4).alias("trend"),
+        F.round(F.avg("detrended").over(wse), 4).alias("seasonal"),
+        F.round(F.col("detrended") - F.avg("detrended").over(wse), 4).alias("residual"),
+    )
+    strength = lambda comp: F.round(  # noqa: E731
+        F.greatest(
+            F.lit(0.0),
+            1 - F.var_samp("residual") / F.var_samp(F.col("residual") + F.col(comp)),
+        ),
+        6,
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        strength("trend").alias("strength_trend"),
+        strength("seasonal").alias("strength_seasonal"),
+    )

@@ -733,3 +733,42 @@ def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode_outer(toks).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@register(
+    "str_collation_ci",
+    oracle="""
+    WITH m AS (SELECT p_type,
+                      CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                           ELSE lower(p_brand) END AS brand_mixed
+               FROM part)
+    SELECT p_type,
+           CAST(count(DISTINCT brand_mixed) AS BIGINT) AS n_binary,
+           CAST(count(DISTINCT lower(brand_mixed)) AS BIGINT) AS n_ci
+    FROM m GROUP BY 1
+    """,
+)
+def str_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): the same
+    distinct-count run under binary collation vs UTF8_LCASE — the
+    engine-level answer to case-divergent keys (brand codes, emails,
+    country codes) that otherwise need lower() wrapped around every
+    comparison, defeating dictionary pushdown. The case-mixed column is
+    synthesized deterministically (upper on even keys); the oracle pins
+    the collated count with lower(), proving the collation groups
+    exactly the case-insensitive classes. Both counts ride one hash
+    aggregation."""
+    p = load(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+    ).otherwise(F.lower("p_brand"))
+    return (
+        p.select("p_type", mixed.alias("brand_mixed"))
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("brand_mixed").cast("long").alias("n_binary"),
+            F.countDistinct(F.collate(F.col("brand_mixed"), "UTF8_LCASE"))
+            .cast("long")
+            .alias("n_ci"),
+        )
+    )

@@ -844,3 +844,62 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
         F.col("length").alias("n_bytes"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 999)) AS id)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(id % 7 AS BIGINT) AS bucket,
+           md5(CAST(id AS VARCHAR)) AS payload,
+           round(CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0, 6) AS metric
+    FROM g
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API — the
+    direct analogue of a basis source node: a pure-Python reader that
+    declares its schema, splits itself into partitions, and yields
+    rows per partition (here 4 deterministic range splits; a real one
+    would page an API or read a proprietary format). The executor runs
+    each partition's generator in parallel Python workers — batch-
+    friendly, no driver-side collect, and the same registration works
+    for streaming readers. The oracle regenerates the identical rows
+    (md5-derived payload/metric, so content is engine-checkable, not
+    just counted)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SyntheticReader(DataSourceReader):
+        def partitions(self):
+            step = 250
+            return [_RangePartition(s, s + step) for s in range(0, 1000, step)]
+
+        def read(self, part):
+            import hashlib
+
+            for i in range(part.start, part.end):
+                h = hashlib.md5(str(i).encode()).hexdigest()
+                yield (i, i % 7, h, round(int(h[:8], 16) / 4294967296.0, 6))
+
+    class _SyntheticSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "basis_synthetic"
+
+        def schema(self):
+            return "id bigint, bucket bigint, payload string, metric double"
+
+        def reader(self, schema):
+            return _SyntheticReader()
+
+    try:
+        spark.dataSource.register(_SyntheticSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("basis_synthetic").load()

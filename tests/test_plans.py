@@ -340,6 +340,7 @@ _SINGLE_PARTITION_OK = {
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
     "agg_histogram_numeric",   # 1-row sketch merge (nb-sized histogram state)
     "basket_rule_lift",        # 1-row distinct-order-count combine broadcast into the rules
+    "ts_seasonality_strength",  # decompose spine (calendar-bounded) + 1-row variance combine
 }
 
 
