@@ -772,3 +772,34 @@ def str_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_ci"),
         )
     )
+
+
+@register(
+    "math_try_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                ELSE l_quantity / (l_linenumber - 3) END AS safe_div,
+           CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                ELSE CAST(CAST(l_quantity AS BIGINT) % (l_linenumber - 3) AS BIGINT)
+           END AS safe_mod
+    FROM lineitem
+    """,
+)
+def math_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic via the try_* family: Spark 4 runs in ANSI
+    mode by default, so a divide/mod by zero THROWS mid-job — on a
+    100 TB run that's a task retry storm ending in job failure because
+    one row of 10^11 had a zero denominator. try_divide/try_mod return
+    NULL for exactly those rows and let the rest of the partition
+    proceed; the oracle encodes the same semantics as a guarded CASE.
+    This is the row-level complement to parse_try_cast_quarantine's
+    ingest-side try_cast."""
+    li = load(spark, sf_dir, "lineitem")
+    denom = F.col("l_linenumber") - 3
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity"), denom).alias("safe_div"),
+        F.try_mod(F.col("l_quantity").cast("long"), denom).cast("long").alias("safe_mod"),
+    )

@@ -483,3 +483,43 @@ def test_global_cumsum_exact_under_filters(spark, duck, cutoff):
         FROM orders WHERE o_totalprice > {cutoff}
     """
     compare_frames(out, duck, sql, key=f"prop_global_cumsum[{cutoff}]")
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=2000), min_size=1, max_size=200)
+)
+@settings(**SETTINGS)
+def test_pack_nextfit_matches_reference(toks):
+    """corpus._pack_one_source (the applyInPandas body) must agree with
+    a direct next-fit reference on arbitrary token sequences, including
+    oversized docs (tok > budget) and exact-boundary fills."""
+    import pandas as pd
+
+    from basis_spark.operators.corpus import PACK_BUDGET, _pack_one_source
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * len(toks),
+            "doc_id": range(len(toks)),
+            "tok": toks,
+        }
+    )
+    out = _pack_one_source(pdf).sort_values("pack_id")
+
+    # reference next-fit
+    ref, acc, pid = {}, 0, 0
+    for doc_id, t in enumerate(toks):
+        if acc > 0 and acc + t > PACK_BUDGET:
+            pid += 1
+            acc = t
+        else:
+            acc += t
+        ref.setdefault(pid, []).append((doc_id, t))
+
+    assert list(out["pack_id"]) == sorted(ref)
+    for _, row in out.iterrows():
+        docs = ref[row["pack_id"]]
+        assert row["n_docs"] == len(docs)
+        assert row["total_tokens"] == sum(t for _, t in docs)
+        assert row["min_doc"] == docs[0][0] and row["max_doc"] == docs[-1][0]
+        assert row["total_tokens"] <= PACK_BUDGET or row["n_docs"] == 1
