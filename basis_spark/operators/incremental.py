@@ -595,3 +595,56 @@ def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("late>6h")
     )
     return a.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ev_end
+      FROM events),
+    m AS (
+      SELECT user_id, ts, ev_end,
+             max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, ev_end
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+      FROM s),
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+                 AS new_s FROM m),
+    g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, ev_end
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+    SELECT user_id, min(ts) AS session_start, max(ev_end) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a DYNAMIC gap column — engagement-dependent
+    timeouts (clicks cool off in 10 min, everything else in 30) in one
+    native operator, where the fixed-gap form (stream_session) would
+    need the largest gap for everyone and over-merge. Works identically
+    in Structured Streaming (same expression, state evicted by
+    watermark). The oracle rebuilds the merge semantics from first
+    principles — an event joins the session while it starts before the
+    running max of previous [ts, ts+gap) ends — so Spark's internal
+    merge is pinned against an independent formulation, per-user
+    windows only (one shuffle on user_id)."""
+    ev = load(spark, sf_dir, "events")
+    # session_window's dynamic gap must be CalendarIntervalType;
+    # INTERVAL literals are DayTimeIntervalType in Spark 4 — build the
+    # gap with make_interval instead.
+    gap = F.when(
+        F.col("event_type") == "click", F.expr("make_interval(0, 0, 0, 0, 0, 10, 0)")
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

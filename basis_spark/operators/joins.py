@@ -1116,3 +1116,34 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SHUFFLE_HASH join hint — the steering wheel for 100 TB
+    joins where the optimizer's default is wrong: a sort-merge join
+    pays two sorts it doesn't need when one side hashes into memory per
+    partition, and a broadcast would OOM the driver. The hint forces
+    ShuffledHashJoin (plan-asserted in tests/test_plans.py) while the
+    result stays identical to the unhinted plan — which is exactly what
+    the oracle checks. Hints are plan DIRECTIVES, not semantics; this
+    key pins both halves of that contract."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )

@@ -345,3 +345,68 @@ def pipeline_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "chunk_id", "n_tokens", "vocab_density")
     )
+
+
+@register(
+    "pipeline_dedup_cascade",
+    oracle="""
+    WITH e AS (SELECT doc_id, text, md5(text) AS h_exact,
+                      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h_norm,
+                      md5(substring(text, 1, 64)) AS h_pre
+               FROM documents),
+    k1 AS (SELECT h_exact, min(doc_id) AS keep FROM e GROUP BY 1),
+    s1 AS (SELECT e.* FROM e JOIN k1 ON e.h_exact = k1.h_exact AND e.doc_id = k1.keep),
+    k2 AS (SELECT h_norm, min(doc_id) AS keep FROM s1 GROUP BY 1),
+    s2 AS (SELECT s1.* FROM s1 JOIN k2 ON s1.h_norm = k2.h_norm AND s1.doc_id = k2.keep),
+    k3 AS (SELECT h_pre, min(doc_id) AS keep FROM s2 GROUP BY 1),
+    s3 AS (SELECT s2.doc_id FROM s2 JOIN k3 ON s2.h_pre = k3.h_pre AND s2.doc_id = k3.keep)
+    SELECT e.doc_id,
+           CASE WHEN s1.doc_id IS NULL THEN 'exact'
+                WHEN s2.doc_id IS NULL THEN 'normalized'
+                WHEN s3.doc_id IS NULL THEN 'prefix'
+                ELSE 'kept' END AS fate
+    FROM e
+    LEFT JOIN s1 ON e.doc_id = s1.doc_id
+    LEFT JOIN s2 ON e.doc_id = s2.doc_id
+    LEFT JOIN s3 ON e.doc_id = s3.doc_id
+    """,
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-tier dedup cascade as one lineage report: byte-exact →
+    casefold/whitespace-normalized → 64-char-prefix family, each tier
+    keeping the min doc_id of its class AMONG the previous tier's
+    survivors, and every document tagged with the tier that killed it
+    (or 'kept'). This ordering is how production corpus dedup runs —
+    each tier shrinks the next tier's input, and the per-tier attrition
+    is the number the pipeline owner actually watches. Three hash
+    aggregations + keeper semi-joins; the text payload is hashed once
+    map-side and never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.md5("text").alias("h_exact"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h_norm"),
+        F.md5(F.substring("text", 1, 64)).alias("h_pre"),
+    )
+
+    def keepers(df: DataFrame, h: str) -> DataFrame:
+        k = df.groupBy(h).agg(F.min("doc_id").alias("doc_id"))
+        return df.join(k, [h, "doc_id"], "left_semi")
+
+    s1 = keepers(e, "h_exact")
+    s2 = keepers(s1, "h_norm")
+    s3 = keepers(s2, "h_pre")
+    fate = (
+        F.when(F.col("in1").isNull(), "exact")
+        .when(F.col("in2").isNull(), "normalized")
+        .when(F.col("in3").isNull(), "prefix")
+        .otherwise("kept")
+    )
+    mark = lambda df, c: df.select("doc_id", F.lit(1).alias(c))  # noqa: E731
+    return (
+        e.select("doc_id")
+        .join(mark(s1, "in1"), "doc_id", "left")
+        .join(mark(s2, "in2"), "doc_id", "left")
+        .join(mark(s3, "in3"), "doc_id", "left")
+        .select("doc_id", fate.alias("fate"))
+    )

@@ -369,3 +369,14 @@ def test_band_join_is_shuffled_equi_join(spark):
     plan = _plan(joins.join_band_bucketed(spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    """join_hint_shuffle_hash exists to pin hint semantics: the plan
+    must contain a ShuffledHashJoin (not SortMergeJoin, not broadcast)
+    — if Spark ever silently drops the hint, this fails before a
+    100 TB job pays two needless sorts."""
+    from basis_spark.operators import joins
+
+    plan = _plan(joins.join_hint_shuffle_hash(spark, SF_ORACLE))
+    assert "ShuffledHashJoin" in plan, plan
