@@ -2391,3 +2391,38 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         strength("trend").alias("strength_trend"),
         strength("seasonal").alias("strength_seasonal"),
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(grp_n) AS BIGINT) AS min_class,
+           CAST(sum(CASE WHEN grp_n < 8 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           round(CAST(sum(CASE WHEN grp_n < 8 THEN grp_n ELSE 0 END) AS DOUBLE)
+                 / sum(grp_n), 6) AS frac_below_k
+    FROM g
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment): equivalence-class count, smallest class,
+    and the row mass living in classes below k=8 — the release gate a
+    governance pipeline runs before publishing joined/aggregated data
+    (classes smaller than k re-identify individuals by linkage). One
+    hash aggregation on the quasi-identifiers + a 1-row report combine;
+    at 100 TB the class table is |QI-combinations|-sized, tiny next to
+    the data, and the same plan feeds the generalization loop (widen a
+    QI column, re-check) that fixes violations."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("grp_n"))
+    below = F.sum(F.when(F.col("grp_n") < 8, F.col("grp_n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("grp_n").alias("min_class"),
+        below.alias("rows_below_k"),
+        F.round(below.cast("double") / F.sum("grp_n"), 6).alias("frac_below_k"),
+    )

@@ -803,3 +803,35 @@ def math_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("l_quantity"), denom).alias("safe_div"),
         F.try_mod(F.col("l_quantity").cast("long"), denom).cast("long").alias("safe_mod"),
     )
+
+
+@register(
+    "ts_timezone_convert",
+    oracle="""
+    SELECT CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE)
+               AS ny_day,
+           CAST(extract(hour FROM timezone('America/New_York', timezone('UTC', ts)))
+                AS INT) AS ny_hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA timezone conversion: UTC event times rebucketed to
+    America/New_York wall-clock (day, hour) — the "daily report in the
+    customer's timezone" requirement where naive offset arithmetic
+    breaks on every DST transition. Spark's from_utc_timestamp and
+    DuckDB's two-step timezone() both resolve the SAME IANA rules, so
+    the grouped counts must agree bucket for bucket. Map-side
+    expression + one aggregation; the session stays pinned UTC (the
+    conversion is explicit, never ambient)."""
+    ev = load(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return (
+        ev.select(
+            ny.cast("date").alias("ny_day"),
+            F.hour(ny).cast("int").alias("ny_hour"),
+        )
+        .groupBy("ny_day", "ny_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -433,3 +433,26 @@ def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("c").alias("est"))
     )
+
+
+def stream_session_dynamic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dynamic-gap session windows (10 min for clicks, 30 min
+    otherwise) — same CalendarInterval gap expression as the batch form
+    (operators/incremental.py::stream_session_dynamic_gap); complete
+    mode for the finite-input equivalence check."""
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    gap = F.when(
+        F.col("event_type") == "click", F.expr("make_interval(0, 0, 0, 0, 0, 10, 0)")
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    agg = (
+        s.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -341,6 +341,7 @@ _SINGLE_PARTITION_OK = {
     "agg_histogram_numeric",   # 1-row sketch merge (nb-sized histogram state)
     "basket_rule_lift",        # 1-row distinct-order-count combine broadcast into the rules
     "ts_seasonality_strength",  # decompose spine (calendar-bounded) + 1-row variance combine
+    "privacy_k_anonymity",     # 1-row report combine over the QI-class table
 }
 
 

@@ -137,3 +137,15 @@ def test_stream_count_min_equals_batch(spark):
     rows = _rows(stream, cols)
     assert rows == _rows(batch, cols)
     assert len(rows) > 0
+
+
+def test_stream_session_dynamic_gap_equals_batch(spark):
+    """The dynamic-gap sessionizer must merge identically whether the
+    events arrive as one batch or as file-source micro-batches —
+    session state carried across micro-batch boundaries included."""
+    stream = jobs.stream_session_dynamic_counts(spark, SF_SMALL)
+    batch = incremental.stream_session_dynamic_gap(spark, SF_SMALL)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    rows = _rows(stream, cols)
+    assert rows == _rows(batch, cols)
+    assert len(rows) > 0
