@@ -1147,3 +1147,54 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("spend"),
         )
     )
+
+
+@register(
+    "join_fuzzy_name",
+    oracle="""
+    WITH n AS (SELECT p_name, count(*) AS cnt, string_split(p_name, ' ')[1] AS blk
+               FROM part GROUP BY 1),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             CAST(a.cnt AS BIGINT) AS n_a, CAST(b.cnt AS BIGINT) AS n_b
+      FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3)
+    SELECT * FROM pairs
+    """,
+)
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: candidate names within Levenshtein
+    3, generated per BLOCK (shared first token) over the DEDUPLICATED
+    name dictionary — the standard two-level ER shape. Order matters at
+    scale: dedup to distinct names FIRST (the dictionary is vocabulary-
+    sized, orders of magnitude smaller than the records), block with an
+    equi-join key so candidate generation is a hash join (never
+    all-pairs), and only then pay the edit-distance — a JVM builtin —
+    on candidates. Record counts ride along so the match pairs can be
+    expanded back to record space by a cheap keyed join."""
+    p = load(spark, sf_dir, "part")
+    n = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("blk", F.split("p_name", " ")[0])
+    )
+    a = n.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("n_a"), "blk"
+    )
+    b = n.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("n_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("dist"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+        )
+    )
