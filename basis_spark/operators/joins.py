@@ -322,7 +322,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     sfx = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
-    ot, ct = f"orders_bkt_{sfx}", f"customer_bkt_{sfx}"
+    # applicationId-scoped table names: the warehouse dir is shared
+    # across processes, and an un-scoped name lets a concurrent
+    # harness's mode("overwrite") delete bucket files THIS session is
+    # mid-read on (observed as FILED_READ_FILE.FILE_NOT_EXIST when the
+    # pytest suite and a second sweep overlapped). Same guard class as
+    # every other exists-guarded scratch path in the repo.
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    ot, ct = f"orders_bkt_{sfx}_{app}", f"customer_bkt_{sfx}_{app}"
     cat = spark.catalog
     # the warehouse directory outlives the in-memory catalog: a table
     # written by a previous session leaves its location behind while

@@ -451,3 +451,38 @@ def sql_template_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         SQL_NODE_TEMPLATE.format(orders=o_view, customer=c_view, min_total=100000)
     )
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 150000 AND 400000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (spark.sql(..., args={...})) — the
+    SAFE sibling of sql_template_node's string templating: values bind
+    as typed literals through the parser, so a hostile or merely weird
+    parameter ("O' OR 1=1") cannot change the query shape, and plans
+    cache across parameter values. Templates choose table NAMES;
+    parameters choose VALUES — a production SQL node needs both, which
+    is why the two keys exist separately."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    view = f"param_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(max(o_totalprice), 2) AS max_price
+        FROM {view}
+        WHERE o_totalprice BETWEEN :lo AND :hi AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 150000, "hi": 400000, "status": "F"},
+    )
