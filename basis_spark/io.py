@@ -90,8 +90,48 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scratch_dir(subdir: str = "") -> str:
-    """A writable scratch area inside the repo (gitignored) for sinks."""
+    """A writable scratch area inside the repo (gitignored) for sinks.
+
+    applicationId-scoped scratch isolates concurrent sessions but
+    accumulates one copy per session; every call age-GCs entries in the
+    requested subdir untouched for 24 h (far longer than any session
+    here lives), so the area is self-cleaning without ever touching a
+    live concurrent session's files."""
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
     path = os.path.join(base, subdir) if subdir else base
     os.makedirs(path, exist_ok=True)
+    if subdir:
+        gc_stale_siblings(path, prefix="", keep="")
     return path
+
+
+def gc_stale_siblings(parent: str, prefix: str, keep: str, ttl_s: int = 86400) -> None:
+    """Best-effort GC for applicationId-scoped scratch dirs/tables.
+
+    appId scoping isolates concurrent sessions (no overwrite races) at
+    the cost of one copy per session; without collection those copies
+    accumulate forever. Siblings of `keep` under `parent` that share
+    `prefix` and have been untouched for ttl_s (default 24 h — far
+    longer than any session here lives) are deleted. Age-gated so a
+    LIVE concurrent session's scratch is never touched; errors are
+    swallowed (another process may be collecting the same dir)."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        if not name.startswith(prefix) or name == keep:
+            continue
+        path = os.path.join(parent, name)
+        try:
+            if now - os.path.getmtime(path) > ttl_s:
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.remove(path)
+        except OSError:
+            pass

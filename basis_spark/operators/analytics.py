@@ -2221,11 +2221,15 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg"),
         )
     )
+    # pivot cells with no rows are NULL; the declared semantics (and the
+    # oracle's count(*) FILTER) are 0 for counts — coalesce so a sparse
+    # day (no clicks / no purchases) agrees across engines. Averages
+    # stay NULL on both sides.
     return out.select(
         "day",
-        F.col("click_n"),
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
         F.col("click_avg"),
-        F.col("purchase_n"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
         F.col("purchase_avg"),
     )
 

@@ -60,7 +60,11 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle exists anywhere in the plan: at 100 TB this is a
     straight scan-transform-write pipeline."""
     docs = load(spark, sf_dir, "documents")
-    ks = docs.select(
+    # length > 0 guard: Spark's sequence(0, -1) auto-reverses to
+    # [0, -1] instead of being empty, so an empty document would emit
+    # two phantom chunks while the oracle's generate_series(0, -1)
+    # emits none. Empty/NULL text -> zero chunks on both engines.
+    ks = docs.filter(F.length("text") > 0).select(
         "doc_id",
         "text",
         F.explode(

@@ -335,6 +335,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # written by a previous session leaves its location behind while
     # tableExists() is False — clear the stale dir before re-creating.
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # collect other sessions' bucketed copies once they age out (the
+    # appId scoping that prevents overwrite races also means each
+    # session writes fresh tables; without GC the warehouse grows
+    # forever)
+    from basis_spark.io import gc_stale_siblings
+
+    gc_stale_siblings(wh, prefix="orders_bkt_", keep=ot)
+    gc_stale_siblings(wh, prefix="customer_bkt_", keep=ct)
     for tbl in (ot, ct):
         if not cat.tableExists(tbl):
             shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)

@@ -302,7 +302,9 @@ def pipeline_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basis_spark.operators.corpus import CHUNK_STRIDE, CHUNK_WIN, VOCAB_TOP
 
     docs = load(spark, sf_dir, "documents")
-    ks = docs.select(
+    # length > 0 guard mirrors chunk_docs_overlap: Spark sequence(0,-1)
+    # is [0,-1], not empty — an empty doc must emit zero chunks.
+    ks = docs.filter(F.length("text") > 0).select(
         "doc_id",
         "text",
         F.explode(

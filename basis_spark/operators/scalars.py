@@ -713,7 +713,7 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t = 'spark') AS toks
                FROM documents)
     SELECT doc_id, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS tok
-    FROM m WHERE len(toks) = 0
+    FROM m WHERE coalesce(len(toks), 0) = 0
     UNION ALL
     SELECT doc_id, CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos,
            unnest(toks) AS tok
@@ -727,7 +727,9 @@ def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     still appears in the joined feature table; plain explode would
     silently drop it and every downstream LEFT JOIN would lie). The
     oracle builds the same outer semantics from a guarded UNION, since
-    DuckDB's unnest is inner-only. Map-side generator, no shuffle."""
+    DuckDB's unnest is inner-only; coalesce(len, 0) makes the guard
+    cover a NULL array too (posexplode_outer also keeps those rows).
+    Map-side generator, no shuffle."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t == F.lit("spark"))
     return docs.select(

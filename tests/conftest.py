@@ -71,10 +71,12 @@ def compare_frames(spark_df, duck_con, sql: str, key: str = "?"):
 
     spark_cols = list(spark_df.columns)
     spark_rows = spark_df.collect()
-    duck_schema = duck_con.execute(sql).fetch_arrow_table().schema
-    res = duck_con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # one DuckDB execution serves schema + columns + rows (twice was
+    # doubling oracle cost across the whole suite)
+    tbl = duck_con.execute(sql).fetch_arrow_table()
+    duck_schema = tbl.schema
+    duck_cols = list(tbl.schema.names)
+    duck_rows = [tuple(row[c] for c in duck_cols) for row in tbl.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"[{key}] column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"

@@ -82,10 +82,13 @@ def main() -> int:
             if k not in oracles:
                 rows_only.append((k, len(srows)))
                 continue
-            duck_schema = con.execute(oracles[k]).fetch_arrow_table().schema
-            res = con.execute(oracles[k])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # ONE execution serves schema, columns and rows (some
+            # oracles are O(n^2) self-joins / recursive CTEs — running
+            # them twice doubled the sweep's DuckDB cost)
+            tbl = con.execute(oracles[k]).fetch_arrow_table()
+            duck_schema = tbl.schema
+            dcols = list(tbl.schema.names)
+            drows = [tuple(row[c] for c in dcols) for row in tbl.to_pylist()]
             if sorted(sdf.columns) != sorted(dcols):
                 fails.append((k, f"SCHEMA spark={sorted(sdf.columns)} duck={sorted(dcols)}"))
                 continue
