@@ -79,8 +79,12 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 # latent HUGEINT cast fix; the other 48 are strict-oracle keys that
 # have NEVER been in a driver window (union of r1-r4 windows = 150
 # keys; 123 strict + 13 tolerance keys remain unverified after this).
-# Rounds 6-7 should front the next 50 from the same never-verified
-# list — recompute it from CORRECTNESS_r05.json ∪ the r1-r4 union.
+# Rounds 6-7 should front the next 50 from the never-verified list —
+# tools/driver_verified_keys.json stores the per-round driver-pass
+# claims reconstructed from VERDICT.md git history plus
+# `never_claimed_strict` (91 keys as of r5, none ever in a driver
+# window under ANY round's accounting): front 50 of those in r6, the
+# rest + CORRECTNESS_r05 re-checks in r7.
 _ROTATION_FRONT = [
     "tpch_q12",
     "multimodal_shard_pack",
