@@ -147,3 +147,31 @@ def test_random_projection_norm_unbiased(spark):
     mean = sum(ratios) / len(ratios)
     # sigma/sqrt(500) ~= 0.023; 4-sigma band around 1
     assert 0.9 <= mean <= 1.13, mean
+
+
+def test_scratch_gc_age_gated(tmp_path):
+    """gc_stale_siblings deletes only prefix-matching entries older than
+    the TTL and never the kept name — the contract that makes appId
+    scoping self-cleaning without racing live sessions."""
+    import time
+
+    from basis_spark.io import gc_stale_siblings
+
+    old_dir = tmp_path / "orders_bkt_old"
+    old_dir.mkdir()
+    (old_dir / "f").write_text("x")
+    fresh_dir = tmp_path / "orders_bkt_fresh"
+    fresh_dir.mkdir()
+    keep_dir = tmp_path / "orders_bkt_keep"
+    keep_dir.mkdir()
+    other = tmp_path / "customer_bkt_old"
+    other.mkdir()
+    past = time.time() - 100000
+    for p in (old_dir, keep_dir, other):
+        os.utime(p, (past, past))
+
+    gc_stale_siblings(str(tmp_path), prefix="orders_bkt_", keep="orders_bkt_keep")
+    assert not old_dir.exists()          # aged + prefix match -> collected
+    assert fresh_dir.exists()            # young -> kept
+    assert keep_dir.exists()             # current session's name -> kept
+    assert other.exists()                # different prefix -> kept
