@@ -48,6 +48,53 @@ def _hashed_token_sets(docs: DataFrame, n_parts: int = 64) -> DataFrame:
         .withColumn("n", F.size("toks"))
     )
 
+
+
+def banded_candidates(
+    bands: DataFrame, ratio_num: int, ratio_den: int, min_bands: int
+) -> DataFrame:
+    """Shared banded-LSH candidate generation (used by the token-minhash
+    and char-shingle paths, which differ only in geometry constants):
+    self-join on (lang, band key), size-ratio prefilter
+    (min(n_a,n_b)/max >= ratio_num/ratio_den — a Jaccard >= num/den pair
+    cannot have a worse size ratio), band-collision count, and the
+    >= min_bands cut. One shuffle on the band key; output is bare
+    (i, j) id pairs — the wide token payload never enters this join."""
+    a, b = bands.alias("a"), bands.alias("b")
+    size_ok = (F.col("b.n") * ratio_den >= F.col("a.n") * ratio_num) & (
+        F.col("a.n") * ratio_den >= F.col("b.n") * ratio_num
+    )
+    return (
+        a.join(b, ["lang", "key"])
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+        .select("i", "j")
+    )
+
+
+def exact_jaccard_rerank(cand: DataFrame, t: DataFrame, threshold: float) -> DataFrame:
+    """Shared exact re-rank: join the per-doc sorted-set table back onto
+    the candidate pairs by id and keep pairs above the exact-Jaccard
+    threshold. Plain joins — AQE broadcasts the set table while small
+    and shuffle-joins at scale (a mandatory broadcast of a corpus-sized
+    table would be an OOM order at 100 TB)."""
+    sa = t.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
+    sb = t.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            "i",
+            "j",
+            F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jac"),
+        )
+        .filter(F.col("jac") > threshold)
+    )
+
+
 # ---------------------------------------------------------------- dedup ----
 
 
@@ -244,19 +291,7 @@ def _minhash_candidates(
     if ck in _minhash_cand_cache:
         return _minhash_cand_cache[ck]
     _, bands = _minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    size_ok = (F.col("b.n") * 10 >= F.col("a.n") * 9) & (
-        F.col("a.n") * 10 >= F.col("b.n") * 9
-    )
-    cand = (
-        a.join(b, ["lang", "key"])
-        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .filter(F.col("n_bands") >= min_bands)
-        .select("i", "j")
-        .persist()
-    )
+    cand = banded_candidates(bands, ratio_num=9, ratio_den=10, min_bands=min_bands).persist()
     _minhash_cand_cache[ck] = cand
     return cand
 
@@ -269,7 +304,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc (min over xxhash64(token, seed k)), banded into B=32 bands of
     r=8; docs sharing any band key (within a lang block) become candidate
     pairs; exact token-set Jaccard re-ranks candidates, so the output
-    equals brute force. P[miss a 0.9-pair] = (1 - 0.9^8)^32 ~= 1.6e-8.
+    equals brute force. Recall: with the >=2-of-32 colliding-band rule
+    _minhash_candidates applies (r2), P[miss a 0.9-pair] ~= 4e-7 — the
+    any-band figure (1 - 0.9^8)^32 ~= 1.6e-8 holds only for min_bands=1.
 
     Why not ml.feature.MinHashLSH: approxSimilarityJoin bands with r=1,
     so on near-dup-dense corpora (fixture median pair Jaccard = 0.63)
@@ -297,17 +334,7 @@ def _exact_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components clustering pass."""
     t, _ = _minhash_bands(spark, sf_dir)
     cand = _minhash_candidates(spark, sf_dir)
-    ta = t.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
-    tb = t.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
-    # Token-set side is one row per doc (~2 MB/1000 docs) — broadcast it
-    # so the wide candidate set never shuffles for the re-rank joins.
-    cand = cand.join(F.broadcast(ta), "i").join(F.broadcast(tb), "j")
-    inter = F.size(F.array_intersect("ta", "tb"))
-    return cand.select(
-        "i",
-        "j",
-        F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jac"),
-    ).filter(F.col("jac") > 0.9)
+    return exact_jaccard_rerank(cand, t, threshold=0.9)
 
 
 # Char-shingle banding geometry: the 0.62 oracle threshold needs shallow
@@ -329,7 +356,12 @@ def _ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk = (spark.sparkContext.applicationId, sf_dir)
     if mk in _ngram_cache:
         return _ngram_cache[mk]
-    docs = load(spark, sf_dir, "documents")
+    # length >= 3 guard: Spark's sequence(1, len-2) DESCENDS for len < 3
+    # ([1, 0, -1]-style), fabricating junk shingles a shorter-than-gram
+    # doc must not have (the oracle's range() is empty there). A doc
+    # with no shingles can never pair, so filtering it equals emitting
+    # an empty set.
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     sh = (
         docs.repartition(64, "doc_id")
         .select(
@@ -390,30 +422,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _ngram_shingles(spark, sf_dir)
     bands = _band_keys(sh, _NGRAM_K, _NGRAM_B)
-    a, b = bands.alias("a"), bands.alias("b")
-    size_ok = (F.col("b.n") * 100 >= F.col("a.n") * 62) & (
-        F.col("a.n") * 100 >= F.col("b.n") * 62
+    cand = banded_candidates(
+        bands, ratio_num=62, ratio_den=100, min_bands=_NGRAM_MIN_BANDS
     )
-    cand = (
-        a.join(b, ["lang", "key"])
-        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .filter(F.col("n_bands") >= _NGRAM_MIN_BANDS)
-        .select("i", "j")
-    )
-    sa = sh.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
-    sb = sh.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
     return (
-        cand.join(sa, "i")
-        .join(sb, "j")
-        .select(
-            "i",
-            "j",
-            F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 4).alias("jac"),
-        )
-        .filter(F.col("jac") > 0.62)
+        exact_jaccard_rerank(cand, sh, threshold=0.62)
         .orderBy("i", "j")
         .limit(100)
     )
@@ -712,8 +725,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tf.doc_id, tf.token,
                round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
                row_number() OVER (PARTITION BY tf.doc_id
-                   ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC,
-                            tf.token) AS rn
+                   ORDER BY round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                            DESC, tf.token) AS rn
         FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) x
     WHERE rn <= 5
     """,
@@ -737,7 +750,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw", F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("token"))
+    # rank on the ROUNDED score (house rule, cf. text_langid_ngram): a
+    # last-ulp ln() difference between JVM and libm must not flip the
+    # rank-5 boundary
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("raw", 6)), F.asc("token")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -852,8 +870,12 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         tok.select("doc_id", "token")
         .join(F.broadcast(langs))
+        # the (lang, token) profile grows with the VOCABULARY — no
+        # mandatory broadcast; AQE broadcasts it while small and
+        # switches to a shuffle join when a real vocabulary outgrows
+        # the threshold
         .join(
-            F.broadcast(lt),
+            lt,
             (F.col("cand") == lt.lang) & (tok.token == lt.token),
             "left",
         )
@@ -1127,7 +1149,8 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature table classic n-gram language identifiers rank against.
     explode(bigrams) -> count per (lang, gram) -> windowed top-5; two
     shuffles, both on bounded-cardinality keys (langs x gram vocab)."""
-    docs = load(spark, sf_dir, "documents")
+    # length >= 2 guard: sequence(1, len-1) descends for len < 2
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     grams = docs.select(
         "lang",
         F.explode(
@@ -1455,8 +1478,9 @@ def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(lo, 6) AS lo, round(hi, 6) AS hi,
            CAST(list_sum(list_transform(embedding,
-                x -> CAST(round((CAST(x AS DOUBLE) - lo) * 255.0 / (hi - lo))
-                     AS BIGINT))) AS BIGINT) AS code_sum
+                x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round((CAST(x AS DOUBLE) - lo) * 255.0 / (hi - lo))
+                          AS BIGINT) END)) AS BIGINT) AS code_sum
     FROM (
         SELECT vec_id, embedding,
                list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
@@ -1480,9 +1504,14 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.expr("array_min(transform(embedding, x -> cast(x as double)))")
     hi = F.expr("array_max(transform(embedding, x -> cast(x as double)))")
     q = emb.select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
+    # constant-vector guard: hi == lo would make (x-lo)*255/(hi-lo) a
+    # 0/0 NaN whose bigint cast THROWS under Spark 4 ANSI (and errors
+    # in DuckDB too) — a degenerate range quantizes to all-zero codes
+    # instead, declared identically in the oracle
     code_sum = F.expr(
         "aggregate(embedding, cast(0 as bigint),"
-        " (s, x) -> s + cast(round((cast(x as double) - lo) * 255.0D / (hi - lo)) as bigint))"
+        " (s, x) -> s + (case when hi = lo then cast(0 as bigint)"
+        " else cast(round((cast(x as double) - lo) * 255.0D / (hi - lo)) as bigint) end))"
     )
     return q.select(
         "vec_id",
@@ -1885,11 +1914,13 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key becomes xxhash64 and ultra-frequent grams (boilerplate) get
     capped the same way dedup_source_crossdup documents; the two
     broadcast-sized size joins are per-doc aggregates."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= 5)
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
     )
+    # gram generation needs >=5 tokens, but the per-doc SIZES relation
+    # must stay unfiltered: a 4-token doc is a (doc, n, 0, 0.0) row in
+    # the report (and in the oracle), not an absent one
+    toks = base.filter(F.size("t") >= 5)
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -1913,8 +1944,9 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab = F.col("inter") / F.col("sza")
     cba = F.col("inter") / F.col("szb")
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # per-doc size tables are corpus-sized: no mandatory broadcast
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter((cab >= 0.5) | (cba >= 0.5))
         .select(
             "doc_a",
@@ -2101,11 +2133,13 @@ def text_span_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram's 5-position span and distinct-ing — overlap-correct by
     construction. At 100 TB: xxhash64 gram keys and a frequency cap on
     boilerplate grams, as the other gram ops document."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= 5)
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
     )
+    # gram generation needs >=5 tokens, but the per-doc SIZES relation
+    # must stay unfiltered: a 4-token doc is a (doc, n, 0, 0.0) row in
+    # the report (and in the oracle), not an absent one
+    toks = base.filter(F.size("t") >= 5)
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -2128,7 +2162,7 @@ def text_span_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.col("start"), F.col("start") + 4)).alias("pos"),
     ).distinct()
-    sizes = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    sizes = base.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
     return (
         sizes.join(cov, "doc_id", "left")
         .groupBy("doc_id", "n_tokens")
@@ -2327,7 +2361,8 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     get dropped before training. One explode + one per-doc aggregate —
     the distinct runs inside the doc_id group, so cardinality is
     per-doc bounded and the shuffle key is doc_id only."""
-    docs = load(spark, sf_dir, "documents")
+    # length >= 3 guard: sequence(1, len-2) descends for len < 3
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     g = docs.select(
         "doc_id",
         F.explode(
@@ -2386,8 +2421,10 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("cb"))
     return (
-        bi.join(F.broadcast(uni), "t")
-        .join(F.broadcast(u2), "t2")
+        # unigram tables grow with the vocabulary: leave the strategy to
+        # AQE; only the 1-row grand total keeps a mandatory broadcast
+        bi.join(uni, "t")
+        .join(u2, "t2")
         .crossJoin(F.broadcast(n))
         .select(
             F.col("t").alias("w1"),
