@@ -77,42 +77,20 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 # tpch_q12 stays in per the r4 verdict (oracle re-cast to BIGINT —
 # confirm the fix externally); multimodal_shard_pack carries the same
 # latent HUGEINT cast fix; the other 48 are strict-oracle keys that
-# have NEVER been in a driver window (union of r1-r4 windows = 150
-# keys; 123 strict + 13 tolerance keys remain unverified after this).
-# Rounds 6-7 should front the next 50 from the never-verified list —
-# tools/driver_verified_keys.json stores the per-round driver-pass
-# claims reconstructed from VERDICT.md git history plus
-# `never_claimed_strict` (91 keys as of r5, none ever in a driver
-# window under ANY round's accounting): front 50 of those in r6, the
-# rest + CORRECTNESS_r05 re-checks in r7.
+# tools/driver_verified_keys.json records as NEVER claimed verified
+# under any round's accounting (re-pinned late in r5 after new keys
+# landed: an earlier pin spent 22 slots on r1-r3-verified keys).
+# 70 strict + 12 rows-only never-verified keys remain for the r6/r7
+# windows — recompute from driver_verified_keys.json ∪ CORRECTNESS_r05.
 _ROTATION_FRONT = [
     "tpch_q12",
     "multimodal_shard_pack",
-    # llm tail (text/dedup/similarity/embeddings), never driver-checked
-    "text_tfidf_topterms",
-    "text_lang_partition",
-    "text_quality_score",
-    "text_langid_ngram",
-    "doc_fingerprint",
-    "doc_fingerprint_rolling",
     "doc_fingerprint_winnow",
-    "multimodal_join",
-    "dedup_simhash_pairs",
-    "dedup_cluster_cc",
-    "dedup_keep_best",
     "dedup_source_crossdup",
     "dedup_exact_normalized",
-    "split_train_test",
-    "agg_duplicate_stats",
-    "similarity_range_search",
     "similarity_centroid_classify",
-    "embeddings_quantize_int8",
     "embeddings_outlier_centroid",
     "embeddings_truncate_mrl",
-    "text_ngram_profile",
-    "text_normalize_clean",
-    "text_unigram_logprob",
-    "text_mask_redact",
     "text_contamination_check",
     "text_containment_pairs",
     "text_span_dup_mass",
@@ -122,23 +100,39 @@ _ROTATION_FRONT = [
     "text_url_canonical_dedup",
     "text_extract_typed_spans",
     "eval_langid_confusion",
-    # joins/graph additions, never driver-checked
-    "join_asof_tolerance",
     "join_asof_forward_nearest",
-    "join_null_safe",
-    "join_existence_flag",
     "join_runtime_prefilter",
     "join_band_bucketed",
     "join_point_in_time_state",
     "join_spatial_grid",
     "graph_triangle_count",
     "graph_pagerank",
-    # analytics additions, never driver-checked
     "sql_recursive_closure",
     "survival_kaplan_meier",
     "ts_cusum_changepoint",
     "stat_benford_digits",
     "dq_key_skew_report",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "udaf_pandas_grouped_agg",
+    "win_pandas_udaf",
+    "udf_pandas_scalar_iter",
+    "multimodal_ppm_resize_real",
+    "observe_pipeline_metrics",
+    "pipeline_rag_chunks",
+    "pipeline_dedup_cascade",
+    "sql_template_node",
+    "sql_parameterized_query",
+    "embeddings_random_projection",
+    "str_pad_format",
+    "sample_weighted_priority",
+    "json_variant_extract",
+    "arr_explode_outer",
+    "str_collation_ci",
+    "math_try_ops",
+    "ts_timezone_convert",
+    "win_zscore_normalize",
 ]
 assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
 

@@ -18,6 +18,28 @@ from basis_spark.io import load
 from basis_spark.registry import register
 
 
+def _sessionize_30min(ev: DataFrame) -> DataFrame:
+    """Events tagged with a per-user session id: 30-min-gap rule over
+    the (ts, event_id) order — the ONE sessionizer shared by
+    interval_max_concurrency and session_bounce_rate so the gap rule
+    and tie-break can never silently diverge between them. One window
+    pass, user_id-partitioned."""
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("prev").isNull()
+        | ((F.unix_micros("ts") - F.unix_micros("prev")) > 30 * 60 * 1000000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", F.lag("ts").over(wseq).alias("prev"))
+        .withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+
+
 @register(
     "event_funnel",
     oracle="""
@@ -264,8 +286,6 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id so the sequence is deterministic), then a bounded
     aggregation — at most |event_type|^3 output rows regardless of
     input size."""
-    from pyspark.sql.window import Window
-
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -740,6 +760,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n = nodes.count()  # scalar |V| — graph-sized, not data-sized
+    if n == 0:
+        # degenerate input (no user has two events): empty graph -> empty
+        # result with the output schema, not a ZeroDivisionError below.
+        return spark.createDataFrame([], "node string, rank double")
     rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     srcs = edges.select(F.col("src").alias("node")).distinct()
     for _ in range(_PAGERANK_ITERS):
@@ -838,7 +862,9 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # No broadcast hint: customer is SF-scaled (150k rows/SF), so at
+        # large SF a forced broadcast would OOM; let AQE pick the strategy.
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
     )
@@ -941,10 +967,15 @@ def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-pair edge extraction. Executed through spark.sql over a temp
     view: this operator exists to pin the SQL-string surface, not the
     DataFrame API."""
+    import uuid
+
     ev = load(spark, sf_dir, "events")
-    vname = "events_rc_" + spark.sparkContext.applicationId.replace("-", "_")[-8:]
+    # Per-call unique view name: applicationId alone is shared by every
+    # thread in the app, so concurrent calls (different sf_dirs) would
+    # race on createOrReplaceTempView and read each other's table.
+    vname = "events_rc_" + uuid.uuid4().hex[:12]
     ev.createOrReplaceTempView(vname)
-    return spark.sql(f"""
+    df = spark.sql(f"""
         WITH RECURSIVE edges AS (
             SELECT DISTINCT src, dst FROM (
                 SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
@@ -960,6 +991,10 @@ def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, dst, CAST(min(depth) AS INT) AS min_hops
         FROM reach GROUP BY src, dst
     """)
+    # The plan is fully analyzed at spark.sql() time, so the view can be
+    # dropped immediately — no catalog leak, no name left to race on.
+    spark.catalog.dropTempView(vname)
+    return df
 
 
 @register(
@@ -1174,9 +1209,13 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows.global_cumsum (distributed two-pass prefix sum — parts
     scale with the fact table, so a single-partition ordered window
     would be a data-sized global sort at 100 TB). The sort key is
-    (-rev, partkey) over 4dp-rounded revenue: both engines accumulate
-    identical doubles in identical order, so the 0.80/0.95 boundary
-    comparisons cannot diverge."""
+    (-rev, partkey) over 4dp-rounded revenue, so both engines sum the
+    same doubles in the same logical order; the two-pass prefix sum
+    does GROUP the additions differently (partition offsets first),
+    so a share landing within an ulp of 0.80/0.95 could in principle
+    classify differently across engines or partition counts — accepted:
+    real revenue shares don't sit at float boundaries, and the fixture
+    sweep plus the partition-count-invariance test pin the behavior."""
     from basis_spark.operators.windows import global_cumsum
 
     li = load(spark, sf_dir, "lineitem")
@@ -1284,19 +1323,8 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basis_spark.operators.windows import global_cumsum
 
     ev = load(spark, sf_dir, "events")
-    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    brk = F.when(
-        F.col("prev").isNull()
-        | ((F.unix_micros("ts") - F.unix_micros("prev")) > 30 * 60 * 1000000),
-        1,
-    ).otherwise(0)
     sess = (
-        ev.select("user_id", "ts", "event_id", F.lag("ts").over(wseq).alias("prev"))
-        .withColumn("brk", brk)
-        .withColumn(
-            "sid",
-            F.sum("brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+        _sessionize_30min(ev)
         .groupBy("user_id", "sid")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
@@ -1389,10 +1417,12 @@ def retention_dn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day_n", F.date_add("d0", F.col("day_n")).alias("d")
     )
     hits = probe.join(act, ["user_id", "d"], "left_semi")
+    counts = hits.groupBy("day_n").agg(F.count(F.lit(1)).alias("n_retained"))
     return (
-        hits.groupBy("day_n")
-        .agg(F.count(F.lit(1)).alias("n_retained"))
-        .join(F.broadcast(ks), "day_n", "right")  # keep zero-retention days
+        # Spine on the LEFT so the broadcast hint targets the buildable
+        # side (a right-outer join can't broadcast its preserved side —
+        # the old hint there was silently ignored).
+        ks.join(F.broadcast(counts), "day_n", "left")  # keep zero-retention days
         .na.fill(0, ["n_retained"])
         .crossJoin(F.broadcast(cohort))
         .select(
@@ -1437,16 +1467,8 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + aggregate; the daily rollup is a second bounded-key
     aggregate."""
     ev = load(spark, sf_dir, "events")
-    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    brk = F.when(
-        F.col("prev").isNull()
-        | ((F.unix_micros("ts") - F.unix_micros("prev")) > 30 * 60 * 1000000),
-        1,
-    ).otherwise(0)
     sess = (
-        ev.select("user_id", "ts", "event_id", F.lag("ts").over(wseq).alias("prev"))
-        .withColumn("brk", brk)
-        .withColumn("sid", F.sum("brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0)))
+        _sessionize_30min(ev)
         .groupBy("user_id", "sid")
         .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
     )
@@ -2260,10 +2282,11 @@ def basket_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(b|a) and lift P(a,b)/(P(a)P(b)) — what turns raw co-occurrence
     counts (basket_pair_support) into rankable rules. Baskets dedup to
     distinct (order, part) first so multi-line quantities don't inflate
-    probabilities. The item-frequency table is parts-sized and
-    broadcast; the order total is a 1-row combine; the pair join is the
-    same co-partitioned self-join as the support pass — no new shuffle
-    shapes, just two cheap enrichment joins after the HAVING cut."""
+    probabilities. The item-frequency table is parts-sized — it SCALES
+    with SF, so it is NOT force-broadcast; the enrichment joins shuffle
+    on the part key (AQE may still broadcast at small SF). The order
+    total is a 1-row combine; the pair join is the same co-partitioned
+    self-join as the support pass."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
@@ -2281,8 +2304,8 @@ def basket_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.toDF("part_a", "na")
     ib = item.toDF("part_b", "nb")
     return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",

@@ -523,3 +523,34 @@ def test_pack_nextfit_matches_reference(toks):
         assert row["total_tokens"] == sum(t for _, t in docs)
         assert row["min_doc"] == docs[0][0] and row["max_doc"] == docs[-1][0]
         assert row["total_tokens"] <= PACK_BUDGET or row["n_docs"] == 1
+
+
+def test_pagerank_empty_graph_returns_empty(spark, tmp_path_factory):
+    """Degenerate input: if every user has exactly one event, the lag()
+    pair extraction yields zero edges, |V| = 0, and graph_pagerank must
+    return an empty frame with the output schema — not divide by zero
+    at plan-build time."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basis_spark.operators.analytics import graph_pagerank
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": np.datetime64("2024-01-01T00:00:00", "us")
+            + np.arange(4).astype("timedelta64[s]"),
+            "user_id": np.arange(4, dtype=np.int64),  # 1 event per user
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = tmp_path_factory.mktemp("single_events")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / "events.parquet"))
+
+    out = graph_pagerank(spark, str(d))
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
