@@ -16,6 +16,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -318,7 +320,6 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at write time, never at read time). tests/test_plans.py asserts
     the executed plan has zero Exchange operators under the join.
     """
-    import shutil
     from urllib.parse import urlparse
 
     sfx = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
@@ -331,21 +332,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId.replace("-", "_")
     ot, ct = f"orders_bkt_{sfx}_{app}", f"customer_bkt_{sfx}_{app}"
     cat = spark.catalog
-    # the warehouse directory outlives the in-memory catalog: a table
-    # written by a previous session leaves its location behind while
-    # tableExists() is False — clear the stale dir before re-creating.
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     # collect other sessions' bucketed copies once they age out (the
     # appId scoping that prevents overwrite races also means each
     # session writes fresh tables; without GC the warehouse grows
-    # forever)
+    # forever). A stale dir under THIS session's name can't exist —
+    # appIds are unique — and mode("overwrite") clears any partial
+    # write from a crashed earlier attempt in this same session.
     from basis_spark.io import gc_stale_siblings
 
     gc_stale_siblings(wh, prefix="orders_bkt_", keep=ot)
     gc_stale_siblings(wh, prefix="customer_bkt_", keep=ct)
-    for tbl in (ot, ct):
-        if not cat.tableExists(tbl):
-            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
     if not cat.tableExists(ot):
         (
             load(spark, sf_dir, "orders")
@@ -595,13 +592,19 @@ def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's shuffle/build. The prefilter passes a superset (bucket
     collisions), so the exact equi-join after it keeps semantics
     identical to the plain join the oracle runs; at 100 TB the win is
-    shuffle width, cut to ~selectivity of the dim predicate."""
-    M = 1 << 13
+    shuffle width, cut to ~selectivity of the dim predicate. The bucket
+    space scales with the build side (next power of two >= 32x the
+    qualifying-key count, floor 2^13): a FIXED space saturates once the
+    build side outgrows it and the prefilter passes ~everything while
+    still charging a hash per fact row. The broadcast stays small
+    either way — it is the <= n distinct bucket ids, not the space."""
     cust_hi = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9000)
         .select("c_custkey", "c_mktsegment")
     )
+    n_keys = cust_hi.count()  # dim-sized count, one cheap job
+    M = 1 << max(13, (32 * max(n_keys, 1) - 1).bit_length())
     buckets = cust_hi.select(
         F.pmod(F.xxhash64("c_custkey"), F.lit(M)).alias("b")
     ).distinct()
@@ -767,8 +770,11 @@ def join_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(click_ts).over(wb).alias("back_ts"),
         F.min(click_ts).over(wf).alias("fwd_ts"),
     )
-    back_gap = F.col("ts").cast("double") - F.col("back_ts").cast("double")
-    fwd_gap = F.col("fwd_ts").cast("double") - F.col("ts").cast("double")
+    # Exact integer microseconds, not double casts: a double holds 2024
+    # epochs to only ~0.5us ulp, enough to flip the backward tie-break
+    # on an exactly-equidistant pair. Same pattern as join_asof above.
+    back_gap = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_gap = F.unix_micros("fwd_ts") - F.unix_micros("ts")
     nearest = (
         F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
         .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
@@ -818,6 +824,24 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n x density per cell) with one shuffle on cell id. Distances
     compare as squared doubles on identical inputs, so the candidate
     set and the 4dp-rounded output match the oracle bit-for-bit."""
+    pairs = _grid_close_pairs(spark, sf_dir, d_max=10.0)
+    return pairs.select(
+        F.col("u").alias("cust_a"),
+        F.col("v").alias("cust_b"),
+        F.round(F.sqrt("d2"), 4).alias("dist"),
+    )
+
+
+def _grid_close_pairs(spark: SparkSession, sf_dir: str, d_max: float) -> DataFrame:
+    """All customer pairs within euclidean distance d_max on the
+    deterministic md5 plane, as (u, v, d2) with u < v — the ONE
+    implementation of the coord scheme / cell packing / 3x3 neighbor
+    explode, shared by join_spatial_grid (d_max=10) and the proximity
+    graph family (d_max=15) so the plane geometry can never silently
+    diverge between them. One shuffle on cell id; the x9 left-side
+    fan-out is bounded, never a cross join. The 1024 cell-packing
+    multiplier is safe for any d_max >= 1 on the 1000x1000 plane
+    (cell ordinates stay below 1001)."""
     cust = load(spark, sf_dir, "customer").select("c_custkey")
 
     def coord(salt: str):
@@ -829,10 +853,9 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (v % 1000000) / 1000.0
 
     pts = cust.select("c_custkey", coord("x").alias("x"), coord("y").alias("y"))
-    D = 10.0
-    cell = lambda c: F.floor(c / D).cast("long")  # noqa: E731
-    b = pts.select(
-        F.col("c_custkey").alias("cust_b"),
+    cell = lambda c: F.floor(c / d_max).cast("long")  # noqa: E731
+    right = pts.select(
+        F.col("c_custkey").alias("v"),
         F.col("x").alias("bx"),
         F.col("y").alias("by"),
         (cell(F.col("x")) * 1024 + cell(F.col("y"))).alias("cell"),
@@ -846,8 +869,8 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    a = pts.select(
-        F.col("c_custkey").alias("cust_a"),
+    left = pts.select(
+        F.col("c_custkey").alias("u"),
         F.col("x").alias("ax"),
         F.col("y").alias("ay"),
         neigh.alias("cell"),
@@ -856,9 +879,9 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
     return (
-        a.join(b, "cell")
-        .filter((F.col("cust_a") < F.col("cust_b")) & (d2 <= D * D))
-        .select("cust_a", "cust_b", F.round(F.sqrt(d2), 4).alias("dist"))
+        left.join(right, "cell")
+        .filter((F.col("u") < F.col("v")) & (d2 <= d_max * d_max))
+        .select("u", "v", d2.alias("d2"))
     )
 
 
@@ -910,56 +933,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_node(e)
 
 
+_edges_cache: dict[tuple[str, str], DataFrame] = {}
+
+
 def proximity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected u < v edge list of the distance-15 proximity graph
-    over the deterministic md5 plane (shared by graph_triangle_count
-    and graph_degree_distribution). Grid-bucketed candidate join — each
-    point probes its 3x3 neighbor cells — so edge generation is an
-    equi-join on cell, never O(n^2). localCheckpoint: the edge list is
-    reused by multiple downstream joins."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
-
-    def coord(salt: str):
-        v = F.conv(
-            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 13),
-            16,
-            10,
-        ).cast("long")
-        return (v % 1000000) / 1000.0
-
-    pts = cust.select("c_custkey", coord("x").alias("x"), coord("y").alias("y"))
-    D = 15.0
-    cell = lambda c: F.floor(c / D).cast("long")  # noqa: E731
-    right = pts.select(
-        F.col("c_custkey").alias("v"),
-        F.col("x").alias("bx"),
-        F.col("y").alias("by"),
-        (cell(F.col("x")) * 1024 + cell(F.col("y"))).alias("cell"),
-    )
-    neigh = F.explode(
-        F.array(
-            *[
-                (cell(F.col("x")) + dx) * 1024 + (cell(F.col("y")) + dy)
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-    )
-    left = pts.select(
-        F.col("c_custkey").alias("u"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        neigh.alias("cell"),
-    )
-    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
-        F.col("ay") - F.col("by")
-    ) * (F.col("ay") - F.col("by"))
-    return (
-        left.join(right, "cell")
-        .filter((F.col("u") < F.col("v")) & (d2 <= D * D))
+    over the deterministic md5 plane (shared by graph_triangle_count,
+    graph_degree_distribution and graph_jaccard_neighbors). Grid-
+    bucketed candidate join — each point probes its 3x3 neighbor cells
+    — so edge generation is an equi-join on cell, never O(n^2).
+    Memoized per (applicationId, sf_dir) like io.load's _df_cache:
+    three operators call this, and the eager localCheckpoint at the end
+    runs a full Spark job at DataFrame-construction time — without the
+    memo a sweep pays the md5/grid/join computation three times and
+    pins three copies of the checkpoint blocks."""
+    ckey = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _edges_cache.get(ckey)
+    if cached is not None:
+        return cached
+    edges = (
+        _grid_close_pairs(spark, sf_dir, d_max=15.0)
         .select("u", "v")
         .localCheckpoint()  # edges reused by the degree + closing joins
     )
+    _edges_cache[ckey] = edges
+    return edges
 
 
 @register(
