@@ -233,18 +233,30 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
-    load(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
-    return spark.sql(
-        """
+    """GROUPING SETS through the SQL front-end (this key pins the SQL
+    surface; agg_rollup/agg_cube pin the DataFrame API). Per-call
+    unique view names + drop-after-analysis: fixed names race across
+    concurrent harness threads with different sf_dirs (same convention
+    as sql_recursive_closure)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:12]
+    vc, vn = f"gs_customer_{sfx}", f"gs_nation_{sfx}"
+    load(spark, sf_dir, "customer").createOrReplaceTempView(vc)
+    load(spark, sf_dir, "nation").createOrReplaceTempView(vn)
+    df = spark.sql(
+        f"""
         SELECT c_mktsegment, n_name,
                CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
                CAST(grouping(n_name) AS BIGINT) AS g_nat,
                count(*) AS n, round(sum(c_acctbal), 2) AS bal
-        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        FROM {vc} JOIN {vn} ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """
     )
+    spark.catalog.dropTempView(vc)
+    spark.catalog.dropTempView(vn)
+    return df
 
 
 # Collections must be sorted — bag order is engine-dependent (SURVEY App. B5).
@@ -1031,8 +1043,9 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream through, and partials merge associatively — one partial agg
     + one 1-row combine at any scale. Bin placement is data-order
     dependent, hence approximate → rows-only check; the exact-sum and
-    range invariants are pinned in tests/test_tolerance.py (heights
-    sum to the row count, centers lie within [min, max])."""
+    range invariants are pinned in tests/test_corpus_ops.py::
+    test_histogram_numeric_invariants (heights sum to the row count,
+    centers lie within [min, max])."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.select(
