@@ -90,6 +90,20 @@ def source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(_RECORDS, _RECORDS_SCHEMA)
 
 
+def _sf_scratch(spark: SparkSession, subdir: str, sf_dir: str) -> str:
+    """applicationId-scoped scratch path for a per-SF derived dataset —
+    the ONE way operators in this module build scratch paths. Always
+    embeds the appId: a shared path + mode('overwrite') lets a
+    concurrent process (pytest alongside a sweep) delete files this
+    session is mid-read on. That race was fixed piecemeal per call site
+    in r4/r5 (ADVICE r3; commits 2bf7d32, 2dcb641) and two helpers were
+    missed — this helper makes the isolation invariant structural."""
+    return os.path.join(
+        scratch_dir(subdir),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+
+
 _CSV_SCHEMA = (
     "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
 )
@@ -102,7 +116,7 @@ _CSV_SCHEMA = (
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basis `import_csv` + CSV storage format: write CSV, read back typed.
     # Java Double.toString round-trips exactly, so values hash-match parquet.
-    out = os.path.join(scratch_dir("csv_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    out = _sf_scratch(spark, "csv_roundtrip", sf_dir)
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
@@ -119,7 +133,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partitioned parquet sink (hive-style) then read back with partition column.
-    out = os.path.join(scratch_dir("parquet_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    out = _sf_scratch(spark, "parquet_roundtrip", sf_dir)
     ev = load(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
@@ -133,7 +147,7 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """events written hive-partitioned by event_type (write-once per
     process; fixtures are immutable). This is the layout a 100 TB event
     lake uses — partition column drives pruning for every reader."""
-    out = os.path.join(scratch_dir("events_parted"), os.path.basename(sf_dir.rstrip("/")))
+    out = _sf_scratch(spark, "events_parted", sf_dir)
     if out not in _dpp_written:
         load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
             "event_type"
@@ -225,8 +239,19 @@ def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Embedded Derby is single-process (file lock on the DB dir): scope
     # the path per-pid so concurrent harnesses (driver gate + pytest +
-    # sweep) never collide on each other's lock.
-    sfx = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    # sweep) never collide on each other's lock. Keyed by basename PLUS
+    # an abspath digest: two different dirs with the same trailing name
+    # (e.g. /a/sf0.1 and /b/sf0.1) must not share a DB within one
+    # process, or the second overwrite silently feeds the first call's
+    # still-lazy DataFrame the wrong fixture's rows.
+    import hashlib
+
+    apath = os.path.abspath(sf_dir.rstrip("/"))
+    sfx = (
+        os.path.basename(apath).replace(".", "_")
+        + "_"
+        + hashlib.md5(apath.encode()).hexdigest()[:8]
+    )
     db = os.path.join(scratch_dir("derby"), f"graft_{sfx}_p{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -262,7 +287,7 @@ def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON lines storage format (basis records-on-disk). Schema applied on
     # read: JSON carries no types, exactly like the CSV path.
-    out = os.path.join(scratch_dir("json_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    out = _sf_scratch(spark, "json_roundtrip", sf_dir)
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     nat.write.mode("overwrite").json(out)
     return spark.read.schema("n_nationkey long, n_name string, n_regionkey long").json(out)
@@ -275,7 +300,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORC storage format (the other columnar sink Spark ships natively);
     # types round-trip without a declared schema.
-    out = os.path.join(scratch_dir("orc_roundtrip"), os.path.basename(sf_dir.rstrip("/")))
+    out = _sf_scratch(spark, "orc_roundtrip", sf_dir)
     sup = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
@@ -299,7 +324,7 @@ def schema_infer_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. Conforming is explicit casts, so drift between inferred and
     declared types is a visible plan step, not a silent coercion.
     """
-    out = os.path.join(scratch_dir("infer_conform"), os.path.basename(sf_dir.rstrip("/")))
+    out = _sf_scratch(spark, "infer_conform", sf_dir)
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     nat.write.mode("overwrite").option("header", True).csv(out)
     inferred = spark.read.option("header", True).option("inferSchema", True).csv(out)
@@ -353,9 +378,7 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can pin n_files = 1 per partition — and the distinct-count
     would catch a layout regression (e.g. dropping the repartition would
     produce one file per (task, value) pair)."""
-    out = os.path.join(
-        scratch_dir("events_filemeta"), os.path.basename(sf_dir.rstrip("/"))
-    )
+    out = _sf_scratch(spark, "events_filemeta", sf_dir)
     if out not in _filemeta_written:
         load(spark, sf_dir, "events").repartition("event_type").write.mode(
             "overwrite"
@@ -907,6 +930,10 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(_SyntheticSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # Tolerate ONLY re-registration; a genuine registration failure
+        # must surface here, not later as a misleading
+        # DATA_SOURCE_NOT_FOUND on the read.
+        if "ALREADY_EXISTS" not in str(e).upper():
+            raise
     return spark.read.format("basis_synthetic").load()

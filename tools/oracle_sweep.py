@@ -46,6 +46,12 @@ def _norm_row(row) -> tuple:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Must precede the module import: a few oracles (scan_binaryfile)
+    # bind file-path literals to this env var at import time — without
+    # it, sweeping a non-default SF false-fails those keys.
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf)
     sys.path.insert(0, REPO)
     spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
