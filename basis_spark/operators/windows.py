@@ -45,27 +45,30 @@ def global_rank(df: DataFrame, *keys: str) -> DataFrame:
     Returns the input columns plus `rank` (1-based, gapless) and
     `n_total` (grand total, same on every row).
     """
+    for col in ("rank", "n_total", "__gr_mid", "__gr_pid", "__gr_lr", "__gr_off"):
+        if col in df.columns:
+            raise ValueError(f"global_rank would clobber input column {col!r}")
     spark = df.sparkSession
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loc = (
         df.repartitionByRange(P, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
-        .withColumn("mid", F.monotonically_increasing_id())
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn("lr", (F.col("mid") % F.lit(1 << 33)) + 1)
-        .drop("mid")
+        .withColumn("__gr_mid", F.monotonically_increasing_id())
+        .withColumn("__gr_pid", F.spark_partition_id())
+        .withColumn("__gr_lr", (F.col("__gr_mid") % F.lit(1 << 33)) + 1)
+        .drop("__gr_mid")
     )
-    cnt = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    cnt = loc.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("__gr_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
-        cnt.withColumn("off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
+        cnt.withColumn("__gr_off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
         .withColumn("n_total", F.sum("c").over(Window.partitionBy(F.lit(1))))
-        .select("pid", "off", "n_total")
+        .select("__gr_pid", "__gr_off", "n_total")
     )
     return (
-        loc.join(F.broadcast(offs), "pid")
-        .withColumn("rank", F.col("lr") + F.col("off"))
-        .drop("pid", "lr", "off")
+        loc.join(F.broadcast(offs), "__gr_pid")
+        .withColumn("rank", F.col("__gr_lr") + F.col("__gr_off"))
+        .drop("__gr_pid", "__gr_lr", "__gr_off")
     )
 
 
@@ -153,10 +156,13 @@ def win_ntile_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     rank, n = F.col("rank"), F.col("n_total")
+    # n == 1 guard: (rank-1)/(n-1) is 0/0 -> NULL in Spark, while SQL
+    # percent_rank returns 0 for a single-row partition.
+    pr = F.when(n == 1, F.lit(0.0)).otherwise((rank - 1).cast("double") / (n - 1))
     return ranked.select(
         "o_orderkey",
         exact_ntile(rank, n, 4).alias("quartile"),
-        F.round((rank - 1).cast("double") / (n - 1), 6).alias("pr"),
+        F.round(pr, 6).alias("pr"),
         F.round(rank.cast("double") / n, 6).alias("cd"),
     )
 
@@ -318,6 +324,33 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (user x day) grid shared by ts_gap_fill and
+    ts_interpolate_linear: users and observed daily values from the
+    user_id < 30 slice, date bounds from the UNFILTERED events table —
+    matching both oracles' `bounds ... FROM events` CTE. (An earlier
+    version derived bounds from the filtered slice; it agreed with the
+    oracles on current fixtures only because users < 30 happen to span
+    the global date range.) Returns (user_id, d, v) with v NULL on
+    unobserved days. The calendar side is pinned broadcast: at scale
+    the days spine is always the tiny side and the hint must not
+    depend on AQE noticing."""
+    ev_all = load(spark, sf_dir, "events")
+    ev = ev_all.filter(F.col("user_id") < 30)
+    bounds = ev_all.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    users = ev.select("user_id").distinct()
+    actual = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = users.crossJoin(F.broadcast(days))
+    return spine.join(actual, ["user_id", "d"], "left")
+
+
 @register(
     "ts_gap_fill",
     oracle="""
@@ -350,19 +383,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition. Restricted to 30 users so the oracle stays small; the
     plan shape is cardinality-independent.
     """
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    )
-    days = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
-    )
-    users = ev.select("user_id").distinct()
-    actual = ev.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    spine = users.crossJoin(F.broadcast(days))
-    joined = spine.join(actual, ["user_id", "d"], "left")
+    joined = _user_day_spine(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("d")
@@ -396,18 +417,25 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-user trailing-window aggregate is the streaming-feature shape
     (rate limiting, rolling engagement) computed batch-side.
     """
+    import uuid
+
     ev = load(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("win_range_interval_events")
-    return spark.sql(
-        """
+    # Per-call unique view, dropped after analysis (fixed names race
+    # across concurrent calls — same convention as sql_recursive_closure).
+    vname = "win_range_interval_" + uuid.uuid4().hex[:12]
+    ev.createOrReplaceTempView(vname)
+    df = spark.sql(
+        f"""
         SELECT user_id, event_id,
                count(*) OVER w AS n_1h,
                round(sum(value) OVER w, 2) AS sum_1h
-        FROM win_range_interval_events
+        FROM {vname}
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+    spark.catalog.dropTempView(vname)
+    return df
 
 
 @register(
@@ -425,8 +453,6 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (all peers share a rank), so ties are deterministic across engines
     # without a unique-key tie-break. Partitioned on nation — the window
     # shuffles on the partition key, never a global sort.
-    from pyspark.sql import Window
-
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
     return c.select(
@@ -486,20 +512,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), so the whole op is spine-join + single windowed pass —
     no per-row Python, no iteration, scales with the grid size.
     """
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    b = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    )
-    days = b.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    users = ev.select("user_id").distinct()
-    actual = ev.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    # Calendar side pinned broadcast (matches ts_gap_fill's spine): at
-    # scale the days spine is always the tiny side and the hint must
-    # not depend on AQE noticing.
-    spine = users.crossJoin(F.broadcast(days))
-    j = spine.join(actual, ["user_id", "d"], "left")
+    j = _user_day_spine(spark, sf_dir)
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("d")
@@ -538,7 +551,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, ts, value,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events WHERE user_id < 20)
     SELECT a.user_id, a.ts, a.value,
            round(sum(CASE WHEN b.rn = 1 THEN pow(0.9, a.rn - 1) * b.value
@@ -564,13 +577,16 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     last float bits.
     """
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_id"
     )
 
     def ewm(pdf):
-        pdf = pdf.sort_values("ts")
+        # (ts, event_id) tie-break: EWMA is order-sensitive and bare-ts
+        # sorting is nondeterministic on equal timestamps — same pin as
+        # every other ordered op in this module (oracle orders the same).
+        pdf = pdf.sort_values(["ts", "event_id"])
         pdf["ewma"] = pdf["value"].ewm(alpha=0.1, adjust=False).mean().round(4)
-        return pdf
+        return pdf.drop(columns=["event_id"])
 
     return ev.groupBy("user_id").applyInPandas(
         ewm, "user_id long, ts timestamp, value double, ewma double"
@@ -741,27 +757,33 @@ def global_cumsum(df: DataFrame, val_col: str, *keys: str) -> DataFrame:
     offset table. Returns input columns + `cum` (inclusive prefix sum
     of val_col) + `total` (grand total on every row). Key list must be
     a total order for determinism."""
+    for col in ("cum", "total", "__gc_pid", "__gc_off"):
+        if col in df.columns:
+            raise ValueError(f"global_cumsum would clobber input column {col!r}")
     spark = df.sparkSession
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loc = (
         df.repartitionByRange(P, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("__gc_pid", F.spark_partition_id())
     )
-    psum = loc.groupBy("pid").agg(F.sum(val_col).alias("s"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    psum = loc.groupBy("__gc_pid").agg(F.sum(val_col).alias("s"))
+    woff = Window.orderBy("__gc_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # Typed zero: coalescing with lit(0.0) would silently coerce a
+    # long/decimal prefix sum to double, breaking exactness past 2^53.
+    zero = F.lit(0).cast(psum.schema["s"].dataType)
     offs = (
-        psum.withColumn("off", F.coalesce(F.sum("s").over(woff), F.lit(0.0)))
+        psum.withColumn("__gc_off", F.coalesce(F.sum("s").over(woff), zero))
         .withColumn("total", F.sum("s").over(Window.partitionBy(F.lit(1))))
-        .select("pid", "off", "total")
+        .select("__gc_pid", "__gc_off", "total")
     )
-    wloc = Window.partitionBy("pid").orderBy(*keys).rowsBetween(
+    wloc = Window.partitionBy("__gc_pid").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        loc.join(F.broadcast(offs), "pid")
-        .withColumn("cum", F.col("off") + F.sum(val_col).over(wloc))
-        .drop("pid", "off")
+        loc.join(F.broadcast(offs), "__gc_pid")
+        .withColumn("cum", F.col("__gc_off") + F.sum(val_col).over(wloc))
+        .drop("__gc_pid", "__gc_off")
     )
 
 
