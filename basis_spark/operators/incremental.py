@@ -319,8 +319,12 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basis_spark.io import scratch_dir
 
     ev = load(spark, sf_dir, "events")
+    # applicationId-scoped like every other scratch consumer: an
+    # unscoped path + the rmtree below would delete blocks a concurrent
+    # process is mid-read on (same race class as scans._sf_scratch).
     base = os.path.join(
-        scratch_dir("rollup_incr"), os.path.basename(sf_dir.rstrip("/"))
+        scratch_dir("rollup_incr"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(base, ignore_errors=True)  # idempotent per call
     n = ev.count()
@@ -380,12 +384,11 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_snapshot_diff",
     oracle="""
-    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WITH old AS (SELECT o_orderkey, o_orderstatus FROM orders
                  WHERE o_orderkey % 10 < 8),
     new AS (SELECT o_orderkey,
                    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
-                       AS o_orderstatus,
-                   o_totalprice
+                       AS o_orderstatus
             FROM orders WHERE o_orderkey % 10 >= 1)
     SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
            CASE WHEN old.o_orderkey IS NULL THEN 'added'
@@ -408,9 +411,7 @@ def incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_upsert uses; 'unchanged' rows are filtered so output is
     change-sized, not snapshot-sized (at 100 TB the diff is what you
     ship downstream, not the table)."""
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     old = orders.filter(F.col("o_orderkey") % 10 < 8)
     new = orders.filter(F.col("o_orderkey") % 10 >= 1).withColumn(
         "o_orderstatus",
@@ -439,17 +440,17 @@ def incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_scd2",
     oracle="""
     WITH chg AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events),
     runs AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from, event_id
         FROM chg WHERE prev_type IS NULL OR event_type <> prev_type)
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
                AS valid_to,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
                IS NULL AS is_current
     FROM runs
     """,
@@ -470,8 +471,11 @@ def incremental_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = ev.withColumn("prev_type", F.lag("event_type").over(w))
     runs = chg.filter(
         F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
-    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    # (valid_from, event_id) tie-break: two change points on the same
+    # microsecond would otherwise close intervals in engine-arbitrary
+    # order (the lag window above already tie-breaks; so must the lead).
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     vt = F.lead("valid_from").over(w2)
     return runs.select(
         "user_id",
@@ -519,7 +523,10 @@ def stream_reactive_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["raw"],
     )
-    if r.n_blocks("raw") == 0:
+    # Completeness marker, not a block-count guard: n_blocks > 0 would
+    # treat a partially-ingested store (prior timed-out run) as done.
+    done_marker = os.path.join(base, "_ingest_done")
+    if not os.path.exists(done_marker):
         chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
         s = _read_stream(spark, chunk_dir)
 
@@ -532,7 +539,14 @@ def stream_reactive_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(timeout=300), "bridge stream timed out (300s)"
+        finished = q.awaitTermination(timeout=300)
+        if not finished:
+            # awaitTermination's timeout does NOT stop the query — kill
+            # it so a retry doesn't race a still-appending ingestor.
+            q.stop()
+            raise RuntimeError("bridge stream timed out (300s)")
+        with open(done_marker, "w") as fh:
+            fh.write("ok")
     return r.read("clicks")
 
 
@@ -560,33 +574,14 @@ def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     did it arrive — the measurement that tells you what watermark
     delay a streaming job actually needs (stream_watermark_late's 1h
     delay should cover ~all of the mass below 'late<=1h'). The running
-    max is the two-pass distributed prefix pattern (same shape as
-    windows.global_cumsum, with max in place of sum: range-partition on
-    event_id, per-partition maxima broadcast as prefix offsets, local
-    running max per pid) — never a single-partition data sort."""
+    max is windows.global_runmax — the two-pass distributed prefix
+    pattern (range-partition on event_id, per-partition maxima
+    broadcast as prefix offsets, local running max per pid) — never a
+    single-partition data sort."""
+    from basis_spark.operators.windows import global_runmax
+
     ev = load(spark, sf_dir, "events").select("event_id", "ts")
-    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loc = (
-        ev.repartitionByRange(P, F.col("event_id"))
-        .sortWithinPartitions("event_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    pmax = loc.groupBy("pid").agg(F.max("ts").alias("m"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = pmax.withColumn("prev_max", F.max("m").over(woff)).select("pid", "prev_max")
-    wloc = Window.partitionBy("pid").orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    a = (
-        loc.join(F.broadcast(offs), "pid")
-        .withColumn(
-            "high_water",
-            F.greatest(
-                F.max("ts").over(wloc),
-                F.coalesce(F.col("prev_max"), F.col("ts")),
-            ),
-        )
-    )
+    a = global_runmax(ev, "ts", "event_id").withColumnRenamed("runmax", "high_water")
     late_s = (F.unix_micros("high_water") - F.unix_micros("ts")).cast("double") / 1e6
     bucket = (
         F.when(late_s <= 0, "on_time")
@@ -611,7 +606,7 @@ def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS prev_end
       FROM s),
-    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
                  AS new_s FROM m),
     g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, ev_end
                                      ROWS UNBOUNDED PRECEDING) AS sid FROM f)
@@ -627,8 +622,10 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the largest gap for everyone and over-merge. Works identically
     in Structured Streaming (same expression, state evicted by
     watermark). The oracle rebuilds the merge semantics from first
-    principles — an event joins the session while it starts before the
-    running max of previous [ts, ts+gap) ends — so Spark's internal
+    principles — an event joins the session while it starts AT OR
+    before the running max of previous [ts, ts+gap) ends (Spark merges
+    at exact boundary equality: verified empirically, an event at
+    precisely prev_end extends the session) — so Spark's internal
     merge is pinned against an independent formulation, per-user
     windows only (one shuffle on user_id)."""
     ev = load(spark, sf_dir, "events")

@@ -787,6 +787,46 @@ def global_cumsum(df: DataFrame, val_col: str, *keys: str) -> DataFrame:
     )
 
 
+def global_runmax(df: DataFrame, val_col: str, *keys: str) -> DataFrame:
+    """Distributed EXACT running max over a global total order — the
+    max-monoid sibling of global_cumsum, housed here so the two-pass
+    prefix primitives evolve together (stream_lateness_profile used to
+    carry its own inline copy). Same shape: range-partition + local
+    sort on the key list, per-partition maxima (P rows) -> broadcast
+    prefix offsets, runmax = greatest(local running max, prefix max).
+    Returns input columns + `runmax` (inclusive). Key list must be a
+    total order for determinism."""
+    for col in ("runmax", "__gm_pid", "__gm_prev"):
+        if col in df.columns:
+            raise ValueError(f"global_runmax would clobber input column {col!r}")
+    spark = df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loc = (
+        df.repartitionByRange(P, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__gm_pid", F.spark_partition_id())
+    )
+    pmax = loc.groupBy("__gm_pid").agg(F.max(val_col).alias("m"))
+    woff = Window.orderBy("__gm_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmax.withColumn("__gm_prev", F.max("m").over(woff)).select(
+        "__gm_pid", "__gm_prev"
+    )
+    wloc = Window.partitionBy("__gm_pid").orderBy(*keys).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        loc.join(F.broadcast(offs), "__gm_pid")
+        .withColumn(
+            "runmax",
+            F.greatest(
+                F.max(val_col).over(wloc),
+                F.coalesce(F.col("__gm_prev"), F.col(val_col)),
+            ),
+        )
+        .drop("__gm_pid", "__gm_prev")
+    )
+
+
 @register(
     "win_topk_with_ties",
     oracle="""

@@ -149,3 +149,23 @@ def test_stream_session_dynamic_gap_equals_batch(spark):
     rows = _rows(stream, cols)
     assert rows == _rows(batch, cols)
     assert len(rows) > 0
+
+
+def test_session_window_merges_at_exact_boundary(spark):
+    """Pins the boundary semantics stream_session_dynamic_gap's oracle
+    encodes: an event arriving at EXACTLY the running session end
+    (prev ts + gap) MERGES into the session (so the oracle must split
+    on ts > prev_end, strictly). If a Spark upgrade flips this, the
+    oracle's CASE must flip with it — fail here, not as a gate flake."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 2
