@@ -140,12 +140,18 @@ def date_trunc_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS formatted,
-           strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'),
-                    '%Y-%m-%d %H:%M') AS reparsed
+           CAST(timezone('UTC',
+               strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'),
+                        '%Y-%m-%d %H:%M')) AS TIMESTAMP) AS reparsed
     FROM events
     """,
 )
 def date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Oracle routes reparsed through timezone('UTC', ...) -> TIMESTAMPTZ
+    # -> session-local TIMESTAMP so a non-UTC gate host localizes BOTH
+    # engines identically (bare strptime stays naive while PySpark
+    # collect() localizes — red on any non-UTC host; same pattern as
+    # date_epoch_roundtrip's to_timestamp).
     ev = load(spark, sf_dir, "events")
     fmt = F.date_format("ts", "yyyy-MM-dd HH:mm")
     return ev.select(
@@ -280,6 +286,23 @@ def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_count_map(docs: DataFrame, out_name: str) -> DataFrame:
+    """(doc_id, token->count map) — the explode/groupBy/map_from_entries
+    block shared by map_from_entries and map_higher_order so the
+    tokenizer can never silently diverge between them."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias(
+                out_name
+            )
+        )
+    )
+
+
 @register(
     "map_from_entries",
     oracle="""
@@ -295,17 +318,11 @@ def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string (map iteration order is engine-dependent, and array cells crash
     # the driver's pandas canonicalizer).
     docs = load(spark, sf_dir, "documents")
-    counted = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias("tok_map"))
-    )
+    counted = _token_count_map(docs, "tok_map")
     return counted.select(
         "doc_id",
         F.array_join(F.array_sort(F.map_keys("tok_map")), " ").alias("keys_sorted"),
-        F.size(F.map_keys("tok_map")).alias("n_keys"),
+        F.size("tok_map").alias("n_keys"),
     )
 
 
@@ -407,13 +424,7 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     'key=value' entry strings (map iteration order is engine-dependent,
     R-appendix rule 5)."""
     docs = load(spark, sf_dir, "documents")
-    m = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias("m"))
-    )
+    m = _token_count_map(docs, "m")
     doubled = F.transform_values("m", lambda _, v: v * 2)
     frequent = F.map_filter("m", lambda _, v: v >= 3)
     return m.select(
