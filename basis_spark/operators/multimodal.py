@@ -78,6 +78,10 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     if magic != b"P6":
         raise ValueError(f"not a binary PPM (magic {magic!r})")
     width, height, maxval = int(token()), int(token()), int(token())
+    if width <= 0 or height <= 0:
+        # 0x0 would divide-by-zero in ppm_features; negatives would pass
+        # the truncation check (w*h*3 still small) and return garbage.
+        raise ValueError(f"invalid dimensions {width}x{height}")
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     pos += 1  # exactly one whitespace byte after maxval
@@ -95,16 +99,15 @@ def ppm_features(payload: bytes) -> list[float]:
     return [float(w), float(h), *means]
 
 
-def fake_features(payload: bytes, dim: int = 4) -> list[float]:
+def fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: byte-histogram
-    moments. Same signature/batching a real extractor would have."""
+    moments, always 4 values. Same batching a real extractor would have.
+    (A former `dim` parameter was honored only for empty payloads —
+    ragged rows for any dim != 4 — so it's gone.)"""
     n = len(payload)
     if n == 0:
-        return [0.0] * dim
-    s = sum(payload)
-    mx = max(payload)
-    mn = min(payload)
-    return [float(n), round(s / n, 6), float(mx), float(mn)]
+        return [0.0] * 4
+    return [float(n), round(sum(payload) / n, 6), float(max(payload)), float(min(payload))]
 
 
 # ----------------------------------------------------- real WAV codec ----
@@ -138,6 +141,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             raise ValueError("only mono 16-bit PCM supported")
         rate, n = w.getframerate(), w.getnframes()
         frames = w.readframes(n)
+    if len(frames) != 2 * n:
+        # keep the codec error contract uniform with decode_ppm:
+        # truncation raises ValueError, never struct.error.
+        raise ValueError("truncated sample data")
     return rate, n, list(struct.unpack(f"<{n}h", frames))
 
 
@@ -439,10 +446,12 @@ def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-# Oracle lives with the registration in operators/__init__.py — this op
-# is registered AFTER every module (like map_in_arrow) so the late r4
-# addition does not shift the driver's first-50 verification window
-# that multimodal.py's own keys sit inside this round.
+# Oracle lives with the registration in operators/__init__.py (like
+# map_in_arrow). Historical note: late registration originally kept a
+# r4 addition from shifting the driver's first-50 window; since then
+# the window is pinned EXPLICITLY by _ROTATION_FRONT in
+# operators/__init__.py, so registration order no longer matters for
+# the gate — the split registration just remains where it landed.
 PHASH_DEDUP_ORACLE = """
     WITH t AS (
         SELECT doc_id,
@@ -476,7 +485,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures). One Arrow-batched decode pass, one shuffle on the
     hash. doc_id deltas of 256 collide by construction (31 is
     invertible mod 256), so clusters are non-vacuous at every SF."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the Python decode: the fixture parquet is a
+    # single row group, so without it every per-doc decode+hash runs in
+    # ONE task (same measured bottleneck the decode siblings fixed).
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
     hashed = docs.mapInPandas(_ahash_batches, schema="doc_id long, ahash string")
     return hashed.groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -539,9 +551,11 @@ def multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of multimodal_resize (which pins the batching/size CONTRACT
     for codec formats the container cannot decode). Arrow-batched
     mapInPandas, constant memory per batch, one output row per image."""
-    docs = load(spark, sf_dir, "documents")
-    bin_df = attach_binary(docs).select("doc_id", "payload")
-    return bin_df.mapInPandas(
+    # doc_id only (the batch mapper synthesizes the PPM from the id —
+    # attach_binary's payload was encoded and shipped through Arrow,
+    # then never read), repartitioned so decodes parallelize.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
         _ppm_resize_batches,
         schema="doc_id long, out_w long, out_h long, mean_r double, mean_g double, mean_b double",
     )

@@ -44,20 +44,30 @@ def _norm_row(row) -> tuple:
 
 
 def main() -> int:
+    # Pin the PROCESS timezone to UTC (the driver container's TZ):
+    # PySpark's plain collect() converts TimestampType through
+    # datetime.fromtimestamp — the HOST tz, independent of
+    # spark.sql.session.timeZone — while DuckDB emits the naive UTC
+    # wall clock from parquet. On a non-UTC dev host every raw-
+    # timestamp key would false-fail by the UTC offset (measured:
+    # 19 keys under TZ=America/Chicago). SWEEP_HOSTILE still covers
+    # session-TZ hostility, which this does not mask.
+    import os
+    import time as _time
+
+    os.environ["TZ"] = "UTC"
+    _time.tzset()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # Must precede the module import: a few oracles (scan_binaryfile)
     # bind file-path literals to this env var at import time — without
     # it, sweeping a non-default SF false-fails those keys.
-    import os
-
     os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf)
     sys.path.insert(0, REPO)
     spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     from basis_spark.typecheck import arrow_type_mismatches, spark_arrow_schema
-    import os
 
     if os.environ.get("SWEEP_HOSTILE"):
         from pyspark.sql import SparkSession
