@@ -123,7 +123,9 @@ def _pack_one_source(pdf: pd.DataFrame) -> pd.DataFrame:
     "pack_tokens_nextfit",
     oracle=f"""
     WITH RECURSIVE t AS (
-      SELECT source, doc_id, len(string_split(text,' ')) AS tok,
+      SELECT source, doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN 0
+                  ELSE len(string_split(text,' ')) END AS tok,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents),
     packed AS (
@@ -151,16 +153,24 @@ def pack_tokens_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike first-fit-decreasing) needs only one pass and O(1) state,
     which is why trainers use it for streaming packing."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    # NULL/empty text -> 0 tokens (pinned in BOTH engines): split('')
+    # yields [''] (1 phantom token) and split(NULL) yields NULL, which
+    # crashed the pandas packer as NaN. Same empty-doc contract as
+    # chunk_docs_overlap's zero chunks.
+    tok = (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("long")
     )
+    toks = docs.select("source", "doc_id", tok.alias("tok"))
     return toks.groupBy("source").applyInPandas(_pack_one_source, _PACK_SCHEMA)
 
 
 @register(
     "tokenizer_vocab_coverage",
     oracle=f"""
-    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+               FROM documents WHERE text IS NOT NULL AND text <> ''),
     v AS (SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY word) cw
           ORDER BY c DESC, word LIMIT {VOCAB_TOP})
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -181,7 +191,11 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties at the V-boundary break on (count desc, word asc) so the
     fitted vocab is deterministic on any engine."""
     docs = load(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # NULL/empty docs contribute no tokens (and no output row) — the
+    # phantom '' token a bare split('') emits is not a word.
+    w = docs.filter(F.col("text").isNotNull() & (F.col("text") != "")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
     vocab = (
         w.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -280,7 +294,13 @@ def corpus_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine is the only global step."""
     docs = load(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    cap = c.agg(F.min("n").alias("cap"))
+    # Pre-join the two tiny tables into ONE |langs|-row rate table so
+    # the corpus-sized stream passes through a single broadcast join
+    # (separately joining counts then the 1-row cap cost a second
+    # BroadcastNestedLoopJoin pass over every document).
+    rate = c.crossJoin(c.agg(F.min("n").alias("cap"))).select(
+        "lang", (F.col("cap").cast("double") / F.col("n")).alias("keep_rate")
+    )
     frac = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -288,9 +308,8 @@ def corpus_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0)
     )
     return (
-        docs.join(F.broadcast(c), "lang")
-        .crossJoin(F.broadcast(cap))
-        .filter(frac < F.col("cap").cast("double") / F.col("n"))
+        docs.join(F.broadcast(rate), "lang")
+        .filter(frac < F.col("keep_rate"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
     )
