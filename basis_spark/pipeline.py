@@ -37,7 +37,7 @@ _graph_counter = itertools.count()
 _SQL_TOKEN = re.compile(
     r"""
       (?P<ws>\s+|--[^\n]*|/\*.*?\*/)      # whitespace + comments
-    | (?P<string>'(?:[^']|'')*')          # string literal ('' escape)
+    | (?P<string>'(?:[^'\\]|\\.|'')*')    # string literal ('' and \' escapes)
     | (?P<qident>`(?:[^`]|``)*`)          # backtick-quoted identifier
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<num>\d+(?:\.\d*)?)
@@ -59,6 +59,71 @@ _JOIN_MODIFIERS = {"inner", "left", "right", "full", "cross", "natural",
 _SQL_KEYWORDS = _FROM_ENDERS | _JOIN_MODIFIERS | {
     "join", "when", "and", "or", "not", "as", "from",
 }
+
+
+def _cte_names(toks: list[re.Match]) -> set[str]:
+    """Lowercased CTE names declared anywhere in the token stream:
+    after each WITH keyword, parse `[RECURSIVE] name [(cols)] AS (...)
+    [, name ...]`. Collected from ALL nesting levels — over-broad
+    exclusion of an input that shares a name with an inner CTE fails
+    loudly via the seen-count check rather than silently rewriting a
+    scoped reference."""
+    sig = [
+        (m.lastgroup, m.group(0).lower())
+        for m in toks
+        if m.lastgroup not in ("ws",)
+    ]
+    names: set[str] = set()
+    i = 0
+    n = len(sig)
+    while i < n:
+        if sig[i] != ("ident", "with"):
+            i += 1
+            continue
+        i += 1
+        if i < n and sig[i] == ("ident", "recursive"):
+            i += 1
+        while i < n:
+            kind, text = sig[i]
+            if kind == "qident":
+                names.add(text[1:-1].replace("``", "`"))
+            elif kind == "ident" and text not in _SQL_KEYWORDS:
+                names.add(text)
+            else:
+                break
+            i += 1
+            # optional column list: name (a, b) AS (...)
+            if i < n and sig[i] == ("punct", "("):
+                depth = 0
+                while i < n:
+                    if sig[i] == ("punct", "("):
+                        depth += 1
+                    elif sig[i] == ("punct", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            i += 1
+                            break
+                    i += 1
+            if i >= n or sig[i] != ("ident", "as"):
+                break
+            i += 1
+            if i >= n or sig[i] != ("punct", "("):
+                break
+            depth = 0
+            while i < n:
+                if sig[i] == ("punct", "("):
+                    depth += 1
+                elif sig[i] == ("punct", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                i += 1
+            if i < n and sig[i] == ("punct", ","):
+                i += 1
+                continue
+            break
+    return names
 
 
 def _rewrite_table_refs(sql: str, mapping: dict[str, str], node: str) -> str:
@@ -84,6 +149,12 @@ def _rewrite_table_refs(sql: str, mapping: dict[str, str], node: str) -> str:
     run."""
     toks = list(_SQL_TOKEN.finditer(sql))
     out: list[str] = []
+    # Case-insensitive input matching (Spark resolves identifiers
+    # case-insensitively, so `FROM SRC` must rewrite for input 'src');
+    # CTE names shadow inputs exactly like aliases do — a `WITH src AS
+    # (...)` makes later `FROM src` refer to the CTE, never the input.
+    lmap = {k.lower(): k for k in mapping}
+    ctes = _cte_names(toks)
     seen: dict[str, int] = dict.fromkeys(mapping, 0)
     # Per-paren-depth state: is a FROM table-list open, and is the next
     # identifier a table position?
@@ -152,8 +223,10 @@ def _rewrite_table_refs(sql: str, mapping: dict[str, str], node: str) -> str:
             while j < len(toks) and _sig(j) is None:
                 j += 1
             dotted = j < len(toks) and _sig(j) == ("punct", ".")
-            if not dotted and name in mapping:
-                seen[name] += 1
+            lname = name.lower()
+            if not dotted and lname in lmap and lname not in ctes:
+                cname = lmap[lname]
+                seen[cname] += 1
                 # explicit alias next (AS x / bare x)? keep it, else
                 # alias the view back to the input name.
                 k = j
@@ -165,7 +238,7 @@ def _rewrite_table_refs(sql: str, mapping: dict[str, str], node: str) -> str:
                         nxt[0] == "qident"
                         or (nxt[0] == "ident" and nxt[1] not in _SQL_KEYWORDS)
                     )
-                out.append(mapping[name] if has_alias else f"{mapping[name]} AS {name}")
+                out.append(mapping[cname] if has_alias else f"{mapping[cname]} AS {name}")
             else:
                 out.append(text)
             expect_table[-1] = False
@@ -326,6 +399,11 @@ class Graph:
 
 def accumulate(*increments: DataFrame) -> DataFrame:
     """basis accumulator: fold append-only increments into one table."""
+    if not increments:
+        raise ValueError(
+            "accumulate() needs at least one increment (an empty fold has "
+            "no schema to build an empty DataFrame from)"
+        )
     out = increments[0]
     for inc in increments[1:]:
         out = out.unionByName(inc)
@@ -363,8 +441,24 @@ class HighWatermarkState:
         return {"type": "scalar", "value": v}
 
     @staticmethod
+    def _as_utc(v):
+        """Comparable form: a legacy NAIVE stored watermark is assumed
+        UTC (the container's TZ) so it can compare against the aware
+        timestamp_us form without a TypeError."""
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=datetime.timezone.utc)
+        return v
+
+    @staticmethod
     def _decode(d):
+        if d["type"] == "timestamp_us":
+            # TZ-unambiguous form: epoch micros -> aware UTC datetime
+            # (F.lit of an aware datetime maps to the exact instant).
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            return epoch + datetime.timedelta(microseconds=d["value"])
         if d["type"] == "timestamp":
+            # legacy naive-isoformat files (driver-TZ-dependent; kept
+            # readable for states persisted before the timestamp_us form)
             return datetime.datetime.fromisoformat(d["value"])
         if d["type"] == "date":
             return datetime.date.fromisoformat(d["value"])
@@ -387,9 +481,36 @@ class HighWatermarkState:
         return df if wm is None else df.filter(F.col(self.column) > F.lit(wm))
 
     def advance(self, df: DataFrame):
+        from pyspark.sql import types as T
+
+        is_ts = isinstance(df.schema[self.column].dataType, T.TimestampType)
+        if is_ts:
+            # collect epoch micros, not a naive local datetime: plain
+            # collect() localizes TimestampType to the DRIVER's host tz,
+            # so the persisted isoformat depended on where advance() ran
+            # and shifted filter_new by the TZ delta after a restart.
+            us = df.agg(F.max(F.unix_micros(self.column)).alias("m")).collect()[0]["m"]
+            if us is None:
+                return self.read()
+            cur = self.read()
+            doc = {"type": "timestamp_us", "value": int(us), "column": self.column}
+            new_wm = self._decode(doc)
+            if cur is not None and not (self._as_utc(new_wm) > self._as_utc(cur)):
+                return cur
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "w") as f:
+                json.dump(doc, f)
+            return new_wm
         new_wm = df.agg(F.max(self.column).alias("m")).collect()[0]["m"]
         if new_wm is None:
             return self.read()
+        # Monotone clamp: advancing on a late/replayed block whose max
+        # is BELOW the stored watermark must not regress it (a regressed
+        # watermark re-emits already-consumed rows on the next
+        # filter_new — the exactly-the-documented-contract violation).
+        cur = self.read()
+        if cur is not None and not (new_wm > cur):
+            return cur
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         doc = self._encode(new_wm)
         doc["column"] = self.column

@@ -117,8 +117,13 @@ class Reactor:
             raise ValueError(f"node {name!r} has produced no blocks yet")
         return self.spark.read.parquet(*blocks)
 
-    def _read_increment(self, name: str, frm: int) -> DataFrame | None:
-        blocks = self._blocks(name)[frm:]
+    def _read_increment(self, name: str, frm: int, to: int) -> DataFrame | None:
+        # Half-open [frm:to] slice, NOT [frm:]: poll() records `to` as
+        # consumed, so a block appended by a concurrent feed() between
+        # the n_blocks() listing and this glob must be left for the next
+        # pass — reading it now would process it without recording it,
+        # and the next poll would emit its rows a second time.
+        blocks = self._blocks(name)[frm:to]
         return self.spark.read.parquet(*blocks) if blocks else None
 
     # ------------------------------------------------- propagation ----
@@ -158,7 +163,7 @@ class Reactor:
             for u in nd.inputs:
                 frm = state.get(u, 0)
                 have = self.n_blocks(u)
-                inc = self._read_increment(u, frm)
+                inc = self._read_increment(u, frm, have)
                 if inc is not None:
                     fresh = True
                 incs.append(inc)

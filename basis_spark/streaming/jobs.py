@@ -12,6 +12,7 @@ is what keeps state-store size proportional to the window, not history.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -32,9 +33,15 @@ def split_events_to_chunks(
     basis-style block/increment. Scratch is applicationId-keyed so
     concurrent sessions never race on the _done guard.
     """
+    # Key = basename + abspath digest + n_chunks + appId: basename alone
+    # would serve /a/sf0.1's chunks for /b/sf0.1, and a later call with
+    # a different n_chunks would silently get the cached layout.
+    apath = os.path.abspath(sf_dir.rstrip("/"))
+    digest = hashlib.md5(apath.encode()).hexdigest()[:8]
     out = os.path.join(
         scratch_dir("stream_chunks"),
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+        f"{os.path.basename(apath)}_{digest}_c{n_chunks}"
+        f"_{spark.sparkContext.applicationId}",
     )
     ev = load(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(out, "_done")):
@@ -91,6 +98,16 @@ def _read_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     )
 
 
+def _await_finite(q) -> None:
+    """Wait for an availableNow query; on timeout STOP it and raise.
+    awaitTermination's timeout does not stop the query — leaving it
+    running would keep appending to the sink a retry then reads — and
+    a bare assert would vanish under python -O."""
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("stream timed out (300s)")
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     name = "mem_" + uuid.uuid4().hex[:8]
     spark = stream_df.sparkSession
@@ -109,7 +126,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(timeout=300), "stream timed out (300s)"
+        _await_finite(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -388,7 +405,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = s.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
-        assert q.awaitTermination(timeout=300), "stream timed out (300s)"
+        _await_finite(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.read.parquet(latest[-1])
