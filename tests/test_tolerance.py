@@ -148,6 +148,44 @@ def test_ppm_codec_roundtrip():
         multimodal.decode_ppm(multimodal.make_ppm(8, 8, px)[:-10])
 
 
+def test_png_codec_roundtrip():
+    """Real PNG codec: every filter type must reconstruct exactly. The
+    encoder cycles filters per row (y % 5), so any h>=5 image covers
+    None/Sub/Up/Average/Paeth; widths 1..3 exercise the bpp boundary
+    (left-pixel references fall off the row start)."""
+    import random
+
+    rng = random.Random(42)
+    for w, h in [(1, 1), (1, 6), (3, 5), (8, 8), (5, 7), (12, 2)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payload = multimodal.make_png(w, h, px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert multimodal.decode_png(payload) == (w, h, px), (w, h)
+    import pytest as _pytest
+
+    good = multimodal.make_png(4, 4, bytes(48))
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"JFIF" + good)
+    corrupt = bytearray(good)
+    corrupt[30] ^= 0xFF  # inside IHDR data -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(corrupt))
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(good[:-14])
+
+
+def test_decode_image_dispatch():
+    """decode_image routes PPM and PNG to the real codecs and raises
+    honestly for formats the container cannot decode (JPEG)."""
+    px = bytes(range(192))
+    assert multimodal.decode_image(multimodal.make_ppm(8, 8, px)) == (8, 8, px)
+    assert multimodal.decode_image(multimodal.make_png(8, 8, px)) == (8, 8, px)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
 def test_multimodal_real_decode_branch():
     """extract_features takes the REAL decode branch for PPM payloads:
     channel means must equal the synthesized pixel arithmetic."""
