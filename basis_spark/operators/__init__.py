@@ -16,6 +16,7 @@ Modules map to SURVEY.md §2 groups:
   stats       — two-sample distribution tests (KS, Mann-Whitney U)
   multimodal  — binary-column plumbing (decode stubbed; SURVEY §1.3)
   pipelines   — end-to-end node-graph compositions (training-data flow)
+  table_log   — transaction-log table format (snapshot / time travel)
 """
 
 # Registration order is the driver's verification order: the per-round
@@ -42,6 +43,7 @@ from basis_spark.operators import (  # noqa: F401
     joins,
     corpus,
     stats,
+    table_log,
 )
 from basis_spark.registry import ORACLES, register  # noqa: E402
 
