@@ -2594,3 +2594,89 @@ def retail_channel_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.sum("order_rev").over(w), 2).alias("cum_order_rev"),
         F.round(F.sum("event_val").over(w), 2).alias("cum_event_val"),
     )
+
+
+def _holt_groups(pdf):
+    """Holt's linear (double exponential) recursion over one ordered
+    series. alpha = beta = 0.5 — exact binary fractions, and the input
+    y values are integer counts cast to double, so every engine
+    evaluating THIS expression order produces bit-identical doubles:
+    the DuckDB recursive-CTE oracle mirrors the same three expressions
+    verbatim."""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    levels, trends = [], []
+    lvl = trend = None
+    for y in pdf["y"]:
+        if lvl is None:
+            lvl, trend = float(y), 0.0
+        else:
+            new_lvl = 0.5 * float(y) + 0.5 * (lvl + trend)
+            trend = 0.5 * (new_lvl - lvl) + 0.5 * trend
+            lvl = new_lvl
+        levels.append(lvl)
+        trends.append(trend)
+    # raw doubles, NO rounding: the recursion's dyadic values routinely
+    # land exactly on 6dp ties, where DuckDB's half-up round() and
+    # Python's banker's round disagree — both engines emit bit-identical
+    # doubles, so the comparison layer's own normalization is the one
+    # place rounding may happen.
+    pdf["level"] = levels
+    pdf["trend"] = trends
+    return pdf[["event_type", "d", "y", "level", "trend"]]
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT event_type, d, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily),
+    hw AS (
+        SELECT event_type, d, rn, y, y AS level, CAST(0 AS DOUBLE) AS trend
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.d, s.rn, s.y,
+               0.5 * s.y + 0.5 * (h.level + h.trend) AS level,
+               0.5 * ((0.5 * s.y + 0.5 * (h.level + h.trend)) - h.level)
+                   + 0.5 * h.trend AS trend
+        FROM hw h JOIN seq s
+          ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+    SELECT event_type, CAST(d AS TIMESTAMP) AS d, y, level, trend
+    FROM hw
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear trend smoothing (double exponential smoothing) per
+    series — the classic level+trend forecaster one notch above the
+    seasonal-naive baseline (ts_forecast_snaive) and the EWMA level
+    tracker (win_ewma, level only). The recurrence
+        level_t = a*y_t + (1-a)*(level + trend)
+        trend_t = b*(level_t - level) + (1-b)*trend
+    is inherently sequential per series, so it runs as ONE ordered pass
+    per key inside applyInPandas — state is two floats, series are
+    calendar-bounded (days), and keys distribute across executors: at
+    100 TB this is millions of independent bounded series, the same
+    shape as win_ewma's declared contract. The DuckDB oracle replays
+    the identical recursion as a recursive CTE, expression-for-
+    expression, over integer day counts (exact doubles) — so a drifted
+    coefficient, a wrong init, or an unordered pass is a value
+    mismatch."""
+    import pandas as pd  # noqa: F401  (applyInPandas boundary)
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _holt_groups,
+        schema="event_type string, d timestamp, y double,"
+        " level double, trend double",
+    )

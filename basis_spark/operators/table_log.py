@@ -50,11 +50,11 @@ def _commit(table_dir: str, version: int, actions: list[dict]) -> None:
     os.replace(tmp, final)
 
 
-def _build_table(spark: SparkSession, sf_dir: str) -> str:
+def _build_table(spark: SparkSession, sf_dir: str, subdir: str = "txn_log") -> str:
     """Materialize the two-commit fixture table once per session
     (appId-scoped scratch, exists-guarded on the LAST commit so a
     partially built table is never read as complete)."""
-    table_dir = _sf_scratch(spark, "txn_log", sf_dir)
+    table_dir = _sf_scratch(spark, subdir, sf_dir)
     if os.path.exists(os.path.join(table_dir, "log", "00000001.json")):
         return table_dir
     orders = (
@@ -177,3 +177,97 @@ def table_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, n_added long, n_removed long"
     )
+
+
+def _merge_cow(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    version: int,
+) -> None:
+    """Copy-on-write MERGE into a logged table: rewrite ONLY the live
+    objects that contain matched keys (matched rows take the source's
+    o_totalprice, unmatched target rows are carried over byte-for-
+    byte), land unmatched source rows in one new insert object, and
+    commit remove(rewritten olds) + add(rewrites, inserts) as a single
+    atomic version. Objects with no matches are never touched — the
+    property that makes MERGE affordable at 100 TB, where a day's
+    updates hit a handful of partitions out of millions. The per-object
+    match probe is one semi-join job per live object: a driver loop
+    over METADATA-scale cardinality (#objects), never over rows."""
+    live = _live_objects(table_dir)
+    src_keys = source.select(key).distinct()
+    actions: list[dict] = []
+    matched_any = []
+    for i, obj in enumerate(live):
+        tgt = spark.read.parquet(obj)
+        if tgt.join(src_keys, key, "left_semi").limit(1).count() == 0:
+            continue  # untouched object stays live — no rewrite, no action
+        rewritten = (
+            tgt.join(
+                source.select(key, F.col("o_totalprice").alias("_src_price")),
+                key,
+                "left",
+            )
+            .withColumn(
+                "o_totalprice", F.coalesce("_src_price", "o_totalprice")
+            )
+            .drop("_src_price")
+            .select(*_COLS)
+        )
+        new_rel = f"files/m{version}_{i}"
+        rewritten.write.mode("overwrite").parquet(
+            os.path.join(table_dir, new_rel)
+        )
+        rel_old = os.path.relpath(obj, table_dir)
+        actions.append({"op": "remove", "path": rel_old})
+        actions.append({"op": "add", "path": new_rel})
+        matched_any.append(obj)
+    inserts = source.join(
+        spark.read.parquet(*live).select(key), key, "left_anti"
+    ).select(*_COLS)
+    ins_rel = f"files/m{version}_ins"
+    inserts.write.mode("overwrite").parquet(os.path.join(table_dir, ins_rel))
+    actions.append({"op": "add", "path": ins_rel})
+    _commit(table_dir, version, actions)
+
+
+@register(
+    "table_log_merge_cow",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def table_log_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO the logged table (its own appId-scoped copy, so the
+    # snapshot/time-travel keys keep their pristine two-commit table):
+    # source = even-key committed orders repriced +100 (updates — they
+    # live only in object p0) plus every 'P'-status order (inserts).
+    # COW rewrites p0 -> m2_0, leaves the odd-key object p2 untouched,
+    # adds m2_ins, and commits all of it as version 2. The oracle
+    # recomputes the post-merge snapshot from the orders fixture, so a
+    # lost update, a double-applied update, or a clobbered untouched
+    # object is a value mismatch. (+100 and *2 are exact in binary
+    # doubles on both engines.)
+    table_dir = _build_table(spark, sf_dir, subdir="txn_log_merge")
+    if not os.path.exists(os.path.join(table_dir, "log", "00000002.json")):
+        orders = load(spark, sf_dir, "orders")
+        updates = (
+            orders.filter(
+                (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+            )
+            .select(*_COLS)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        )
+        inserts = orders.filter(F.col("o_orderstatus") == "P").select(*_COLS)
+        _merge_cow(spark, table_dir, updates.unionByName(inserts),
+                   "o_orderkey", version=2)
+    return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)

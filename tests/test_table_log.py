@@ -59,3 +59,19 @@ def test_commit_is_atomic_no_tmp_residue(spark):
     assert all(not n.endswith(".tmp") for n in os.listdir(log_dir))
     versions = [rec["version"] for rec in table_log._read_log(table_dir)]
     assert versions == [0, 1]
+
+
+def test_merge_cow_leaves_unmatched_objects_untouched(spark):
+    """The defining COW property: MERGE rewrites only objects holding
+    matched keys. The odd-key object p2 has no matched rows, so after
+    the v2 merge commit it must still be live under its ORIGINAL path
+    (same bytes, no rewrite), while p0 is replaced and an insert object
+    appears."""
+    table_log.table_log_merge_cow(spark, SF_ORACLE).count()  # builds v2
+    table_dir = table_log._sf_scratch(spark, "txn_log_merge", SF_ORACLE)
+    names = [os.path.basename(p) for p in table_log._live_objects(table_dir)]
+    assert "p2" in names, "untouched object must survive under its old path"
+    assert "p0" not in names, "matched object must be replaced"
+    assert "m2_0" in names and "m2_ins" in names
+    versions = [rec["version"] for rec in table_log._read_log(table_dir)]
+    assert versions == [0, 1, 2]
