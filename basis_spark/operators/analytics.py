@@ -2680,3 +2680,50 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, d timestamp, y double,"
         " level double, trend double",
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l,
+               count(*) AS grp_n
+        FROM customer GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+           round(CAST(sum(CASE WHEN l < 3 THEN grp_n ELSE 0 END) AS DOUBLE)
+                 / sum(grp_n), 6) AS frac_rows_below_l
+    FROM g
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the governance gate k-anonymity
+    (privacy_k_anonymity) cannot express: a class can be large (k-safe)
+    yet expose everyone in it if the SENSITIVE attribute is uniform
+    within the class (homogeneity attack). Per quasi-identifier class
+    (nation, segment), count distinct sensitive values (account-balance
+    band, floor(acctbal/1000) — well-defined identically in both
+    engines) and report the classes with < 3 distinct bands plus the
+    row mass they expose. Same two-phase shape as the k-audit: one
+    distinct-aggregation on |QI|-sized classes, then a 1-row combine;
+    the companion generalization loop (widen a band, re-check) reuses
+    the plan unchanged at 100 TB."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.countDistinct(band).alias("l"),
+        F.count(F.lit(1)).alias("grp_n"),
+    )
+    below_cls = F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+    below_rows = F.sum(F.when(F.col("l") < 3, F.col("grp_n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("min_l"),
+        below_cls.alias("classes_below_l"),
+        F.round(below_rows.cast("double") / F.sum("grp_n"), 6).alias(
+            "frac_rows_below_l"
+        ),
+    )

@@ -96,10 +96,26 @@ class Reactor:
         os.replace(tmp, p)
 
     def _append_block(self, name: str, df: DataFrame) -> int:
+        # Write to a staging dir, then publish with one atomic rename:
+        # a concurrent reader (the serve() daemon polling while feed()
+        # runs in another thread/process) must either see the complete
+        # block or no block — listing a half-written block=N dir made
+        # spark.read fail with UNABLE_TO_INFER_SCHEMA (no committed
+        # footer yet). Staging dirs start with '_' so _blocks() never
+        # globs them.
         n = self.n_blocks(name)
-        df.write.mode("errorifexists").parquet(
-            os.path.join(self._dir(name), f"block={n}")
-        )
+        final = os.path.join(self._dir(name), f"block={n}")
+        tmp = os.path.join(self._dir(name), f"_staging_block_{n}_{os.getpid()}")
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # lost the publish race (concurrent appender took block=N):
+            # clean our staging copy and land on the next free index.
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return n
 
     # ------------------------------------------------------- feed ----
@@ -185,3 +201,86 @@ class Reactor:
             if not self.poll():
                 return i
         raise RuntimeError(f"not idle after {max_polls} polls")
+
+    # ------------------------------------------------------ daemon ----
+    # The reference runs change propagation as a PERSISTENT service, not
+    # a caller-driven poll loop. serve() is that runtime shape: a
+    # long-running subscription daemon that owns a single-writer lease
+    # on the reactor directory, polls continuously, and sleeps only
+    # when a pass moved nothing. Everything serve() relies on for
+    # correctness is the machinery above (at-most-once consumption
+    # watermarks, commit-after-block crash ordering), so a daemon
+    # killed at ANY instruction resumes exactly where it stopped when
+    # the next one takes the lease.
+
+    def _lease_path(self) -> str:
+        return os.path.join(self.base, "_leader.lock")
+
+    def _acquire_lease(self, lease_ttl_s: float) -> None:
+        """Single-writer lease via O_EXCL create. A lease whose file
+        mtime is older than lease_ttl_s is considered abandoned (the
+        holder died without release) and is stolen; the live holder
+        re-touches the file every pass, so a healthy daemon is never
+        stolen from. Best-effort on a local FS — an object store would
+        use conditional-put, a cluster a real lock service; the
+        CONTRACT (one writer per reactor dir) is what matters."""
+        import time
+
+        while True:
+            try:
+                fd = os.open(
+                    self._lease_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lease_path())
+                except OSError:
+                    continue  # holder released between our two syscalls
+                if age > lease_ttl_s:
+                    try:
+                        os.unlink(self._lease_path())  # steal abandoned lease
+                    except OSError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    "another reactor daemon holds the lease on "
+                    f"{self.base} (age {age:.1f}s <= ttl {lease_ttl_s}s)"
+                )
+
+    def _release_lease(self) -> None:
+        try:
+            os.unlink(self._lease_path())
+        except OSError:
+            pass
+
+    def serve(
+        self,
+        stop: Callable[[], bool],
+        poll_interval_s: float = 0.05,
+        lease_ttl_s: float = 600.0,
+    ) -> tuple[int, int]:
+        """Run as the propagation daemon until stop() returns True:
+        acquire the lease, poll in a loop (sleeping poll_interval_s
+        after idle passes only — a moving graph is drained hot), renew
+        the lease heartbeat each pass, release on the way out. Returns
+        (passes, nodes_moved_total). Driver-side cost per idle pass is
+        file listing only; all data movement is the poll()'s Spark
+        jobs."""
+        import time
+
+        self._acquire_lease(lease_ttl_s)
+        passes = moved_total = 0
+        try:
+            while not stop():
+                moved = self.poll()
+                passes += 1
+                moved_total += len(moved)
+                os.utime(self._lease_path())  # heartbeat: lease stays fresh
+                if not moved:
+                    time.sleep(poll_interval_s)
+            return passes, moved_total
+        finally:
+            self._release_lease()

@@ -342,6 +342,7 @@ _SINGLE_PARTITION_OK = {
     "basket_rule_lift",        # 1-row distinct-order-count combine broadcast into the rules
     "ts_seasonality_strength",  # decompose spine (calendar-bounded) + 1-row variance combine
     "privacy_k_anonymity",     # 1-row report combine over the QI-class table
+    "privacy_l_diversity",     # same 1-row report combine shape
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 

@@ -137,3 +137,89 @@ def test_crash_between_block_and_commit_replays_not_skips(spark, tmp_path):
     assert r.read("out").count() == 200
     assert r.read("out").dropDuplicates(["event_id"]).count() == 100
     assert r.poll() == {}  # recommitted; no further replay
+
+
+def test_serve_daemon_propagates_fed_blocks(spark, tmp_path):
+    """The persistent runtime shape: a daemon thread running serve()
+    must pick up blocks fed by ANOTHER thread (no explicit poll calls)
+    and drain them downstream, then exit cleanly when told to stop."""
+    import threading
+
+    r = Reactor(spark, str(tmp_path))
+    r.source("raw")
+    r.node("clicks", lambda inc: inc.filter(F.col("event_type") == "click")
+           if inc is not None else None, ["raw"])
+
+    done = threading.Event()
+    result: dict = {}
+
+    def daemon():
+        result["ret"] = r.serve(stop=done.is_set, poll_interval_s=0.01)
+
+    t = threading.Thread(target=daemon)
+    t.start()
+    try:
+        r.feed("raw", _events_slice(spark, 0, 40))
+        deadline = 100
+        while r.n_blocks("clicks") < 1 and deadline:
+            import time
+
+            time.sleep(0.05)
+            deadline -= 1
+        assert r.n_blocks("clicks") >= 1, "daemon never propagated the block"
+        r.feed("raw", _events_slice(spark, 40, 80))
+        deadline = 100
+        while r.n_blocks("clicks") < 2 and deadline:
+            import time
+
+            time.sleep(0.05)
+            deadline -= 1
+        assert r.n_blocks("clicks") >= 2
+    finally:
+        done.set()
+        t.join(timeout=30)
+    assert not t.is_alive()
+    passes, moved = result["ret"]
+    assert moved >= 2
+    expect = (
+        _events_slice(spark, 0, 80).filter(F.col("event_type") == "click").count()
+    )
+    assert r.read("clicks").count() == expect
+
+
+def test_serve_lease_excludes_second_daemon(spark, tmp_path):
+    """Single-writer contract: while one daemon holds the lease, a
+    second serve() on the same reactor dir must refuse to start; an
+    ABANDONED lease (stale mtime, holder died without release) is
+    stolen after the ttl."""
+    import os
+    import threading
+
+    import pytest
+
+    r = Reactor(spark, str(tmp_path))
+    r.source("raw")
+    done = threading.Event()
+    t = threading.Thread(target=lambda: r.serve(stop=done.is_set, poll_interval_s=0.01))
+    t.start()
+    try:
+        deadline = 100
+        while not os.path.exists(r._lease_path()) and deadline:
+            import time
+
+            time.sleep(0.02)
+            deadline -= 1
+        r2 = Reactor(spark, str(tmp_path))
+        with pytest.raises(RuntimeError, match="holds the lease"):
+            r2._acquire_lease(lease_ttl_s=600.0)
+    finally:
+        done.set()
+        t.join(timeout=30)
+    assert not os.path.exists(r._lease_path()), "lease must be released on exit"
+    # abandoned lease: fake a dead holder with an old mtime, then steal
+    with open(r._lease_path(), "w") as f:
+        f.write("99999")
+    os.utime(r._lease_path(), (1, 1))
+    r3 = Reactor(spark, str(tmp_path))
+    r3._acquire_lease(lease_ttl_s=600.0)  # stale -> stolen, no raise
+    r3._release_lease()
