@@ -2727,3 +2727,123 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_rows_below_l"
         ),
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer),
+    bands AS (SELECT DISTINCT band FROM base),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM bands),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    gdist AS (
+        SELECT band, count(*) / (SELECT n FROM tot) AS p_g
+        FROM base GROUP BY band),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+        FROM base GROUP BY 1, 2),
+    cb AS (
+        SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt
+        FROM base GROUP BY 1, 2, 3),
+    grid AS (
+        SELECT c.c_nationkey, c.c_mktsegment, b.band,
+               COALESCE(cb.cnt, 0) / CAST(c.grp_n AS DOUBLE) AS p_c,
+               g.p_g
+        FROM cls c CROSS JOIN bands b
+        LEFT JOIN cb ON cb.c_nationkey = c.c_nationkey
+                    AND cb.c_mktsegment = c.c_mktsegment
+                    AND cb.band = b.band
+        JOIN gdist g ON g.band = b.band),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment,
+               sum(p_c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                              ORDER BY band) AS cp_c,
+               sum(p_g) OVER (PARTITION BY c_nationkey, c_mktsegment
+                              ORDER BY band) AS cp_g
+        FROM grid),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment,
+               sum(abs(cp_c - cp_g)) / ((SELECT m FROM m) - 1) AS t
+        FROM cum GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           round(max(t), 6) AS max_t,
+           round(avg(t), 6) AS avg_t,
+           CAST(sum(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_above_t
+    FROM emd
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-gate ladder
+    (privacy_k_anonymity: classes big enough; privacy_l_diversity:
+    sensitive values diverse enough; here: the class's sensitive
+    DISTRIBUTION close enough to the global one that membership leaks
+    no skew). Distance is the ordered-attribute Earth Mover's Distance
+    over acctbal bands: EMD = sum |cumP_class - cumP_global| / (m-1).
+
+    Scale shape: the only data-sized stage is the (QI, band) count —
+    one hash aggregation. Everything after runs on metadata-sized
+    relations: the |QI|x|bands| grid (a broadcast nested-loop of two
+    tiny aggregates — bands is ~50 rows, so the "cross join" is the
+    cheap side of a pivot, never data-sized), an ordered cumsum per
+    class over <=m rows, and a 1-row report combine (declared in the
+    single-partition ratchet)."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    bands = base.select("band").distinct()
+    m = bands.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    n = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    glob = (
+        base.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt_g"))
+        .crossJoin(F.broadcast(n))
+        .select("band", (F.col("cnt_g") / F.col("n")).alias("p_g"))
+    )
+    cls = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    cb = base.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(bands))
+        .join(cb, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .join(F.broadcast(glob), "band")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                / F.col("grp_n").cast("double")
+            ).alias("p_c"),
+            "p_g",
+        )
+    )
+    wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.sum("p_c").over(wc).alias("cp_c"),
+        F.sum("p_g").over(wc).alias("cp_g"),
+    )
+    emd = (
+        cum.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.sum(F.abs(F.col("cp_c") - F.col("cp_g"))).alias("s"))
+        .crossJoin(F.broadcast(m))
+        .select((F.col("s") / (F.col("m") - 1)).alias("t"))
+    )
+    return emd.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.round(F.avg("t"), 6).alias("avg_t"),
+        F.sum(F.when(F.col("t") > 0.2, 1).otherwise(0)).alias(
+            "classes_above_t"
+        ),
+    )

@@ -1211,3 +1211,105 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long"),
         )
     )
+
+
+# Proximity-graph pts/e CTE shared with the other graph oracles (kept
+# verbatim so DuckDB computes the identical md5-plane edge list).
+_PROX_E_CTE = """
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer),
+    e AS MATERIALIZED (SELECT a.k AS u, b.k AS v FROM pts a JOIN pts b
+          ON a.k < b.k
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225.0)"""
+
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 10  # peeling is idempotent after convergence, so
+# unrolling MORE rounds than the fixpoint needs cannot change the
+# answer; tests/test_graph_cc.py pins convergence <= this at sf0.01.
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: each round drops nodes with degree < k and the
+    edges touching them. A recursive CTE cannot express 'recompute the
+    whole relation per round' (it only appends), so the oracle unrolls
+    a fixed number of rounds — sound because peeling is monotone and
+    idempotent at the fixpoint."""
+    parts = [_PROX_E_CTE]
+    prev = "e"
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT node, count(*) AS c FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) t
+            GROUP BY node),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {_KCORE_K}),
+    g{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+             WHERE u IN (SELECT node FROM k{i})
+               AND v IN (SELECT node FROM k{i}))"""
+        )
+        prev = f"g{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg_in_core FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) t
+    GROUP BY node"""
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the proximity graph: iteratively peel nodes of degree
+    < k until the survivor set is stable, then report each surviving
+    node's degree within the core — the standard cohesion filter that
+    strips hair/tendrils off a graph before community or fraud
+    analysis.
+
+    Distributed shape: each peel round is one edge-sized degree
+    aggregation plus two semi-joins of the edge list against the
+    surviving-node set — all hash operations, no cartesian, no
+    data-sized collect. The fixpoint test is an edge COUNT per round
+    (a scalar). Rounds are O(peel depth), typically <= ~10 on
+    real graphs; each round's result is localCheckpoint-ed so lineage
+    (and thus plan size) stays constant across iterations — the same
+    iterate-with-checkpoint contract as graph_pagerank and
+    dedup_cluster_cc. At 100 TB the edge list shrinks monotonically
+    per round, so later rounds are cheaper than earlier ones."""
+    cur = proximity_edges(spark, sf_dir)
+    n_edges = cur.count()
+    for _ in range(32):  # safety cap far above any real peel depth
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg_in_core"))
+    )

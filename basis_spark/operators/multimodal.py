@@ -1,11 +1,13 @@
 """Multimodal (binary) column plumbing (SURVEY.md §1.3 north star).
 
 Convention: a modality column is BinaryType payload + a typed metadata
-struct {uri, mime, n_bytes}. The fixtures carry no real media, so the
-*decode* step is stubbed (deterministic fake features / NotImplementedError
-for real codecs — image/audio libs are not in this container), but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-mapInPandas signature, partitioning.
+struct {uri, mime, n_bytes}. No codec libraries ship in this container,
+so the formats are implemented here: PPM, 8-bit truecolor PNG, baseline
+JPEG (operators/jpeg.py), and PCM WAV all decode for REAL. Only codecs
+that genuinely require a native library (video containers) remain
+stubbed behind deterministic fakes, clearly marked. The Spark-side
+plumbing — schema, Arrow batch shape, mapInPandas signature,
+partitioning — is real and tested throughout.
 """
 
 from __future__ import annotations
@@ -24,17 +26,23 @@ FEATURE_SCHEMA = "doc_id long, mime string, n_bytes long, feat array<double>"
 
 
 def decode_image(payload: bytes) -> object:
-    """Dependency-free image decode dispatcher: PPM (decode_ppm) and
-    8-bit truecolor PNG (decode_png — real zlib inflate + five-filter
-    reconstruction) decode for real. JPEG still needs a codec library
-    (PIL/opencv, not in this container) and raises honestly."""
+    """Dependency-free image decode dispatcher — FOUR real codecs, no
+    PIL/opencv: PPM (decode_ppm), 8-bit truecolor PNG (decode_png —
+    zlib inflate + five-filter reconstruction), baseline JPEG
+    (jpeg.decode_jpeg — Huffman + dequant + IDCT; 4:4:4, no restart
+    intervals, out-of-scope variants raise inside the codec), and WAV
+    via decode_wav for audio. Unknown magic raises."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from basis_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG decoding requires PIL/opencv, not available in this "
-        "container; PPM and 8-bit truecolor PNG decode for real"
+        "unrecognized image magic; PPM, 8-bit truecolor PNG, and "
+        "baseline 4:4:4 JPEG decode for real in this container"
     )
 
 
@@ -758,4 +766,83 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _png_decode_batches,
         schema="doc_id long, width long, height long,"
         " mean_r double, mean_g double, mean_b double",
+    )
+
+
+# ---------------------------------------------------- real JPEG codec ----
+# Baseline JPEG (operators/jpeg.py: standard Annex K tables, 4:4:4
+# MCUs, Huffman/RLE entropy coding, orthonormal DCT) — the repo's
+# third raster codec and its first LOSSY one. The key's fixture image
+# is built from FLAT 8x8 blocks, where every AC coefficient is zero
+# and the decode result reduces to the integer DC round-trip
+#     v_out = min(255, 2 * floor((v_in - 127) / 2) + 128)
+# (luma q00 = 16 makes the dequantized DC a multiple of 8, so the
+# IDCT emits exact integers; gray input pins the chroma channels at
+# 128). That closed form is what the DuckDB oracle recomputes — a
+# Huffman mis-decode, zigzag slip, quant-table swap, or DC-diff bug
+# shifts v_out and fails the value compare. The codec's general path
+# (all 64 coefficients, RLE/ZRL, byte stuffing) is exercised by
+# tests/test_jpeg_codec.py round-trips; entropy coding is asserted
+# bit-lossless there (full codec == quantization-only simulation).
+
+
+def synth_gray_blocks(doc_id: int) -> tuple[bytes, list[int]]:
+    """16x16 gray RGB image of four flat 8x8 blocks; block b's level
+    is (doc_id*31 + b*17) % 256 — same deterministic-from-doc_id
+    convention as synth_ppm."""
+    vals = [(doc_id * 31 + b * 17) % 256 for b in range(4)]
+    px = bytearray()
+    for y in range(16):
+        for x in range(16):
+            v = vals[(y // 8) * 2 + (x // 8)]
+            px += bytes((v, v, v))
+    return bytes(px), vals
+
+
+def _jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from basis_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    for pdf in batches:
+        out = {"doc_id": [], "block_id": [], "v_in": [], "v_out": []}
+        for doc_id in pdf["doc_id"]:
+            px, vals = synth_gray_blocks(int(doc_id))
+            w, h, rgb = decode_jpeg(make_jpeg(16, 16, px))
+            assert (w, h) == (16, 16)
+            for b in range(4):
+                y0, x0 = (b // 2) * 8, (b % 2) * 8
+                # all 64 pixels of a flat block decode identically;
+                # read the R channel of the block's top-left pixel
+                v_out = rgb[(y0 * 16 + x0) * 3]
+                out["doc_id"].append(doc_id)
+                out["block_id"].append(b)
+                out["v_in"].append(vals[b])
+                out["v_out"].append(int(v_out))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT d.doc_id, CAST(i.range AS BIGINT) AS block_id,
+           CAST((d.doc_id * 31 + i.range * 17) % 256 AS BIGINT) AS v_in,
+           CAST(LEAST(255, 2 * floor(
+               (((d.doc_id * 31 + i.range * 17) % 256) - 127) / 2.0
+           ) + 128) AS BIGINT) AS v_out
+    FROM documents d, range(4) i
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL lossy JPEG decode path, zero codec libraries: per doc,
+    # encode the 4-flat-block gray fixture to a genuine baseline JPEG
+    # (DQT/SOF0/DHT/SOS markers, stuffed Huffman bitstream) and decode
+    # it back; emit one row per 8x8 block with the input level and the
+    # decoded level. The oracle's closed form (see module comment) is
+    # EXACT — lossy compression with a lossless oracle, because flat
+    # blocks quantize only in DC. Arrow-batched mapInPandas, same
+    # contract as the PNG/PPM/WAV decode keys; repartition because the
+    # fixture parquet is a single row group.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _jpeg_decode_batches,
+        schema="doc_id long, block_id long, v_in long, v_out long",
     )

@@ -488,3 +488,112 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 150000, "hi": 400000, "status": "F"},
     )
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle="""
+    WITH blocks AS (
+        SELECT d.doc_id, d.lang, i.range AS b,
+               CAST(LEAST(255, 2 * floor(
+                   (((d.doc_id * 31 + i.range * 17) % 256) - 127) / 2.0
+               ) + 128) AS BIGINT) AS v_out
+        FROM documents d, range(4) i),
+    stats AS (
+        SELECT doc_id, lang,
+               avg(CAST(v_out AS DOUBLE)) AS mean_luma,
+               max(v_out) - min(v_out) AS contrast,
+               string_agg(CAST(v_out AS VARCHAR), '-' ORDER BY b) AS fp
+        FROM blocks GROUP BY doc_id, lang),
+    kept AS (
+        SELECT * FROM stats WHERE mean_luma >= 48 AND mean_luma <= 208),
+    dedup AS (
+        SELECT * FROM (
+            SELECT kept.*, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept) t
+        WHERE rn = 1)
+    SELECT doc_id, lang, round(mean_luma, 6) AS mean_luma,
+           CAST(contrast AS BIGINT) AS contrast
+    FROM dedup
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation over the REAL JPEG codec — the
+    image twin of pipeline_corpus_curation:
+
+        documents ──> decode   (encode per-doc fixture to baseline
+                                JPEG, decode it back, per-image
+                                brightness / contrast / perceptual
+                                fingerprint — Arrow-batched mapInPandas)
+                  ──> exposure (drop too-dark / too-blown images by
+                                mean luma band)
+                  ──> dedup    (perceptual-fingerprint dedup, keep
+                                smallest doc_id — the phash pattern on
+                                the decoded pixels, not the bytes:
+                                recompressed copies collide)
+
+    One Graph.produce plan: the exposure filter and the dedup window
+    sit ON TOP of the decode node without materializing between
+    stages. Because the fixtures are flat-block JPEGs, every decoded
+    statistic has an exact integer closed form, so this LOSSY pipeline
+    still carries a strict DuckDB oracle end-to-end. At 100 TB decode
+    is per-payload parallel (no shuffle); the only shuffle is the
+    fingerprint dedup — identical to dedup_exact's single-shuffle
+    contract."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from basis_spark.operators.jpeg import decode_jpeg, make_jpeg
+    from basis_spark.operators.multimodal import synth_gray_blocks
+
+    def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "mean_luma": [], "contrast": [], "fp": []}
+            for doc_id in pdf["doc_id"]:
+                px, _ = synth_gray_blocks(int(doc_id))
+                w, h, rgb = decode_jpeg(make_jpeg(16, 16, px))
+                vs = [rgb[((b // 2) * 8 * 16 + (b % 2) * 8) * 3] for b in range(4)]
+                out["doc_id"].append(doc_id)
+                out["mean_luma"].append(sum(rgb) / len(rgb))
+                out["contrast"].append(max(vs) - min(vs))
+                out["fp"].append("-".join(str(v) for v in vs))
+            yield pd.DataFrame(out)
+
+    g = Graph(spark)
+    g.source("documents", load(spark, sf_dir, "documents"))
+
+    @g.node("decode", inputs=["documents"])
+    def decode(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select("doc_id")
+            .repartition(32, "doc_id")
+            .mapInPandas(
+                _decode_stats,
+                schema="doc_id long, mean_luma double, contrast long, fp string",
+            )
+        )
+
+    @g.node("exposure", inputs=["decode"])
+    def exposure(imgs: DataFrame) -> DataFrame:
+        return imgs.filter(
+            (F.col("mean_luma") >= 48) & (F.col("mean_luma") <= 208)
+        )
+
+    @g.node("dedup", inputs=["exposure", "documents"])
+    def dedup(imgs: DataFrame, docs: DataFrame) -> DataFrame:
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            imgs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                F.round("mean_luma", 6).alias("mean_luma"),
+                "contrast",
+            )
+        )
+
+    return g.produce("dedup")

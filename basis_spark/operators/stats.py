@@ -163,3 +163,143 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 4).alias("u_a"),
         F.round(F.col("ta") * F.col("tb") - u_a, 4).alias("u_b"),
     )
+
+
+@register(
+    "stat_anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               avg(value) AS m, var_samp(value) AS s2
+        FROM events GROUP BY 1),
+    t AS (
+        SELECT sum(n) AS n_total, count(*) AS k,
+               sum(n * m) / sum(n) AS grand_mean
+        FROM g)
+    SELECT CAST(t.k AS BIGINT) AS k_groups,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           round(sum(g.n * (g.m - t.grand_mean) * (g.m - t.grand_mean)), 4)
+               AS ss_between,
+           round(sum((g.n - 1) * g.s2), 4) AS ss_within,
+           round((sum(g.n * (g.m - t.grand_mean) * (g.m - t.grand_mean))
+                      / (t.k - 1))
+                 / (sum((g.n - 1) * g.s2) / (t.n_total - t.k)), 6) AS f_stat
+    FROM g CROSS JOIN t
+    GROUP BY t.k, t.n_total, t.grand_mean
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic: does mean(value) differ across the
+    k event-type populations? The decomposition SS_total = SS_between
+    + SS_within needs only per-group (n, mean, var) — ONE hash
+    aggregation over the data, k rows out — then a 1-row combine
+    against the grand mean (declared single-partition; k is
+    group-cardinality, never data-sized). This is the
+    sufficient-statistics shape every moment-based test reduces to at
+    100 TB: the data is touched exactly once, map-side partials
+    combine associatively, and the F ratio is arithmetic on a k-row
+    table. ss_* rounded to 4 (they are ~1e6-scale sums whose float
+    association order differs across engines at the 1e-9 relative
+    level the sweep's 6-decimal rounding would surface)."""
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("s2"),
+        )
+    )
+    t = g.agg(
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand_mean"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    dm = F.col("m") - F.col("grand_mean")
+    ssb = F.sum(F.col("n") * dm * dm)
+    ssw = F.sum((F.col("n") - 1) * F.col("s2"))
+    return j.groupBy("k", "n_total", "grand_mean").agg(
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.first("k") - 1))
+            / (ssw / (F.first("n_total") - F.first("k"))),
+            6,
+        ).alias("f_stat"),
+    ).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        "ss_between",
+        "ss_within",
+        "f_stat",
+    )
+
+
+@register(
+    "stat_ttest_welch",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               avg(value) AS m, var_samp(value) AS s2
+        FROM events WHERE event_type IN ('{GROUP_A}', '{GROUP_B}')
+        GROUP BY 1),
+    w AS (
+        SELECT
+            max(CASE WHEN event_type = '{GROUP_A}' THEN n END) AS na,
+            max(CASE WHEN event_type = '{GROUP_B}' THEN n END) AS nb,
+            max(CASE WHEN event_type = '{GROUP_A}' THEN m END) AS ma,
+            max(CASE WHEN event_type = '{GROUP_B}' THEN m END) AS mb,
+            max(CASE WHEN event_type = '{GROUP_A}' THEN s2 END) / 
+                max(CASE WHEN event_type = '{GROUP_A}' THEN n END) AS va,
+            max(CASE WHEN event_type = '{GROUP_B}' THEN s2 END) /
+                max(CASE WHEN event_type = '{GROUP_B}' THEN n END) AS vb
+        FROM g)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma - mb, 6) AS mean_diff,
+           round((ma - mb) / sqrt(va + vb), 6) AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (na - 1) + vb * vb / (nb - 1)), 4) AS df_welch
+    FROM w
+    """,
+)
+def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the click and purchase
+    value populations — the two-sample mean test that does NOT assume
+    pooled variance, with the Welch–Satterthwaite degrees of freedom.
+    Same sufficient-statistics contract as stat_anova_oneway: one hash
+    aggregation (2 rows out), then pure arithmetic in a 1-row combine.
+    df rounded to 4, means/t to 6 (engine-order float association)."""
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(GROUP_A, GROUP_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("s2"),
+        )
+    )
+    pick = lambda col, grp: F.max(F.when(F.col("event_type") == grp, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick("n", GROUP_A).alias("na"),
+        pick("n", GROUP_B).alias("nb"),
+        pick("m", GROUP_A).alias("ma"),
+        pick("m", GROUP_B).alias("mb"),
+        (pick("s2", GROUP_A) / pick("n", GROUP_A)).alias("va"),
+        (pick("s2", GROUP_B) / pick("n", GROUP_B)).alias("vb"),
+    )
+    va, vb = F.col("va"), F.col("vb")
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(va + vb), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            (va + vb) * (va + vb)
+            / (va * va / (F.col("na") - 1) + vb * vb / (F.col("nb") - 1)),
+            4,
+        ).alias("df_welch"),
+    )

@@ -84,7 +84,7 @@ def _read_log(table_dir: str) -> list[dict]:
     log_dir = os.path.join(table_dir, "log")
     commits = []
     for name in sorted(os.listdir(log_dir)):
-        if name.endswith(".json"):
+        if name.endswith(".json") and ".checkpoint." not in name:
             with open(os.path.join(log_dir, name)) as f:
                 commits.append(json.load(f))
     return commits
@@ -270,4 +270,198 @@ def table_log_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         inserts = orders.filter(F.col("o_orderstatus") == "P").select(*_COLS)
         _merge_cow(spark, table_dir, updates.unionByName(inserts),
                    "o_orderkey", version=2)
+    return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+
+
+# ---------------------------------------------------------------- r5 ----
+# Completing the table-format family: log checkpointing (replay stays
+# O(1) as commits accumulate), schema evolution (add-column without
+# rewriting old objects), and vacuum (physical deletion of objects no
+# retained version references). Together with snapshot / time travel /
+# history / COW-merge above, this is the full life cycle a lakehouse
+# table goes through.
+
+
+def _write_checkpoint(table_dir: str, version: int) -> None:
+    """Fold every commit <= version into one manifest: the live-object
+    list AT that version, written atomically next to the commits it
+    folds. Replay afterwards is O(#commits SINCE the checkpoint), the
+    property that keeps a 10^6-commit table's metadata read O(1). The
+    manifest name sorts with the commits ('NNNNNNNN.checkpoint.json')
+    but _read_log skips it, so plain full replay still works — a
+    checkpoint is an optimization, never a source of truth."""
+    live = _live_objects(table_dir, as_of=version)
+    rel = [os.path.relpath(p, table_dir) for p in live]
+    final = os.path.join(
+        table_dir, "log", f"{version:08d}.checkpoint.json"
+    )
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "live": rel}, f)
+    os.replace(tmp, final)
+
+
+def _live_objects_ckpt(
+    table_dir: str, as_of: int | None = None
+) -> tuple[list[str], int]:
+    """Checkpoint-aware replay: seed the live set from the newest
+    manifest <= as_of, then apply only the commits after it. Returns
+    (live paths, #commits replayed) — the count is what the tests pin
+    to prove pre-checkpoint commits were genuinely skipped."""
+    log_dir = os.path.join(table_dir, "log")
+    ckpt_version, live = -1, []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".checkpoint.json"):
+            v = int(name.split(".")[0])
+            if as_of is None or v <= as_of:
+                ckpt_version = v
+    if ckpt_version >= 0:
+        with open(
+            os.path.join(log_dir, f"{ckpt_version:08d}.checkpoint.json")
+        ) as f:
+            live = list(json.load(f)["live"])
+    replayed = 0
+    for rec in _read_log(table_dir):
+        if rec["version"] <= ckpt_version:
+            continue
+        if as_of is not None and rec["version"] > as_of:
+            break
+        replayed += 1
+        for a in rec["actions"]:
+            if a["op"] == "add":
+                live.append(a["path"])
+            elif a["op"] == "remove":
+                live.remove(a["path"])
+            else:
+                raise ValueError(f"unknown log action {a['op']!r}")
+    return [os.path.join(table_dir, p) for p in live], replayed
+
+
+@register(
+    "table_log_checkpoint",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def table_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Checkpointed read: fold v0+v1 into a manifest, land one more
+    # commit (v2 appends the 'P'-status orders as a new object), then
+    # read latest THROUGH the checkpoint path — replay must seed from
+    # the manifest and apply exactly one commit. The oracle recomputes
+    # the v2 snapshot from the orders fixture, so a checkpoint that
+    # froze the wrong live set (e.g. included the removed p1) or a
+    # replay that skipped v2 is a value/row mismatch.
+    table_dir = _build_table(spark, sf_dir, subdir="txn_log_ckpt")
+    if not os.path.exists(os.path.join(table_dir, "log", "00000002.json")):
+        _write_checkpoint(table_dir, 1)
+        inserts = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select(*_COLS)
+        )
+        inserts.write.mode("overwrite").parquet(
+            os.path.join(table_dir, "files", "p3")
+        )
+        _commit(table_dir, 2, [{"op": "add", "path": "files/p3"}])
+    live, replayed = _live_objects_ckpt(table_dir)
+    assert replayed == 1, f"checkpoint not used: replayed {replayed} commits"
+    return spark.read.parquet(*live).select(*_COLS)
+
+
+@register(
+    "table_log_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def table_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Add-column evolution without rewriting a byte of the old
+    # objects: v2 lands the 'P'-status orders WITH o_orderpriority;
+    # the read merges footers (mergeSchema) so pre-evolution rows
+    # surface NULL for the new column. At 100 TB this is the only
+    # affordable widening — the alternative (rewrite every object to
+    # the new schema) is a full-table write. Production formats pin
+    # the merged schema in the log metadata instead of re-inferring
+    # per read; the contract (old objects never rewritten, old rows
+    # NULL-filled) is identical.
+    table_dir = _build_table(spark, sf_dir, subdir="txn_log_schema")
+    if not os.path.exists(os.path.join(table_dir, "log", "00000002.json")):
+        wide = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select(*_COLS, "o_orderpriority")
+        )
+        wide.write.mode("overwrite").parquet(
+            os.path.join(table_dir, "files", "s2")
+        )
+        _commit(table_dir, 2, [{"op": "add", "path": "files/s2"}])
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*_live_objects(table_dir))
+        .select(*_COLS, "o_orderpriority")
+    )
+
+
+def _vacuum(table_dir: str, retain_from_version: int) -> list[str]:
+    """Physically delete every data object not referenced by ANY
+    version >= retain_from_version. The referenced set is the union of
+    live sets over the retained versions (metadata-scale work: replay
+    per retained version over KB-sized JSON); deletion is storage-side.
+    Time travel to versions before the floor breaks BY DESIGN — that
+    is the retention trade every production format makes. Idempotent:
+    a second vacuum finds nothing unreferenced."""
+    import shutil
+
+    versions = [rec["version"] for rec in _read_log(table_dir)]
+    referenced: set[str] = set()
+    for v in versions:
+        if v >= retain_from_version:
+            referenced.update(_live_objects(table_dir, as_of=v))
+    files_dir = os.path.join(table_dir, "files")
+    deleted = []
+    for name in sorted(os.listdir(files_dir)):
+        p = os.path.join(files_dir, name)
+        if p not in referenced:
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(name)
+    return deleted
+
+
+@register(
+    "table_log_vacuum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    """,
+)
+def table_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vacuum with retention floor v1: the pre-update object p1 is
+    # referenced only by v0's snapshot, so it is the one object
+    # physically deleted; the latest snapshot must come back
+    # BYTE-IDENTICAL after the delete (the oracle recomputes it from
+    # orders — a vacuum that deleted a still-live object is a hard
+    # read failure, one that deleted nothing leaves the invariant
+    # checked by the companion pytest). Runs on its own table copy so
+    # the time-travel key's v0 stays readable.
+    table_dir = _build_table(spark, sf_dir, subdir="txn_log_vacuum")
+    _vacuum(table_dir, retain_from_version=1)
     return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)

@@ -89,3 +89,84 @@ def test_hub_graph_counts_and_bounded_fanout(spark):
     }
     assert 0 not in fan, "hub must emit no wedges under degree ordering"
     assert max(fan.values()) <= 3, f"fan-out should be leaf-sized, got {max(fan.values())}"
+
+
+def test_kcore_peel_depth_within_oracle_unroll(spark):
+    """graph_kcore's DuckDB oracle unrolls a FIXED number of peeling
+    rounds; that is sound only while the Spark fixpoint converges
+    within the unroll. Pin the actual depth at the oracle SF with
+    headroom, so a fixture change that deepens the peel fails HERE
+    with a message, not as an opaque value mismatch in the sweep."""
+    from basis_spark.operators.joins import (
+        _KCORE_K,
+        _KCORE_ORACLE_ROUNDS,
+        proximity_edges,
+    )
+    from tests.conftest import SF_ORACLE
+
+    cur = proximity_edges(spark, SF_ORACLE)
+    n_edges = cur.count()
+    rounds = 0
+    while n_edges:
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        rounds += 1
+        cur, n_edges = nxt, n_next
+    assert rounds + 2 <= _KCORE_ORACLE_ROUNDS, (
+        f"peel depth {rounds} leaves <2 rounds of headroom under the "
+        f"{_KCORE_ORACLE_ROUNDS}-round oracle unroll — raise the unroll"
+    )
+
+
+def test_kcore_every_survivor_has_core_degree_ge_k(spark):
+    """Definitional invariant at the fixpoint, on a synthetic graph
+    with a known answer: a 5-clique with a pendant path attached. The
+    3-core is exactly the clique; path nodes peel off."""
+    from basis_spark.operators import joins as J
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + path, "u: long, v: long")
+    cur, n_edges = e, e.count()
+    for _ in range(32):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= J._KCORE_K).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    got = {
+        r["node"]: r["c"]
+        for r in cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(c >= J._KCORE_K for c in got.values())

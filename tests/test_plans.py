@@ -343,6 +343,9 @@ _SINGLE_PARTITION_OK = {
     "ts_seasonality_strength",  # decompose spine (calendar-bounded) + 1-row variance combine
     "privacy_k_anonymity",     # 1-row report combine over the QI-class table
     "privacy_l_diversity",     # same 1-row report combine shape
+    "privacy_t_closeness",     # |bands|-row m/n scalars + 1-row report combine
+    "stat_anova_oneway",       # k-row sufficient-stats table -> 1-row combine
+    "stat_ttest_welch",        # 2-row sufficient-stats table -> 1-row combine
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 

@@ -75,3 +75,51 @@ def test_merge_cow_leaves_unmatched_objects_untouched(spark):
     assert "m2_0" in names and "m2_ins" in names
     versions = [rec["version"] for rec in table_log._read_log(table_dir)]
     assert versions == [0, 1, 2]
+
+
+def test_checkpoint_replay_skips_folded_commits(spark):
+    """Replay through a checkpoint must seed from the manifest and
+    apply ONLY the commits after it — and agree exactly with full
+    replay. Full replay must still work (a checkpoint is never the
+    source of truth)."""
+    table_log.table_log_checkpoint(spark, SF_ORACLE).count()  # builds all
+    table_dir = table_log._sf_scratch(spark, "txn_log_ckpt", SF_ORACLE)
+    live_full = table_log._live_objects(table_dir)
+    live_ckpt, replayed = table_log._live_objects_ckpt(table_dir)
+    assert sorted(live_full) == sorted(live_ckpt)
+    assert replayed == 1  # v2 only; v0+v1 folded into the manifest
+    # as-of BEFORE the checkpoint: manifest at v1 is ineligible, full
+    # replay of v0 must kick in (checkpoint-aware read of history)
+    v0_live, v0_replayed = table_log._live_objects_ckpt(table_dir, as_of=0)
+    assert [os.path.basename(p) for p in v0_live] == ["p0", "p1"]
+    assert v0_replayed == 1  # v0 itself
+
+
+def test_schema_evolution_never_rewrites_old_objects(spark):
+    """Add-column evolution: pre-evolution objects keep their original
+    footprint (no rewrite), post-evolution rows carry the column, old
+    rows surface NULL."""
+    df = table_log.table_log_schema_evolution(spark, SF_ORACLE)
+    table_dir = table_log._sf_scratch(spark, "txn_log_schema", SF_ORACLE)
+    names = [os.path.basename(p) for p in table_log._live_objects(table_dir)]
+    assert set(names) == {"p0", "p2", "s2"}
+    rows = df.collect()
+    old = [r for r in rows if r["o_orderpriority"] is None]
+    new = [r for r in rows if r["o_orderpriority"] is not None]
+    assert old and new, "both generations must be present"
+
+
+def test_vacuum_deletes_only_unreferenced_and_is_idempotent(spark):
+    """Vacuum with floor v1 must delete exactly p1 (referenced only by
+    v0), leave the latest snapshot intact, and find nothing more on a
+    second pass. Time travel past the floor must now fail — the
+    documented retention trade."""
+    table_log.table_log_vacuum(spark, SF_ORACLE).count()
+    table_dir = table_log._sf_scratch(spark, "txn_log_vacuum", SF_ORACLE)
+    files = sorted(os.listdir(os.path.join(table_dir, "files")))
+    assert files == ["p0", "p2"], files
+    assert table_log._vacuum(table_dir, retain_from_version=1) == []
+    with pytest.raises(Exception):  # v0 references the deleted p1
+        spark.read.parquet(
+            *table_log._live_objects(table_dir, as_of=0)
+        ).count()
