@@ -2847,3 +2847,107 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "classes_above_t"
         ),
     )
+
+
+def _holt_winters_groups(pdf):
+    """Holt-Winters additive recursion (m=7) over one ordered series.
+    Coefficients are exact binary fractions (alpha=0.25, beta=0.5,
+    gamma=0.5) and the seed level is a strict LEFT FOLD of the first 7
+    integer-valued counts divided by 7 — the same associativity the
+    oracle's list_reduce uses — so both engines walk bit-identical
+    doubles through the whole recursion (ts_holt_linear's discipline,
+    extended to the seasonal state vector)."""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    if len(pdf) < 8:
+        return pdf.iloc[0:0].assign(level=0.0, trend=0.0, fitted=0.0)[
+            ["event_type", "d", "y", "level", "trend", "fitted"]
+        ]
+    y = [float(v) for v in pdf["y"]]
+    acc = 0.0
+    for v in y[:7]:
+        acc = acc + v  # strict left fold == DuckDB list_reduce
+    lvl = acc / 7.0
+    trend = 0.0
+    seasons = [v - lvl for v in y[:7]]
+    rows = []
+    for i in range(7, len(y)):
+        s0 = seasons.pop(0)
+        fitted = lvl + trend + s0
+        new_lvl = 0.25 * (y[i] - s0) + 0.75 * (lvl + trend)
+        trend = 0.5 * (new_lvl - lvl) + 0.5 * trend
+        seasons.append(0.5 * (y[i] - new_lvl) + 0.5 * s0)
+        lvl = new_lvl
+        rows.append((pdf["event_type"].iloc[0], pdf["d"].iloc[i], y[i], lvl, trend, fitted))
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["event_type", "d", "y", "level", "trend", "fitted"]
+    )
+
+
+_HW_NL = "(0.25 * (s.y - h.seasons[1]) + 0.75 * (h.level + h.trend))"
+
+@register(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT event_type, d, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily),
+    seed AS (
+        SELECT event_type,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(y ORDER BY rn)), (a, b) -> a + b) / 7.0 AS lvl0,
+               list(y ORDER BY rn) AS ys
+        FROM seq WHERE rn <= 7 GROUP BY event_type
+        HAVING count(*) = 7),
+    init AS (
+        SELECT event_type, 7 AS rn, lvl0 AS level, CAST(0 AS DOUBLE) AS trend,
+               list_transform(ys, v -> v - lvl0) AS seasons,
+               CAST(NULL AS TIMESTAMP) AS d, CAST(NULL AS DOUBLE) AS y,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM seed),
+    hw AS (
+        SELECT event_type, rn, level, trend, seasons, d, y, fitted FROM init
+        UNION ALL
+        SELECT s.event_type, s.rn,
+               {_HW_NL},
+               0.5 * ({_HW_NL} - h.level) + 0.5 * h.trend,
+               h.seasons[2:] || [0.5 * (s.y - {_HW_NL}) + 0.5 * h.seasons[1]],
+               CAST(s.d AS TIMESTAMP), s.y,
+               h.level + h.trend + h.seasons[1]
+        FROM hw h JOIN seq s
+          ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+    SELECT event_type, d, y, level, trend, fitted
+    FROM hw WHERE rn > 7
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (level + trend + 7-day
+    season) per event-type series — the top rung of the smoothing
+    ladder (win_ewma: level; ts_holt_linear: level+trend; here the
+    weekly cycle joins the state). State per series is (level, trend,
+    7-float season ring); the recursion is inherently sequential per
+    key, so it runs as ONE ordered applyInPandas pass per series —
+    millions of independent calendar-bounded series distribute across
+    executors, identical contract to ts_holt_linear. Series shorter
+    than m+1 = 8 days emit nothing (can't seed a season). The DuckDB
+    oracle replays the recursion as a recursive CTE carrying the
+    season ring as a LIST column (slice + append per step) —
+    expression-for-expression identical, dyadic coefficients, left-fold
+    seed, so both engines produce bit-identical doubles and the
+    comparison needs no tolerance."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _holt_winters_groups,
+        schema="event_type string, d timestamp, y double,"
+        " level double, trend double, fitted double",
+    )

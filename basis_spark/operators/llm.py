@@ -2768,3 +2768,79 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(terms, 6).alias(f"p{j}")
 
     return emb.select("vec_id", *[proj(j) for j in range(_RP_OUT_DIMS)])
+
+
+@register(
+    "text_dedup_paragraph",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+    ix AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS pos
+        FROM t),
+    p AS (
+        SELECT doc_id, pos,
+               array_to_string(toks[(pos*10+1):(pos*10+10)], ' ') AS para
+        FROM ix),
+    r AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (
+                   PARTITION BY para ORDER BY doc_id, pos) AS rn
+        FROM p)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           COALESCE(string_agg(para, ' ' ORDER BY pos)
+                        FILTER (WHERE rn = 1), '') AS text_kept
+    FROM r GROUP BY doc_id
+    """,
+)
+def text_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph-level deduplication WITH reassembly: split
+    each doc into fixed 10-token paragraphs, keep only the globally
+    FIRST occurrence of each paragraph (ordered by doc_id, pos), and
+    rebuild every doc's surviving text in original order — the
+    Raffel et al. (C4) span-removal step, where text_span_dup_mass
+    only MEASURES the duplicated mass, this removes it. Fixture has
+    ~5% duplicated paragraphs, so reassembly genuinely differs from
+    identity.
+
+    Scale shape: tokenize once map-side, ONE shuffle keyed on
+    paragraph content for the global keep-first window (dedup_exact's
+    contract at paragraph granularity — finer keys, better balance),
+    one shuffle back on doc_id for ordered reassembly. Nothing is
+    quadratic; the paragraph relation is ~n_tokens/10 rows of 10-token
+    strings. At 100 TB you'd hash the paragraph to 16 bytes for the
+    shuffle key and carry text only on the winner — same plan, thinner
+    rows."""
+    toks = F.split("text", " ")
+    paras = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(size(split(text, ' ')) / 10.0)) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i*10 + 1, 10), ' '))"
+                )
+            ).alias("pos", "para"),
+        )
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    r = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "para"))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["para"]
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

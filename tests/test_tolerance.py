@@ -175,15 +175,23 @@ def test_png_codec_roundtrip():
 
 
 def test_decode_image_dispatch():
-    """decode_image routes PPM and PNG to the real codecs and raises
-    honestly for formats the container cannot decode (JPEG)."""
+    """decode_image routes PPM, PNG, and JPEG to the real codecs; a
+    malformed payload under a known magic fails INSIDE the codec
+    (ValueError), and unknown magic raises NotImplementedError."""
     px = bytes(range(192))
     assert multimodal.decode_image(multimodal.make_ppm(8, 8, px)) == (8, 8, px)
     assert multimodal.decode_image(multimodal.make_png(8, 8, px)) == (8, 8, px)
+    from basis_spark.operators.jpeg import make_jpeg
+
+    flat = bytes([200]) * 192
+    w, h, rgb = multimodal.decode_image(make_jpeg(8, 8, flat))
+    assert (w, h, len(rgb)) == (8, 8, 192)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="JPEG"):
+    with _pytest.raises(ValueError):  # JPEG magic, garbage body
         multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with _pytest.raises(NotImplementedError, match="magic"):
+        multimodal.decode_image(b"GIF89a not supported")
 
 
 def test_multimodal_real_decode_branch():
