@@ -597,3 +597,164 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return g.produce("dedup")
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(round(sum(o_totalprice), 2) / 1000.0, 4) AS revenue_k,
+           round(round(round(sum(o_totalprice), 2) / 1000.0, 4) * 0.1, 4)
+               AS commission_k
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+/SQL:2023 flavor): a SELECT
+    item referencing an alias defined EARLIER IN THE SAME LIST —
+    revenue_k is built from revenue, commission_k from revenue_k —
+    instead of nesting three subqueries or repeating the aggregate
+    expression. Pure parser/analyzer surface: Catalyst inlines the
+    chain, so the physical plan is identical to the hand-expanded
+    form (one hash aggregate; no extra projection stages). The oracle
+    hand-expands the chain, proving the inlining is semantics-
+    preserving."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    view = f"lca_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(revenue / 1000.0, 4) AS revenue_k,
+               round(revenue_k * 0.1, 4) AS commission_k
+        FROM {view} GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+; DuckDB pioneered the syntax, so the
+    oracle uses it NATIVELY — both engines must infer the same
+    grouping set, the non-aggregate SELECT items). Analyzer-level
+    surface with zero physical cost; the value is contract parity
+    with the reference's query layer, where analysts write the DuckDB
+    idiom and expect identical inference."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    view = f"gba_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM {view}
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_identifier_binding",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sql_identifier_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) binding (Spark 3.5+): dynamic table/column
+    NAMES routed through the parser as identifiers, not string-spliced
+    SQL — the injection-safe completion of the SQL-node trio
+    (sql_template_node: trusted templates; sql_parameterized_query:
+    typed VALUE binding; here: identifier binding, where a hostile
+    name like 'customer; DROP TABLE x' fails to parse as an identifier
+    instead of executing). Both the table and the grouping column are
+    bound."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    view = f"idb_customer_{tag}"
+    load(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp),
+               count(*) AS n,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": view, "grp": "c_mktsegment"},
+    )
+
+
+@register(
+    "reshape_transpose",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               round(max(c_acctbal), 4) AS max_bal,
+               round(min(c_acctbal), 4) AS min_bal
+        FROM customer GROUP BY c_mktsegment)
+    SELECT 'avg_bal' AS metric,
+           round(max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN avg_bal END), 4) AS AUTOMOBILE,
+           round(max(CASE WHEN c_mktsegment = 'BUILDING' THEN avg_bal END), 4) AS BUILDING,
+           round(max(CASE WHEN c_mktsegment = 'FURNITURE' THEN avg_bal END), 4) AS FURNITURE,
+           round(max(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN avg_bal END), 4) AS HOUSEHOLD,
+           round(max(CASE WHEN c_mktsegment = 'MACHINERY' THEN avg_bal END), 4) AS MACHINERY
+    FROM s
+    UNION ALL
+    SELECT 'max_bal',
+           max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'BUILDING' THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'FURNITURE' THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'MACHINERY' THEN max_bal END)
+    FROM s
+    UNION ALL
+    SELECT 'min_bal',
+           max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'BUILDING' THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'FURNITURE' THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'MACHINERY' THEN min_bal END)
+    FROM s
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): rows<->columns over a SUMMARY
+    frame — segments become columns, metric names become rows. The
+    API collects the index column to name the output columns, so the
+    contract is metadata-scale input ONLY (here 5 rows x 4 cols from
+    a full aggregation; the data-sized work happened in the groupBy
+    before). The oracle hand-builds the transposed shape with
+    conditional aggregation — Spark's transpose must match it cell
+    for cell. For data-sized reshaping use agg_pivot_* / unpivot_stack
+    instead; this key exists because the reference's dataframe surface
+    exposes transpose and users reach for it on exactly this
+    summary-table shape."""
+    s = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        )
+    )
+    t = s.transpose()  # the real Spark-4 API: index col -> header row
+    return t.select(
+        F.col("key").alias("metric"),
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    )
