@@ -348,3 +348,89 @@ def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS total,
+                 sum(sqrt(CAST(n AS DOUBLE))) AS sq FROM c),
+    r AS (SELECT source, n,
+                 CAST(n AS DOUBLE) / total AS share,
+                 sqrt(CAST(n AS DOUBLE)) / sq AS temp_share,
+                 sqrt(CAST(n AS DOUBLE)) / sq * total / n AS rep
+          FROM c CROSS JOIN t),
+    k AS (SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE CAST(('0x' || substring(
+                    md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8))
+                    AS BIGINT) / 4294967296.0 < LEAST(r.rep, 1.0)
+          GROUP BY d.source)
+    SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+           round(r.share, 6) AS share,
+           round(r.temp_share, 6) AS temp_share,
+           round(r.rep, 6) AS rep_factor,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k USING (source)
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/UniMax recipe,
+    T = 2): target share q_s ∝ p_s^(1/T), flattening the source
+    distribution PARTIALLY — head sources downsample, tail sources
+    upsample — where corpus_mixture_balance's hard cap flattens it
+    completely. Emits the resampling plan per source (natural share,
+    temperature share, repetition factor = q_s·N/n_s) plus the
+    REALIZED keep count for the downsampled sources via the same
+    salted-content-hash rule mixture_balance uses (rep >= 1 keeps all
+    rows and records the >1 factor as training epochs — upsampling is
+    repetition at read time, never materialized). Scale: one
+    source-level aggregation; the rate table is |sources|-row,
+    broadcast into a map-only filter; membership is hash-stable under
+    reruns/resharding/appends."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    rate = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        (nd / F.col("total")).alias("share"),
+        (F.sqrt(nd) / F.col("sq")).alias("temp_share"),
+        (F.sqrt(nd) / F.col("sq") * F.col("total") / F.col("n")).alias("rep"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("temp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        docs.join(F.broadcast(rate.select("source", "rep")), "source")
+        .filter(frac < F.least(F.col("rep"), F.lit(1.0)))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rate.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round("share", 6).alias("share"),
+            F.round("temp_share", 6).alias("temp_share"),
+            F.round("rep", 6).alias("rep_factor"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -347,6 +347,7 @@ _SINGLE_PARTITION_OK = {
     "stat_anova_oneway",       # k-row sufficient-stats table -> 1-row combine
     "stat_ttest_welch",        # 2-row sufficient-stats table -> 1-row combine
     "source_csv_multiline",    # 300-row unsplittable-file read + 1-row report combine
+    "corpus_temperature_mixture",  # |sources|-row rate table + 1-row total combine
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 
