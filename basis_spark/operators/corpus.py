@@ -434,3 +434,185 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "eval_retrieval_ndcg_at_k",
+    oracle=f"""
+    WITH d AS (
+      SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+             e.vec_id AS vec_id,
+             CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS rel,
+             round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY cos DESC, vec_id) AS rn,
+                 row_number() OVER (PARTITION BY q_vec_id
+                                    ORDER BY rel DESC, cos DESC, vec_id)
+                     AS ideal_rn
+          FROM d),
+    dcg AS (SELECT q_vec_id, q_label,
+                   sum(CASE WHEN rn <= {EVAL_K}
+                            THEN rel / (ln(rn + 1) / ln(2)) ELSE 0 END)
+                       AS dcg,
+                   sum(CASE WHEN ideal_rn <= {EVAL_K}
+                            THEN rel / (ln(ideal_rn + 1) / ln(2)) ELSE 0 END)
+                       AS idcg
+            FROM r GROUP BY 1, 2)
+    SELECT q_vec_id, q_label,
+           round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
+               AS ndcg_at_{EVAL_K}
+    FROM dcg
+    """,
+)
+def eval_retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k over the same bounded query set as precision@k — the
+    rank-POSITION-aware retrieval metric (a relevant hit at rank 1 is
+    worth more than at rank 10), which is what actually moves when a
+    re-ranker or embedding change shuffles the top of the list without
+    changing set membership. Ideal ranking (IDCG) is computed from the
+    same scored relation with a relevance-first window, so the metric
+    is self-normalizing per query; IDCG = 0 (no relevant docs at all)
+    defines NDCG = 0. Same scale contract as precision@k: broadcast
+    query set, map-side scoring, two per-query windows over k-bounded
+    rows — log2 discounts are ln(x)/ln(2) on BOTH engines so the
+    doubles agree bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id")).select(
+        "q_vec_id",
+        "q_label",
+        "vec_id",
+        F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+        F.round(dot, 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    wi = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("rel"), F.desc("cos"), F.asc("vec_id")
+    )
+    log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))  # noqa: E731
+    r = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "ideal_rn", F.row_number().over(wi)
+    )
+    dcg = F.sum(
+        F.when(F.col("rn") <= EVAL_K, F.col("rel") / log2(F.col("rn") + 1)).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ideal_rn") <= EVAL_K,
+            F.col("rel") / log2(F.col("ideal_rn") + 1),
+        ).otherwise(0.0)
+    )
+    return r.groupBy("q_vec_id", "q_label").agg(
+        F.round(
+            F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), 6
+        ).alias(f"ndcg_at_{EVAL_K}")
+    )
+
+
+@register(
+    "similarity_rank_fusion_rrf",
+    oracle="""
+    WITH d AS (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+      FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+      WHERE e.vec_id <> 0),
+    ca AS (SELECT vec_id, label,
+                  row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_cos
+           FROM d ORDER BY cos DESC, vec_id LIMIT 60),
+    rb AS (SELECT vec_id, label,
+                  row_number() OVER (ORDER BY vec_id DESC) AS rank_recency
+           FROM d ORDER BY vec_id DESC LIMIT 60),
+    f AS (SELECT COALESCE(ca.vec_id, rb.vec_id) AS vec_id,
+                 COALESCE(ca.label, rb.label) AS label,
+                 ca.rank_cos, rb.rank_recency,
+                 round(COALESCE(1.0 / (60 + ca.rank_cos), 0)
+                       + COALESCE(1.0 / (60 + rb.rank_recency), 0), 6) AS rrf
+          FROM ca FULL JOIN rb ON ca.vec_id = rb.vec_id)
+    SELECT vec_id, label,
+           CAST(rank_cos AS BIGINT) AS rank_cos,
+           CAST(rank_recency AS BIGINT) AS rank_recency, rrf
+    FROM f
+    ORDER BY rrf DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval signals for one
+    query — cosine similarity and recency (vec_id as ingest order) —
+    the standard way hybrid search merges rankers WITHOUT score
+    calibration: only ranks enter, so a cosine in [0,1] and a BM25 in
+    [0,40] fuse with no normalization, and items missing from a
+    ranker's TRUNCATED list contribute nothing (production RRF fuses
+    top-k lists, not full rankings). Scale shape: each ranker is a
+    TakeOrderedAndProject top-60 over the candidate relation (never a
+    data-sized global sort); the rank window then runs on the 60-row
+    truncated list (a bounded single-partition exchange, declared in
+    the ratchet), and fusion is a 60x60 full outer join + top-10
+    TakeOrdered. Ranks on 6dp-rounded scores, ties on vec_id —
+    engine-stable ordering throughout."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    d = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", F.round(dot, 6).alias("cos"))
+    )
+    ca = (
+        d.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(60)
+        .withColumn(
+            "rank_cos",
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))),
+        )
+        .select("vec_id", "label", "rank_cos")
+    )
+    rb = (
+        d.orderBy(F.desc("vec_id"))
+        .limit(60)
+        .withColumn(
+            "rank_recency", F.row_number().over(Window.orderBy(F.desc("vec_id")))
+        )
+        .select(
+            F.col("vec_id").alias("r_vec_id"),
+            F.col("label").alias("r_label"),
+            "rank_recency",
+        )
+    )
+    f = ca.join(rb, ca.vec_id == rb.r_vec_id, "full_outer").select(
+        F.coalesce("vec_id", "r_vec_id").alias("vec_id"),
+        F.coalesce("label", "r_label").alias("label"),
+        "rank_cos",
+        "rank_recency",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_cos")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_recency")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        f.select(
+            "vec_id",
+            "label",
+            F.col("rank_cos").cast("long").alias("rank_cos"),
+            F.col("rank_recency").cast("long").alias("rank_recency"),
+            "rrf",
+        )
+        .orderBy(F.desc("rrf"), F.asc("vec_id"))
+        .limit(10)
+    )
