@@ -2951,3 +2951,133 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, d timestamp, y double,"
         " level double, trend double, fitted double",
     )
+
+
+@register(
+    "ts_hampel_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1),
+    med AS (
+        SELECT day, rev,
+               quantile_cont(rev, 0.5) OVER w AS med
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dev AS (
+        SELECT day, rev, med, abs(rev - med) AS d FROM med),
+    mad AS (
+        SELECT day, rev, med, d,
+               quantile_cont(d, 0.5) OVER w AS mad
+        FROM dev
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+    SELECT day, rev, round(med, 4) AS med, round(mad, 4) AS mad,
+           CAST(CASE WHEN d > 3 * 1.4826 * mad THEN 1 ELSE 0 END AS BIGINT)
+               AS is_outlier
+    FROM mad
+    """,
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily-revenue series: flag points whose
+    deviation from the CENTERED rolling median exceeds 3 x 1.4826 x
+    rolling MAD — the robust outlier detector that, unlike
+    event_anomaly_zscore's mean/stddev, is immune to the outliers it
+    hunts (a single spike inflates a stddev but barely moves a
+    median). Practical MAD variant: each point's own |x - med| first,
+    then the rolling median of those deviations — two chained centered
+    windows, both rank-based. Scale: windows partition per series at
+    100 TB (here one calendar-bounded series); exact medians over
+    7-row frames are O(frame log frame) per point, no shuffle beyond
+    the series key. Revenue is rounded BEFORE the windows so both
+    engines rank identical doubles; the interpolated-median formulas
+    (Spark percentile / DuckDB quantile_cont) match on any frame
+    size."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    med = daily.withColumn("med", F.expr("percentile(rev, 0.5)").over(w))
+    dev = med.withColumn("d", F.abs(F.col("rev") - F.col("med")))
+    mad = dev.withColumn("mad", F.expr("percentile(d, 0.5)").over(w))
+    return mad.select(
+        "day",
+        "rev",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_outlier"),
+    )
+
+
+@register(
+    "dq_outlier_iqr_report",
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer GROUP BY 1),
+    f AS (
+        SELECT c_mktsegment, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM q)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(f.q1, 4) AS q1, round(f.q3, 4) AS q3,
+           CAST(sum(CASE WHEN c.c_acctbal < f.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN c.c_acctbal > f.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above
+    FROM customer c JOIN f ON c.c_mktsegment = f.c_mktsegment
+    GROUP BY c.c_mktsegment, f.q1, f.q3
+    """,
+)
+def dq_outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per segment: exact quartiles, 1.5*IQR
+    fences, and the row counts outside them — the boxplot-rule data-
+    quality check that complements event_anomaly_zscore (parametric)
+    and ts_hampel_outliers (rolling robust) with a DISTRIBUTIONAL
+    gate. Two passes over the data: one exact-percentile aggregation
+    to a |segments|-row fence table, broadcast back into a conditional
+    count — at 100 TB swap percentile for percentile_approx in pass
+    one and the plan is unchanged (declared exact here because the
+    oracle must hash-match)."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "c_mktsegment",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        c.join(F.broadcast(f), "c_mktsegment")
+        .groupBy("c_mktsegment", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_acctbal") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_below"
+            ),
+            F.sum(F.when(F.col("c_acctbal") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_above"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_below",
+            "n_above",
+        )
+    )

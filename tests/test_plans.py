@@ -348,6 +348,7 @@ _SINGLE_PARTITION_OK = {
     "stat_ttest_welch",        # 2-row sufficient-stats table -> 1-row combine
     "source_csv_multiline",    # 300-row unsplittable-file read + 1-row report combine
     "corpus_temperature_mixture",  # |sources|-row rate table + 1-row total combine
+    "ts_hampel_outliers",      # calendar-bounded daily series (one global window)
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 
