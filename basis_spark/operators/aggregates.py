@@ -1058,3 +1058,50 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bin.y").alias("height"),
         )
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT NULL AS event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's bitmap aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the
+    deterministic counterpart of sketch_hll_distinct: same
+    sketch-once-rollup-anywhere algebra (bitmaps OR-merge exactly like
+    HLL sketches union), but zero error, at the cost of bitmap size
+    scaling with the id range instead of O(1). The right tool when ids
+    are dense integers (user_id here) and rollups must be exact —
+    billing, not telemetry.
+
+    Shape: ids split into 32k-bit buckets; per (group, bucket) one
+    bitmap_construct_agg (map-side partial like any hash agg), counts
+    sum per group; the global row OR-merges the per-type bucket
+    bitmaps BEFORE counting — double counting across types is
+    impossible by construction, which is the algebra the oracle's two
+    plain COUNT(DISTINCT)s verify."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("b"),
+        F.expr("bitmap_bit_position(user_id)").alias("p"),
+    )
+    per_bucket = ev.groupBy("event_type", "b").agg(
+        F.expr("bitmap_construct_agg(p)").alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    global_row = (
+        per_bucket.groupBy("b")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+        .select(F.lit(None).cast("string").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(global_row)

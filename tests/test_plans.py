@@ -349,6 +349,7 @@ _SINGLE_PARTITION_OK = {
     "source_csv_multiline",    # 300-row unsplittable-file read + 1-row report combine
     "corpus_temperature_mixture",  # |sources|-row rate table + 1-row total combine
     "ts_hampel_outliers",      # calendar-bounded daily series (one global window)
+    "agg_bitmap_exact_distinct",  # |buckets|-row (id_range/32k) bitmap combine for the global row
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 
