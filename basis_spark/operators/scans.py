@@ -998,3 +998,49 @@ def source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("note")).alias("total_chars"),
         F.sum("id").alias("sum_id"),
     )
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    WITH r AS (
+        SELECT i.range AS id,
+               'evt|' || CAST(i.range AS VARCHAR) || '|' ||
+               CAST(i.range * 7 % 100 AS VARCHAR) AS line
+        FROM range(400) i)
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(string_split(line, '|')[3] AS BIGINT)) AS BIGINT)
+               AS sum_metric,
+           CAST(sum(len(line)) AS BIGINT) AS total_chars
+    FROM r
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text ingestion (spark.read.text) + regexp
+    field extraction — the log-file path that predates every
+    structured format, completing the source matrix (parquet / ORC /
+    CSV / JSON / XML / Arrow / JDBC / binaryfile / Python data source
+    / text). Each line is one row with a single `value` column;
+    structure is imposed AFTER the scan with regexp_extract, so
+    malformed lines surface as nulls to quarantine rather than read
+    failures. Scale posture: text splits on newlines at byte-range
+    boundaries (unlike multiLine CSV), so a single huge log file still
+    parallelizes; compression choice (splittable bzip2/zstd-seekable
+    vs unsplittable gzip) is the real 100 TB lever, documented here."""
+    out = os.path.join(
+        scratch_dir("text_lines"),
+        f"rows_{spark.sparkContext.applicationId}.txt",
+    )
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for i in range(400):
+                fh.write(f"evt|{i}|{i * 7 % 100}\n")
+        os.replace(tmp, out)
+    df = spark.read.text(out)
+    metric = F.regexp_extract("value", r"^evt\|(\d+)\|(\d+)$", 2).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(metric).alias("sum_metric"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )

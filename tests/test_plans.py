@@ -350,6 +350,7 @@ _SINGLE_PARTITION_OK = {
     "corpus_temperature_mixture",  # |sources|-row rate table + 1-row total combine
     "ts_hampel_outliers",      # calendar-bounded daily series (one global window)
     "agg_bitmap_exact_distinct",  # |buckets|-row (id_range/32k) bitmap combine for the global row
+    "source_text_lines",       # 400-row fixture file read + 1-row report combine
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 
