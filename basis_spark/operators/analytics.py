@@ -3081,3 +3081,107 @@ def dq_outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above",
         )
     )
+
+
+@register(
+    "event_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'ab'),
+                    1, 8)) AS BIGINT) % 2 AS arm
+        FROM events),
+    conv AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING count(*) >= 14),
+    g AS (
+        SELECT a.arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conv
+        FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+        GROUP BY a.arm),
+    w AS (
+        SELECT
+            max(CASE WHEN arm = 0 THEN n_users END) AS na,
+            max(CASE WHEN arm = 0 THEN n_conv END) AS ca,
+            max(CASE WHEN arm = 1 THEN n_users END) AS nb,
+            max(CASE WHEN arm = 1 THEN n_conv END) AS cb
+        FROM g)
+    SELECT na, ca, nb, cb,
+           round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+           round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+           round(CAST(cb AS DOUBLE) / nb / (CAST(ca AS DOUBLE) / na) - 1, 6)
+               AS rel_lift,
+           round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+                 / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z_stat
+    FROM w
+    """,
+)
+def event_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned to two arms (the
+    SAME salted-hex-fold rule the corpus sampling keys use — stable
+    under reruns and traffic reshuffles, the property experiment
+    assignment must have), conversion = >=14 purchase events (the fixture's median is 13, so
+    the split is informative — every user has SOME purchase), output
+    per-arm rates, relative lift, and the two-proportion pooled
+    z-statistic. Null-hypothesis arms (hash split of identical
+    traffic) make the EXPECTED lift ~0 — what the key verifies is the
+    machinery, deterministically. Scale shape: one distinct-user
+    shuffle, one distinct-converter shuffle, arm-keyed hash agg, 1-row
+    combine (declared). At 100 TB assignment is a map-side expression
+    on the event stream — no user table required."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 2
+    )
+    assigned = ev.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    g = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_conv"),
+        )
+    )
+    pick = lambda col, a: F.max(F.when(F.col("arm") == a, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick("n_users", 0).alias("na"),
+        pick("n_conv", 0).alias("ca"),
+        pick("n_users", 1).alias("nb"),
+        pick("n_conv", 1).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    return w.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb / ra - 1, 6).alias("rel_lift"),
+        F.round(
+            (rb - ra)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            4,
+        ).alias("z_stat"),
+    )

@@ -2844,3 +2844,60 @@ def text_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_kept"),
     )
+
+
+@register(
+    "embeddings_binary_hamming_topk",
+    oracle="""
+    WITH packed AS (
+        SELECT vec_id, label,
+               list_sum([CASE WHEN embedding[i + 1] > 0
+                              THEN CAST(1 AS BIGINT) << i ELSE 0 END
+                         for i in generate_series(0, 31)]) AS lo,
+               list_sum([CASE WHEN embedding[i + 1] > 0
+                              THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END
+                         for i in generate_series(32, 63)]) AS hi
+        FROM embeddings),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM packed WHERE vec_id = 0),
+    d AS (
+        SELECT p.vec_id, p.label,
+               CAST(bit_count(xor(p.lo, q.qlo))
+                    + bit_count(xor(p.hi, q.qhi)) AS BIGINT) AS hamming
+        FROM packed p CROSS JOIN q WHERE p.vec_id <> 0)
+    SELECT vec_id, label, hamming FROM d
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def embeddings_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: sign-bit embeddings (64 dims -> two
+    32-bit words) ranked by Hamming distance — the 32x-compression
+    retrieval mode modern embedding APIs ship (binary MRL), and the
+    third rung of the quantization ladder here (float32 ->
+    int8 embeddings_quantize_int8 -> 1-bit). Distance is two XORs and
+    two popcounts per candidate, ALL JVM integer ops — at 100 TB this
+    is the cheapest possible first-stage ranker (the int8 or float
+    re-rank runs on its top-k only, the same candidates-then-exact
+    contract as the LSH paths). Packing is a fold over sequence() into
+    two BIGINT halves so neither engine touches the sign bit; top-k is
+    TakeOrdered, never a global sort."""
+    emb = load(spark, sf_dir, "embeddings")
+    pack = lambda lo, hi: F.expr(  # noqa: E731
+        f"aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> acc +"
+        f" IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i - {lo}), 0L))"
+    )
+    packed = emb.select(
+        "vec_id", "label", pack(0, 31).alias("lo"), pack(32, 63).alias("hi")
+    )
+    q = packed.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    return (
+        packed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", ham.cast("long").alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

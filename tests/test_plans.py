@@ -351,6 +351,7 @@ _SINGLE_PARTITION_OK = {
     "ts_hampel_outliers",      # calendar-bounded daily series (one global window)
     "agg_bitmap_exact_distinct",  # |buckets|-row (id_range/32k) bitmap combine for the global row
     "source_text_lines",       # 400-row fixture file read + 1-row report combine
+    "event_ab_test_lift",      # 2-row per-arm table -> 1-row readout combine
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
 }
 
