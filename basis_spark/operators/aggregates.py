@@ -1105,3 +1105,35 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(None).cast("string").alias("event_type"), "n_users")
     )
     return per_type.unionByName(global_row)
+
+
+@register(
+    "agg_count_distinct_multi",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE different COUNT(DISTINCT) columns in one aggregation —
+    the query shape that forces Catalyst's multi-distinct rewrite: a
+    single distinct agg dedups inside one hash aggregate, but several
+    over different columns require the Expand operator (one row
+    replicated per distinct group, null-padded, gid-tagged) before a
+    two-phase aggregate. Worth a key because the rewrite changes the
+    SCALE shape: shuffle volume multiplies by the number of distinct
+    columns (x3 here) — on a 100 TB fact table you pre-aggregate or
+    switch the wide ones to approx_count_distinct/HLL instead, which
+    is exactly the trade the sketch_* keys implement. The plan is
+    asserted to contain Expand (tests/test_plans.py companion)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.countDistinct("o_orderdate").alias("n_days"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

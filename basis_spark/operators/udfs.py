@@ -435,3 +435,36 @@ def udtf_table_arg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "udf_python_arrow",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) || ':' || CAST(CAST(floor(value) AS BIGINT)
+               AS VARCHAR) AS tag
+    FROM events
+    """,
+)
+def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (udf(useArrow=True), Spark 3.5+) —
+    the third Python scalar execution path and the missing middle of
+    the ladder this module documents: classic pickled row-at-a-time
+    (udf_python_scalar, ~100x slow path), Arrow-optimized row UDF
+    (THIS — same per-row Python function, but batches cross the
+    boundary as Arrow so serialization stops dominating), and
+    vectorized pandas_udf (udf_pandas_scalar, the fast path operating
+    on whole Series). Same contract as the siblings: the CASE-style
+    SQL oracle proves the built-in equivalent, and the docstring is
+    the performance warning."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    @udf(returnType=StringType(), useArrow=True)
+    def tag(event_type: str, value: float) -> str:
+        if event_type is None or value is None:
+            return None  # mirror SQL || NULL-propagation
+        return f"{event_type.upper()}:{int(value // 1)}"
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", tag("event_type", "value").alias("tag"))

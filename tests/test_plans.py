@@ -392,3 +392,28 @@ def test_shuffle_hash_hint_is_honored(spark):
 
     plan = _plan(joins.join_hint_shuffle_hash(spark, SF_ORACLE))
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_multi_distinct_uses_expand_and_arrow_udf_uses_arrow_eval(spark):
+    """agg_count_distinct_multi must plan Catalyst's Expand rewrite
+    (the documented x3-shuffle trade), and udf_python_arrow must run
+    on ArrowEvalPython — NOT the pickled BatchEvalPython path it
+    exists to contrast with."""
+    from basis_spark.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    p1 = (
+        QUERIES["agg_count_distinct_multi"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in p1
+    p2 = (
+        QUERIES["udf_python_arrow"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in p2
+    assert "BatchEvalPython" not in p2
