@@ -75,66 +75,71 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 )
 
 # ---------------------------------------------------------------------
-# ROUND-5 DRIVER WINDOW (the first 50 keys the driver verifies).
-# tpch_q12 stays in per the r4 verdict (oracle re-cast to BIGINT —
-# confirm the fix externally); multimodal_shard_pack carries the same
-# latent HUGEINT cast fix; the other 48 are strict-oracle keys that
-# tools/driver_verified_keys.json records as NEVER claimed verified
-# under any round's accounting (re-pinned late in r5 after new keys
-# landed: an earlier pin spent 22 slots on r1-r3-verified keys).
-# 70 strict + 12 rows-only never-verified keys remain for the r6/r7
-# windows — recompute from driver_verified_keys.json ∪ CORRECTNESS_r05.
+# ROUND-6 DRIVER WINDOW (the first 50 keys the driver verifies).
+# All 50 are strict-oracle keys that tools/driver_verified_keys.json
+# records as never driver-verified under any round's accounting
+# (rounds r1-r4 reconstruction + CORRECTNESS_r05.json fold-in = 249
+# verified; this window fronts 50 of the 106 never-verified strict
+# keys, prioritized per the r5 verdict: table_log_* lakehouse life
+# cycle, privacy ladder, classical stats, Holt/Holt-Winters + ts tail,
+# SQL analyzer surfaces, k-core/graph, the real JPEG/PNG codecs, the
+# UDTF/Arrow-UDF surfaces, corpus evals, the retail trio, and the
+# three percentile-combine keys whose approx swap-ins land this round.
+# 56 strict + 12 rows-only never-verified keys remain for r7/r8 -
+# recompute from driver_verified_keys.json ∪ CORRECTNESS_r06.
+# tests/test_survey_contract.py ratchets this window: len==50, every
+# key registered, every key strict-oracle, none already verified.
 _ROTATION_FRONT = [
-    "tpch_q12",
-    "multimodal_shard_pack",
-    "doc_fingerprint_winnow",
-    "dedup_source_crossdup",
-    "dedup_exact_normalized",
-    "similarity_centroid_classify",
-    "embeddings_outlier_centroid",
-    "embeddings_truncate_mrl",
-    "text_contamination_check",
-    "text_containment_pairs",
-    "text_span_dup_mass",
-    "text_perplexity_bucket",
-    "text_repetition_ratio",
-    "text_bigram_pmi",
-    "text_url_canonical_dedup",
-    "text_extract_typed_spans",
-    "eval_langid_confusion",
-    "join_asof_forward_nearest",
-    "join_runtime_prefilter",
-    "join_band_bucketed",
-    "join_point_in_time_state",
-    "join_spatial_grid",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "sql_recursive_closure",
-    "survival_kaplan_meier",
-    "ts_cusum_changepoint",
-    "stat_benford_digits",
-    "dq_key_skew_report",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "udaf_pandas_grouped_agg",
-    "win_pandas_udaf",
-    "udf_pandas_scalar_iter",
-    "multimodal_ppm_resize_real",
-    "observe_pipeline_metrics",
-    "pipeline_rag_chunks",
-    "pipeline_dedup_cascade",
-    "sql_template_node",
-    "sql_parameterized_query",
-    "embeddings_random_projection",
-    "str_pad_format",
-    "sample_weighted_priority",
-    "json_variant_extract",
-    "arr_explode_outer",
-    "str_collation_ci",
-    "math_try_ops",
-    "ts_timezone_convert",
-    "win_zscore_normalize",
+    "table_log_snapshot",
+    "table_log_time_travel",
+    "table_log_history",
+    "table_log_merge_cow",
+    "table_log_checkpoint",
+    "table_log_schema_evolution",
+    "table_log_vacuum",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "stat_chi_square",
+    "stat_ks_two_sample",
+    "stat_mann_whitney_u",
+    "stat_anova_oneway",
+    "stat_ttest_welch",
+    "ts_holt_linear",
+    "ts_holt_winters",
+    "ts_decompose_trend_seasonal",
+    "ts_max_drawdown",
+    "ts_autocorrelation",
+    "ts_forecast_snaive",
+    "ts_hampel_outliers",
+    "ts_var_cvar",
+    "ts_seasonality_strength",
+    "sql_lateral_column_alias",
+    "sql_group_by_all",
+    "sql_identifier_binding",
+    "graph_kcore",
+    "graph_degree_distribution",
+    "graph_jaccard_neighbors",
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "text_dedup_paragraph",
+    "embeddings_binary_hamming_topk",
+    "udtf_table_arg_partitioned",
+    "udf_python_arrow",
+    "source_text_lines",
+    "source_csv_multiline",
+    "eval_retrieval_precision_at_k",
+    "eval_retrieval_ndcg_at_k",
+    "corpus_mixture_balance",
+    "corpus_temperature_mixture",
+    "tokenizer_vocab_coverage",
+    "event_ab_test_lift",
+    "retail_rollup_margin_rank",
+    "retail_multi_timeband_counts",
+    "retail_channel_cumulative_compare",
+    "funnel_time_to_convert",
+    "latency_ship_percentiles",
+    "event_interarrival_stats",
 ]
 assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
 

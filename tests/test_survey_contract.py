@@ -47,3 +47,31 @@ def test_no_vacuous_oracles(duck):
 
     empty = [k for k, sql in ORACLES.items() if not duck.execute(sql).fetchall()]
     assert empty == [], f"vacuous (0-row) oracles: {empty}"
+
+
+def test_rotation_front_budget():
+    """The driver externally verifies only the FIRST 50 keys of
+    queries() per round - the scarcest resource this build has. A
+    mis-pinned window silently wastes slots on already-verified keys
+    (an early r5 pin spent 22 slots that way, caught by hand; this
+    ratchet makes that a test failure). Asserts: exactly 50 keys, all
+    registered, all strict-oracle (rows-only keys get the weaker gate
+    and are not worth a slot while strict keys remain), none already
+    recorded verified in tools/driver_verified_keys.json, and the
+    pinned window actually leads queries() iteration order."""
+    import json
+
+    from basis_spark.operators import _ROTATION_FRONT
+
+    assert len(_ROTATION_FRONT) == 50
+    assert len(set(_ROTATION_FRONT)) == 50, "duplicate keys in window"
+    assert set(_ROTATION_FRONT) <= set(QUERIES)
+    non_strict = [k for k in _ROTATION_FRONT if k not in ORACLES]
+    assert non_strict == [], f"rows-only keys burning strict slots: {non_strict}"
+
+    dv_path = os.path.join(os.path.dirname(_SURVEY), "tools", "driver_verified_keys.json")
+    dv = json.load(open(dv_path))
+    already = set(_ROTATION_FRONT) & set(dv["rounds"])
+    assert already == set(), f"window wastes slots on verified keys: {sorted(already)}"
+    assert dv.get("r6_front") == _ROTATION_FRONT, "driver_verified_keys.json r6_front out of sync"
+    assert list(QUERIES)[:50] == _ROTATION_FRONT, "window does not lead queries() order"
