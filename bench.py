@@ -13,6 +13,20 @@ OF 5 timed runs with IQR reported; any query whose run spread
 (max/min) exceeds 2x is rerun for 5 more and the median/IQR recomputed
 over all 10. Host load (os.getloadavg) is recorded at start and end so
 a noisy round is diagnosable from the artifact alone.
+
+PAIRED BASELINE (round 6): the 12 DuckDB B-queries (SURVEY.md §6,
+pinned verbatim) are re-measured IN THE SAME PROCESS immediately after
+the Spark timings, under the same protocol (warm-up + median-of-5),
+and emitted as `baseline_paired` with per-pair `paired_ratio`. The r5
+verdict's mandate: r5's headline 4.94 s vs r4's 3.41 s was pure
+co-tenant load (every query inflated 33-83% in lockstep, load_avg 4.0
+vs ~1) — a cross-round comparison against a 2026-08-13 static BASELINE
+measurement can't distinguish weather from regression. A same-minute
+ratio can. B11 brute force runs at sf0.01 only (>300 s at sf0.1,
+BASELINE.md) and is ratioed against Spark's cold LSH at sf0.1 — the
+ratio DuckDB-favoring by 10x in data volume, as BASELINE.md reads it.
+If 1-min load_avg exceeds LOAD_GATE at startup, bench sleeps up to 3x
+30 s waiting for quiet before timing anything.
 """
 
 from __future__ import annotations
@@ -52,6 +66,93 @@ BENCH_KEYS = {
 }
 
 SPREAD_RERUN = 2.0  # max/min beyond this -> one 5-run rerun batch
+LOAD_GATE = 2.0  # 1-min load_avg above this -> sleep-retry before timing
+
+# The 12 DuckDB baseline queries, verbatim from SURVEY.md §6 (same texts
+# BASELINE.md measured on 2026-08-13). Keyed b1..b12; PAIRS maps them to
+# the Spark labels whose sum they correspond to (B4 covers both window
+# queries q4+q4b). b11 runs at sf0.01 (brute force is >300 s at sf0.1).
+BASELINE_SQL = {
+    "b1": """select l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+  sum(l_extendedprice) sum_base, sum(l_extendedprice*(1-l_discount)) sum_disc,
+  sum(l_extendedprice*(1-l_discount)*(1+l_tax)) sum_charge,
+  avg(l_quantity) avg_qty, avg(l_extendedprice) avg_price, avg(l_discount) avg_disc,
+  count(*) cnt
+from lineitem where l_shipdate <= timestamp '2000-09-02'
+group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus""",
+    "b2": """select n_name, sum(l_extendedprice*(1-l_discount)) revenue
+from customer join orders on c_custkey=o_custkey
+  join lineitem on l_orderkey=o_orderkey
+  join nation on c_nationkey=n_nationkey
+  join region on n_regionkey=r_regionkey
+where r_name='ASIA' and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1997-01-01'
+group by n_name order by revenue desc""",
+    "b3": """select c_custkey, c_name, sum(o_totalprice) spend
+from customer join orders on c_custkey=o_custkey
+group by c_custkey, c_name order by spend desc, c_custkey limit 10""",
+    "b4": """select * from (
+ select o_custkey, o_orderkey, o_totalprice,
+   row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) rn,
+   sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey
+     rows between unbounded preceding and current row) run_spend
+ from orders) t where rn <= 3 order by o_custkey, rn""",
+    "b5": """select date_trunc('day', ts) d, event_type, count(distinct user_id) u, count(*) n
+from events group by 1,2 order by 1,2""",
+    "b6": """with x as (select user_id, ts,
+  case when ts - lag(ts) over (partition by user_id order by ts) > interval '30 minutes'
+       or lag(ts) over (partition by user_id order by ts) is null then 1 else 0 end brk
+ from events),
+s as (select user_id, ts, sum(brk) over (partition by user_id order by ts
+        rows between unbounded preceding and current row) sid from x)
+select user_id, sid, count(*) n_events, max(ts)-min(ts) dur
+from s group by user_id, sid order by user_id, sid""",
+    "b7": """select o_orderstatus, o_orderpriority, count(*) n, sum(o_totalprice) s
+from orders group by rollup(o_orderstatus, o_orderpriority)
+order by o_orderstatus nulls first, o_orderpriority nulls first""",
+    "b8": """select c_mktsegment, count(*) n from customer c
+where not exists (select 1 from orders o where o.o_custkey=c.c_custkey)
+group by 1 order by 1""",
+    "b9": """select upper(substr(p_name,1,8)) pfx, p_brand,
+  regexp_matches(p_type,'^(PROMO|ECONOMY)') is_pe, count(*) n,
+  round(avg(p_retailprice),2) avg_p
+from part group by 1,2,3 order by 1,2,3 limit 100""",
+    "b10": """with q as (select embedding e from embeddings where vec_id=0)
+select vec_id, label,
+  round(list_sum(list_transform(list_zip(embedding,(select e from q)),
+    x -> x[1]*x[2])),6) cos
+from embeddings where vec_id<>0 order by cos desc, vec_id limit 10""",
+    "b11": """select * from (
+ select a.doc_id i, b.doc_id j,
+  round(len(list_intersect(string_split(a.text,' '),string_split(b.text,' ')))::double
+    / len(list_distinct(string_split(a.text,' ')||string_split(b.text,' '))),4) jac
+ from documents a join documents b on a.doc_id<b.doc_id and a.lang=b.lang) t
+where jac > 0.9 order by i, j limit 100""",
+    "b12": """select user_id,
+ count(*) filter (where event_type='click') n_click,
+ count(*) filter (where event_type='view') n_view,
+ count(*) filter (where event_type='purchase') n_purchase,
+ round(coalesce(sum(value) filter (where event_type='purchase'),0),2) purchase_value
+from events group by user_id order by user_id limit 100""",
+}
+PAIRS = {
+    "b1": ["q1_pricing_summary"],
+    "b2": ["q2_revenue_by_nation"],
+    "b3": ["q3_top_customers"],
+    "b4": ["q4_topk_running", "q4b_running_spend"],
+    "b5": ["q5_daily_distinct"],
+    "b6": ["q6_sessionization"],
+    "b7": ["q7_rollup"],
+    "b8": ["q8_anti_join"],
+    "b9": ["q9_scalar_funcs"],
+    "b10": ["q10_cosine_topk"],
+    "b11": ["q11_neardup_minhash"],
+    "b12": ["q12_event_pivot"],
+}
+BASELINE_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
 
 
 def _median(xs: list[float]) -> float:
@@ -75,6 +176,46 @@ def _timed(action, k: int) -> list[float]:
     return runs
 
 
+def _run_baseline(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Median-of-5 warm DuckDB timings for b1..b12 over views of the
+    same parquet dir Spark just read (b11 at sf0.01 per BASELINE.md).
+    Same process, same minute: a co-tenant load spike inflates both
+    engines together, so the RATIO stays meaningful even when the
+    absolute seconds don't."""
+    import duckdb
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    times: dict[str, float] = {}
+    iqrs: dict[str, float] = {}
+    for label, sql in BASELINE_SQL.items():
+        d = sf_dir
+        if label == "b11":
+            # brute force quadratic: sf0.01 only (>300 s at sf0.1)
+            d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+            if not os.path.isdir(d):
+                continue
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {int(cpus)}")
+        for t in BASELINE_TABLES:
+            path = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        con.execute(sql).fetchall()  # untimed warm-up
+        runs = _timed(lambda: con.execute(sql).fetchall(), 5)
+        if max(runs) / min(runs) > SPREAD_RERUN:
+            runs += _timed(lambda: con.execute(sql).fetchall(), 5)
+        con.close()
+        times[label] = round(_median(runs), 4)
+        iqrs[label] = round(_iqr(runs), 4)
+        print(
+            f"# baseline {label}: {times[label]:.3f}s median-of-{len(runs)}",
+            file=sys.stderr,
+        )
+    return times, iqrs
+
+
 def main() -> None:
     # Shuffle-partition sizing re-A/B'd in round 5 with ORDER CONTROL
     # (alternating P=16/64/16/64 over all 12 bench keys, median-of-5
@@ -87,6 +228,16 @@ def main() -> None:
     # starting point on a real cluster.
     spark = get_spark("basis-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    load_waits = 0
+    while os.getloadavg()[0] > LOAD_GATE and load_waits < 3:
+        load_waits += 1
+        print(
+            f"# load_avg {os.getloadavg()[0]:.2f} > {LOAD_GATE}; "
+            f"sleeping 30s ({load_waits}/3)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
     load_start = os.getloadavg()
 
     # warm-up: JVM, codegen, parquet footer caches
@@ -145,6 +296,20 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 4)
+
+    # Same-minute DuckDB baseline pass (SURVEY §6 texts, BASELINE.md
+    # protocol) so the 2x gate compares under identical host load.
+    try:
+        base, base_iqr = _run_baseline(SF_DIR)
+    except ImportError:
+        base, base_iqr = {}, {}
+    ratios: dict[str, float] = {}
+    for blabel, qlabels in PAIRS.items():
+        if blabel in base and all(q in times for q in qlabels):
+            spark_s = sum(times[q] for q in qlabels)
+            ratios["+".join(qlabels)] = round(spark_s / base[blabel], 2)
+    base_total = round(sum(base.values()), 4)
+
     times.update(extras)  # reported per-query, excluded from the total
     print(
         json.dumps(
@@ -156,6 +321,19 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "query_iqr": iqrs,
                 "rerun_for_spread": reruns,
+                "baseline_paired": base,
+                "baseline_paired_iqr": base_iqr,
+                "baseline_total": base_total,
+                "paired_ratio": ratios,
+                "paired_ratio_total": (
+                    round(total / base_total, 3) if base_total else None
+                ),
+                "baseline_note": (
+                    "b1-b12 = SURVEY.md §6 DuckDB texts re-timed in this "
+                    "same process (warm median-of-5, threads=32); b11 at "
+                    "sf0.01 (brute force >300s at sf0.1) vs Spark cold LSH "
+                    "at sf0.1 - a 10x data handicap against Spark"
+                ),
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
             }
