@@ -21,6 +21,18 @@ from basis_spark.pipeline import Graph
 from basis_spark.registry import register
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """View-name suffix for temp views keyed to a fixture dir. Includes
+    an abspath digest, not just the basename: /a/sf0.1 and /b/sf0.1
+    must not collide when two harnesses share one session (the same
+    same-basename-different-path class source_jdbc fixed in r5)."""
+    import hashlib
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{base}_{digest}"
+
+
 @register(
     "pipeline_training_data",
     oracle="""
@@ -446,7 +458,7 @@ def sql_template_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame node compose freely in one plan (pushdown crosses the
     boundary). View names are suffixed per sf_dir so concurrent
     harnesses can't collide."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = _sf_tag(sf_dir)
     o_view, c_view = f"node_orders_{tag}", f"node_customer_{tag}"
     load(spark, sf_dir, "orders").createOrReplaceTempView(o_view)
     load(spark, sf_dir, "customer").createOrReplaceTempView(c_view)
@@ -474,7 +486,7 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache across parameter values. Templates choose table NAMES;
     parameters choose VALUES — a production SQL node needs both, which
     is why the two keys exist separately."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = _sf_tag(sf_dir)
     view = f"param_orders_{tag}"
     load(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
@@ -620,7 +632,7 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (one hash aggregate; no extra projection stages). The oracle
     hand-expands the chain, proving the inlining is semantics-
     preserving."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = _sf_tag(sf_dir)
     view = f"lca_orders_{tag}"
     load(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
@@ -651,7 +663,7 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface with zero physical cost; the value is contract parity
     with the reference's query layer, where analysts write the DuckDB
     idiom and expect identical inference."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = _sf_tag(sf_dir)
     view = f"gba_orders_{tag}"
     load(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
@@ -683,7 +695,7 @@ def sql_identifier_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
     name like 'customer; DROP TABLE x' fails to parse as an identifier
     instead of executing). Both the table and the grouping column are
     bound."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = _sf_tag(sf_dir)
     view = f"idb_customer_{tag}"
     load(spark, sf_dir, "customer").createOrReplaceTempView(view)
     return spark.sql(

@@ -12,9 +12,11 @@ them at import time would require a SparkSession before any exists.
 
 from __future__ import annotations
 
+import uuid
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
-from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -424,17 +426,24 @@ def udtf_table_arg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             if self.n:
                 yield self.key, self.n, self.first, self.last, self.n_high
 
+    # Per-call uuid-scoped view, dropped once the plan is analyzed
+    # (spark.sql resolves eagerly) — same convention as udf_pandas
+    # above: a fixed name is a race when two harnesses with different
+    # sf_dirs interleave createOrReplaceTempView and spark.sql().
+    view = f"udtf_events_{uuid.uuid4().hex[:12]}"
     load(spark, sf_dir, "events").select(
         "event_type", "ts", "value"
-    ).createOrReplaceTempView("udtf_events")
+    ).createOrReplaceTempView(view)
     spark.udtf.register("basis_summarize", Summarize)
-    return spark.sql(
-        """
+    out = spark.sql(
+        f"""
         SELECT * FROM basis_summarize(
-            TABLE(udtf_events) PARTITION BY event_type ORDER BY ts
+            TABLE({view}) PARTITION BY event_type ORDER BY ts
         )
         """
     )
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @register(

@@ -104,19 +104,28 @@ class Reactor:
         # footer yet). Staging dirs start with '_' so _blocks() never
         # globs them.
         n = self.n_blocks(name)
-        final = os.path.join(self._dir(name), f"block={n}")
         tmp = os.path.join(self._dir(name), f"_staging_block_{n}_{os.getpid()}")
         df.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            # lost the publish race (concurrent appender took block=N):
-            # clean our staging copy and land on the next free index.
-            import shutil
+        # Publish: if a concurrent appender took block=n between the
+        # n_blocks() read and our rename, retry the RENAME ONLY at the
+        # next free index — the staged parquet needs no rewrite, so the
+        # lost race costs one directory listing, not a Spark job. Eight
+        # consecutive losses means something other than appends is
+        # racing on this node dir; surface the OSError then.
+        import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        return n
+        for _ in range(8):
+            final = os.path.join(self._dir(name), f"block={n}")
+            try:
+                os.rename(tmp, final)
+                return n
+            except OSError:
+                n = max(self.n_blocks(name), n + 1)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise OSError(
+            f"could not publish block for node {name!r}: lost the rename "
+            f"race 8 times (last tried index {n})"
+        )
 
     # ------------------------------------------------------- feed ----
     def feed(self, name: str, df: DataFrame) -> int:
