@@ -17,6 +17,36 @@ from pyspark.sql import functions as F
 from basis_spark.io import load
 from basis_spark.registry import register
 
+# ---------------------------------------------------------------------
+# Exact-vs-approx percentile swap-in (r6, mandated by the r5 verdict).
+#
+# Spark's exact percentile / percentile_disc gathers EVERY value of a
+# group into one reducer's combine buffer — fine while the percentile
+# relation is users-sized (the three shapes below bound it by a base
+# fixture table's row count), but the buffer itself is the scale failure
+# past ~tens of millions of rows per group. Above the limit the branch
+# swaps in percentile_approx (Greenwald-Khanna sketch: mergeable map-side
+# partials, memory bounded by the accuracy parameter, and it returns
+# OBSERVED values, so percentile_disc's order-statistic semantics carry
+# over; interpolated-percentile results shift by at most one observation
+# gap). The limit is module-level so a deployment — or the flag-flip
+# test in tests/test_plans.py — can move it; the fixture scales stay on
+# the exact branch, which is what the DuckDB oracle hash-checks.
+EXACT_PERCENTILE_SCALE_LIMIT = 50_000_000
+PERCENTILE_APPROX_ACCURACY = 10_000
+
+
+def scaled_percentile(col: str, p: float, bound_rows: int, disc: bool = False):
+    """percentile(col, p) while `bound_rows` (a cheap upper bound on the
+    percentile relation's size — base-table row count, never a computed
+    relation) stays under EXACT_PERCENTILE_SCALE_LIMIT; the mergeable
+    percentile_approx sketch beyond it."""
+    if bound_rows <= EXACT_PERCENTILE_SCALE_LIMIT:
+        if disc:
+            return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})")
+        return F.percentile(col, F.lit(p))
+    return F.percentile_approx(col, F.lit(p), F.lit(PERCENTILE_APPROX_ACCURACY))
+
 
 def _sessionize_30min(ev: DataFrame) -> DataFrame:
     """Events tagged with a per-user session id: 30-min-gap rule over
@@ -1499,10 +1529,13 @@ def latency_ship_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency p50/p90/p99 per priority class — the SLA
     distribution cut every fulfilment dashboard runs. One fact-fact
     equi-join on l_orderkey (orders side reduces to two columns before
-    the shuffle), then an exact grouped percentile over the 5 priority
-    groups; at 100 TB approx_percentile is the documented swap-in, as
-    with every exact-percentile op here."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    the shuffle), then a grouped percentile over the 5 priority groups —
+    each group's combine holds ~n/5 of lineitem, so the exact/approx
+    branch (scaled_percentile) keys on the lineitem row count and flips
+    to the mergeable sketch past the module limit."""
+    base = load(spark, sf_dir, "lineitem")
+    n_bound = base.count()  # combine-size bound: |lat| == |lineitem|
+    li = base.select("l_orderkey", "l_shipdate")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
     lat = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1515,9 +1548,9 @@ def latency_ship_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lat.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("lat_days", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("lat_days", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("lat_days", F.lit(0.99)), 4).alias("p99"),
+        F.round(scaled_percentile("lat_days", 0.5, n_bound), 4).alias("p50"),
+        F.round(scaled_percentile("lat_days", 0.9, n_bound), 4).alias("p90"),
+        F.round(scaled_percentile("lat_days", 0.99, n_bound), 4).alias("p99"),
     )
 
 
@@ -1808,8 +1841,12 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bot-detection and session-gap tuning (the 30-min rule the
     sessionizers use should sit far above typical p90 gaps; this op
     measures that). One user-keyed window for the lag, one user-keyed
-    aggregate — the same reused shuffle key."""
+    aggregate — the same reused shuffle key. The per-user combine is
+    group-sized, but a power-law event log (bot traffic) makes a
+    hot-user group plausible at scale, so the exact/approx branch
+    (scaled_percentile) keys conservatively on the total event count."""
     ev = load(spark, sf_dir, "events")
+    n_bound = ev.count()  # conservative: worst single group <= total rows
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = ev.select(
         "user_id",
@@ -1822,12 +1859,12 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("user_id").agg(
         F.count("gap_s").alias("n_gaps"),
         F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
-        F.round(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)"), 4
-        ).alias("p50_gap_s"),
-        F.round(
-            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)"), 4
-        ).alias("p90_gap_s"),
+        F.round(scaled_percentile("gap_s", 0.5, n_bound, disc=True), 4).alias(
+            "p50_gap_s"
+        ),
+        F.round(scaled_percentile("gap_s", 0.9, n_bound, disc=True), 4).alias(
+            "p90_gap_s"
+        ),
     )
 
 
@@ -2187,10 +2224,13 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows their first view, the distribution (avg/p50/p90) of the
     view→purchase delay — the funnel's TIME dimension, which the stage
     counts (event_funnel) don't see. Two min-aggregates on user_id (one
-    shuffle key reused), a user-keyed join, then exact percentiles over
-    the per-user delays — the delay relation is users-sized, already
-    far smaller than the event log."""
+    shuffle key reused), a user-keyed join, then percentiles over the
+    per-user delays — the delay relation is users-sized, already far
+    smaller than the event log, and the exact/approx branch keys on the
+    event count (scaled_percentile above): past the module limit the
+    single-combine exact percentile yields to the mergeable sketch."""
     ev = load(spark, sf_dir, "events")
+    n_bound = ev.count()  # cheap upper bound on |delays| (no column scan)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -2209,8 +2249,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.avg("delay_s"), 2).alias("avg_delay_s"),
-        F.round(F.percentile("delay_s", F.lit(0.5)), 2).alias("p50_delay_s"),
-        F.round(F.percentile("delay_s", F.lit(0.9)), 2).alias("p90_delay_s"),
+        F.round(scaled_percentile("delay_s", 0.5, n_bound), 2).alias("p50_delay_s"),
+        F.round(scaled_percentile("delay_s", 0.9, n_bound), 2).alias("p90_delay_s"),
     )
 
 

@@ -417,3 +417,30 @@ def test_multi_distinct_uses_expand_and_arrow_udf_uses_arrow_eval(spark):
     )
     assert "ArrowEvalPython" in p2
     assert "BatchEvalPython" not in p2
+
+
+def test_percentile_swapin_flips_with_scale_limit(spark, monkeypatch):
+    """The r5-verdict swap-in: the three users/lineitem-sized exact
+    percentile combines must branch to percentile_approx once the
+    bounding base-table row count exceeds EXACT_PERCENTILE_SCALE_LIMIT.
+    Asserted at the flag flip (limit monkeypatched to 0), and the exact
+    branch re-asserted at the default limit — that branch is what the
+    DuckDB oracle hash-checks at sf0.01."""
+    from basis_spark.operators import analytics
+
+    keys = [
+        analytics.funnel_time_to_convert,
+        analytics.latency_ship_percentiles,
+        analytics.event_interarrival_stats,
+    ]
+    for fn in keys:
+        plan = _optimized(fn(spark, SF_ORACLE))
+        assert "percentile_approx" not in plan, fn.__name__
+        assert "percentile" in plan, fn.__name__
+
+    monkeypatch.setattr(analytics, "EXACT_PERCENTILE_SCALE_LIMIT", 0)
+    for fn in keys:
+        plan = _optimized(fn(spark, SF_ORACLE))
+        assert "percentile_approx" in plan, fn.__name__
+        # no exact single-combine percentile survives the flip
+        assert "percentile_disc" not in plan, fn.__name__
