@@ -231,35 +231,70 @@ def fake_resize(payload: bytes, w: int, h: int) -> bytes:
     return out + b"\x00" * (target - len(out))
 
 
+def resize_any(payload: bytes, w: int, h: int) -> bytes:
+    """Format dispatch on payload magic: PPM payloads go through the
+    REAL decode -> nearest-neighbor -> re-encode path; anything the
+    container has no codec for keeps the deterministic stride-sample
+    stand-in (same contract: bytes in, (w,h)-sized thumb out)."""
+    if payload[:2] == b"P6":
+        return resize_ppm_nearest(payload, w, h)
+    return fake_resize(payload, w, h)
+
+
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        thumbs = [fake_resize(p, 8, 8) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "thumb": thumbs,
-                "thumb_bytes": [len(t) for t in thumbs],
-            }
-        )
+        out = {
+            "doc_id": [],
+            "thumb_bytes": [],
+            "mean_r": [],
+            "mean_g": [],
+            "mean_b": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            thumb = resize_any(synth_ppm(int(doc_id)), 2, 2)
+            f = ppm_features(thumb)
+            out["doc_id"].append(doc_id)
+            out["thumb_bytes"].append(len(thumb))
+            out["mean_r"].append(f[2])
+            out["mean_g"].append(f[3])
+            out["mean_b"].append(f[4])
+        yield pd.DataFrame(out)
 
 
 @register(
     "multimodal_resize",
     oracle="""
-    SELECT doc_id, CAST(64 AS BIGINT) AS thumb_bytes
-    FROM documents
+    WITH g AS (SELECT unnest([0, 4, 32, 36]) AS i),
+    px AS (SELECT d.doc_id, g.i FROM documents d CROSS JOIN g)
+    SELECT doc_id, CAST(55 AS BIGINT) AS thumb_bytes,
+           round(avg((doc_id * 31 + i) % 256), 6) AS mean_r,
+           round(avg((doc_id * 31 + i + 85) % 256), 6) AS mean_g,
+           round(avg((doc_id * 31 + i + 170) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Binary payload -> mapInPandas 8x8 "thumbnail" (stubbed codec). The
-    # oracle pins the contract a real resizer must satisfy: one output
-    # row per input, output size == w*h regardless of input size.
-    docs = load(spark, sf_dir, "documents")
-    bin_df = attach_binary(docs).select("doc_id", "payload")
-    out = bin_df.mapInPandas(
-        _resize_batches, schema="doc_id long, thumb binary, thumb_bytes long"
+    """Binary payload -> mapInPandas 2x2 thumbnail through the
+    resize_any magic dispatch — since r6 the PPM branch is the REAL
+    codec (decode -> pixel sampling -> re-encode -> re-decode), so the
+    oracle pins actual PIXELS, not just output size: thumb pixel (x,y)
+    == source pixel (4x,4y), i.e. sampled pixel indices {0,4,32,36} of
+    the 8x8 synthetic image, whose channel means DuckDB recomputes from
+    the synthesis arithmetic; thumb_bytes pins the re-encoded PPM
+    framing (43-byte header + 2*2*3 pixel bytes). Unknown-magic
+    payloads keep the stride-sample fallback (unit-tested red path in
+    tests/test_jpeg_codec.py). Arrow-batched, constant memory, one
+    output row per image; repartition(32) because the fixture parquet
+    is one row group (single task otherwise — same remedy as every
+    decode sibling)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _resize_batches,
+        schema=(
+            "doc_id long, thumb_bytes long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
     )
-    return out.select("doc_id", "thumb_bytes")
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:

@@ -117,3 +117,68 @@ def test_dispatcher_routes_jpeg_magic():
     w, h, rgb = decode_image(make_jpeg(8, 8, img.tobytes()))
     assert (w, h) == (8, 8)
     assert len(rgb) == 8 * 8 * 3
+
+
+def test_rejects_progressive_sof2_hand_built_header():
+    """Hand-built minimal stream: SOI then an SOF2 frame header. The
+    parser must refuse at the MARKER, before trusting any of the
+    progressive frame's fields (r5-verdict scope-guard mandate)."""
+    import struct
+
+    body = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 2 + len(body)) + body
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+
+
+def test_rejects_restart_interval_dri():
+    """A DRI segment (FFDD) spliced before SOS must raise: the scan
+    decoder has no RSTn resync, so tolerating the marker would
+    mis-decode every MCU after the first restart."""
+    import struct
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = make_jpeg(8, 8, img.tobytes())
+    sos = good.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(good[:sos] + dri + good[sos:])
+
+
+def test_rejects_chroma_subsampling_420():
+    """SOF0 with the Y component's sampling factors rewritten from 1x1
+    (0x11) to 2x2 (0x22) — i.e. a 4:2:0 frame — must raise: the MCU
+    walker assumes one 8x8 block per component per MCU."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = bytearray(make_jpeg(8, 8, img.tobytes()))
+    sof = bytes(good).index(b"\xff\xc0")
+    hv_off = sof + 4 + 7  # body: prec(1) h(2) w(2) nc(1) cid(1) -> hv
+    assert good[hv_off] == 0x11
+    good[hv_off] = 0x22
+    with pytest.raises(ValueError, match="4:4:4"):
+        decode_jpeg(bytes(good))
+
+
+def test_resize_any_dispatch_and_fallback():
+    """resize_any routes PPM magic to the real pixel path and keeps the
+    deterministic stride fallback for unknown magic (the multimodal_
+    resize contract after the r6 re-point)."""
+    from basis_spark.operators.multimodal import (
+        decode_ppm,
+        fake_resize,
+        resize_any,
+        synth_ppm,
+    )
+
+    ppm = synth_ppm(7)
+    w, h, px = decode_ppm(resize_any(ppm, 2, 2))
+    assert (w, h) == (2, 2)
+    # thumb pixel (x,y) == source pixel (4x,4y): indices {0,4,32,36}
+    expect = bytes((7 * 31 + i + c * 85) % 256 for i in (0, 4, 32, 36) for c in range(3))
+    assert px == expect
+
+    blob = b"\x89PNGnot-really" * 10
+    assert resize_any(blob, 2, 2) == fake_resize(blob, 2, 2)
+    assert len(resize_any(blob, 2, 2)) == 4
