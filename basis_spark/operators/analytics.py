@@ -3225,3 +3225,64 @@ def event_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "privacy_dp_laplace_counts",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS n
+        FROM customer GROUP BY 1),
+    h AS (
+        SELECT c_mktsegment, n,
+               md5('dp-seed-42' || c_mktsegment) AS hx
+        FROM g),
+    u AS (
+        SELECT c_mktsegment, n,
+               ( (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 268435456.0
+               + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 16777216.0
+               + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 1048576.0
+               + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 65536.0
+               + (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 4096.0
+               + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) * 256.0
+               + (strpos('0123456789abcdef', substring(hx, 7, 1)) - 1) * 16.0
+               + (strpos('0123456789abcdef', substring(hx, 8, 1)) - 1)
+               ) / 4294967296.0 AS u
+        FROM h)
+    SELECT c_mktsegment, CAST(1.0 AS DOUBLE) AS epsilon,
+           round(n - (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1 - 2 * abs(u - 0.5)), 4) AS noisy_n
+    FROM u
+    """,
+)
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts (epsilon=1 Laplace mechanism) with
+    SEEDED, REPLAYABLE noise: u = the first 8 hex digits of
+    md5(seed || key) as a uniform in [0,1), pushed through the Laplace
+    inverse CDF  noise = -(1/eps) * sign(u-1/2) * ln(1 - 2|u-1/2|).
+    Deterministic noise is what production DP release pipelines
+    actually deploy (a re-run must publish the SAME noisy value —
+    re-sampling per query would let an analyst average the noise
+    away), and it is what makes the key strict-oracle-checkable:
+    DuckDB recomputes u nibble-by-nibble from the same md5. Count
+    sensitivity is 1, so eps=1 means b=1. One hash aggregation over
+    |segments| groups, then pure per-row JVM expressions — no
+    RNG state, no driver work, embarrassingly parallel at any scale.
+    The top of the privacy ladder: k-anonymity / l-diversity /
+    t-closeness audit a release, this PERTURBS one."""
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    hx = F.md5(F.concat(F.lit("dp-seed-42"), F.col("c_mktsegment")))
+    u = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") / 4294967296.0
+    )
+    sign = F.when(u >= 0.5, 1.0).otherwise(-1.0)
+    noise = -sign * F.log(1 - 2 * F.abs(u - 0.5))
+    return g.select(
+        "c_mktsegment",
+        F.lit(1.0).alias("epsilon"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )

@@ -616,3 +616,71 @@ def similarity_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "eval_retrieval_mrr",
+    oracle=f"""
+    WITH d AS (
+      SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+             e.vec_id AS vec_id, e.label AS label,
+             round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY cos DESC, vec_id) AS rn FROM d),
+    f AS (SELECT q_vec_id, q_label, min(rn) AS first_rel
+          FROM r WHERE rn <= {EVAL_K} AND label = q_label GROUP BY 1, 2),
+    qs AS (SELECT DISTINCT q_vec_id, q_label FROM d)
+    SELECT qs.q_vec_id, qs.q_label,
+           CAST(coalesce(f.first_rel, 0) AS BIGINT) AS first_rel_rank,
+           round(CASE WHEN f.first_rel IS NULL THEN 0.0
+                      ELSE 1.0 / f.first_rel END, 6) AS rr_at_{EVAL_K}
+    FROM qs LEFT JOIN f USING (q_vec_id, q_label)
+    """,
+)
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank evaluation (the per-query reciprocal-rank
+    table; the corpus MRR is its 1-row avg): rank of the FIRST
+    same-label neighbor within the top-k, 0 when none lands there —
+    the metric that grades retrieval for single-answer lookups, where
+    precision@k (how MANY of the top k are relevant) over-rewards
+    redundancy and ndcg needs graded labels. Identical plan scaffold
+    to the precision/ndcg siblings: bounded broadcast query set,
+    map-side scoring, per-query WindowGroupLimit rank, cosines rounded
+    to 6dp BEFORE ranking so order is engine-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_vec_id")
+    ).select(
+        "q_vec_id", "q_label", "vec_id", "label", F.round(dot, 6).alias("cos")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    first_rel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= EVAL_K) & (F.col("label") == F.col("q_label")))
+        .groupBy("q_vec_id", "q_label")
+        .agg(F.min("rn").alias("first_rel"))
+    )
+    qs = q.select("q_vec_id", "q_label")
+    return qs.join(first_rel, ["q_vec_id", "q_label"], "left").select(
+        "q_vec_id",
+        "q_label",
+        F.coalesce("first_rel", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.round(
+            F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                1.0 / F.col("first_rel")
+            ),
+            6,
+        ).alias(f"rr_at_{EVAL_K}"),
+    )

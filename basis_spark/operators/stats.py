@@ -303,3 +303,250 @@ def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "stat_effect_size_cohens_d",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               avg(value) AS m, var_samp(value) AS s2
+        FROM events WHERE event_type IN ('{GROUP_A}', '{GROUP_B}')
+        GROUP BY 1),
+    w AS (
+        SELECT
+            max(CASE WHEN event_type = '{GROUP_A}' THEN n END) AS na,
+            max(CASE WHEN event_type = '{GROUP_B}' THEN n END) AS nb,
+            max(CASE WHEN event_type = '{GROUP_A}' THEN m END) AS ma,
+            max(CASE WHEN event_type = '{GROUP_B}' THEN m END) AS mb,
+            max(CASE WHEN event_type = '{GROUP_A}' THEN s2 END) AS s2a,
+            max(CASE WHEN event_type = '{GROUP_B}' THEN s2 END) AS s2b
+        FROM g),
+    p AS (
+        SELECT na, nb, ma, mb,
+               sqrt(((na - 1) * s2a + (nb - 1) * s2b) / (na + nb - 2))
+                   AS sp
+        FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sp, 6) AS pooled_sd,
+           round((ma - mb) / sp, 6) AS cohens_d,
+           round((1 - 3 / (4 * (na + nb) - 9)) * (ma - mb) / sp, 6)
+               AS hedges_g
+    FROM p
+    """,
+)
+def stat_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size for the click-vs-purchase mean gap:
+    Cohen's d on the pooled SD, plus Hedges' g (the small-sample
+    bias correction J = 1 - 3/(4N-9) applied to d). The companion the
+    Welch test (stat_ttest_welch) needs in any readout — t tells you
+    a difference exists, d tells you whether it is big enough to act
+    on, and unlike t it does not grow with sqrt(N), so it is the
+    number that stays meaningful at 100 TB sample sizes. Same
+    sufficient-statistics contract as the sibling tests: one hash
+    aggregation (2 rows), then arithmetic in a 1-row combine."""
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(GROUP_A, GROUP_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("s2"),
+        )
+    )
+    pick = lambda col, grp: F.max(F.when(F.col("event_type") == grp, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick("n", GROUP_A).alias("na"),
+        pick("n", GROUP_B).alias("nb"),
+        pick("m", GROUP_A).alias("ma"),
+        pick("m", GROUP_B).alias("mb"),
+        pick("s2", GROUP_A).alias("s2a"),
+        pick("s2", GROUP_B).alias("s2b"),
+    )
+    sp = F.sqrt(
+        ((F.col("na") - 1) * F.col("s2a") + (F.col("nb") - 1) * F.col("s2b"))
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = (F.col("ma") - F.col("mb")) / sp
+    j = 1 - 3 / (4 * (F.col("na") + F.col("nb")) - 9)
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(j * d, 6).alias("hedges_g"),
+    )
+
+
+@register(
+    "stat_levene_variance",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS md
+        FROM events GROUP BY 1),
+    z AS (
+        SELECT e.event_type, abs(e.value - m.md) AS z
+        FROM events e JOIN med m USING (event_type)),
+    g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               avg(z) AS zb, var_samp(z) AS s2
+        FROM z GROUP BY 1),
+    t AS (
+        SELECT sum(n) AS nt, count(*) AS k,
+               sum(n * zb) / sum(n) AS zbb
+        FROM g)
+    SELECT CAST(t.k AS BIGINT) AS k_groups,
+           CAST(t.nt AS BIGINT) AS n_total,
+           round(((t.nt - t.k) / (t.k - 1))
+                 * sum(g.n * (g.zb - t.zbb) * (g.zb - t.zbb))
+                 / sum((g.n - 1) * g.s2), 6) AS w_stat
+    FROM g CROSS JOIN t
+    GROUP BY t.k, t.nt, t.zbb
+    """,
+)
+def stat_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene with median
+    centers — the robust form): are the k event-type populations'
+    SPREADS equal? This is the precondition check for pooled-variance
+    methods and the drift test that catches a variance blow-up a mean
+    monitor misses. Two passes over the data by construction: pass 1
+    is a grouped median (k=5 groups — exact here; past the percentile
+    scale limit the analytics module's scaled_percentile swap applies
+    identically), pass 2 broadcasts the k-row median table back,
+    centers, and reduces to the ANOVA sufficient-statistics shape on
+    |value - median| — one hash aggregation, k rows, 1-row combine."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("md")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("z").alias("zb"),
+        F.var_samp("z").alias("s2"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("zb")) / F.sum("n")).alias("zbb"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    dz = F.col("zb") - F.col("zbb")
+    return (
+        j.groupBy("k", "nt", "zbb")
+        .agg(
+            F.round(
+                ((F.first("nt") - F.first("k")) / (F.first("k") - 1))
+                * F.sum(F.col("n") * dz * dz)
+                / F.sum((F.col("n") - 1) * F.col("s2")),
+                6,
+            ).alias("w_stat")
+        )
+        .select(
+            F.col("k").cast("long").alias("k_groups"),
+            F.col("nt").cast("long").alias("n_total"),
+            "w_stat",
+        )
+    )
+
+
+@register(
+    "stat_fisher_hypergeom",
+    oracle=f"""
+    WITH e AS (
+        SELECT CASE WHEN event_type = '{GROUP_A}' THEN 1 ELSE 0 END AS r,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS hc
+        FROM events
+        WHERE event_type IN ('{GROUP_A}', '{GROUP_B}') AND value IS NOT NULL),
+    t AS (
+        SELECT CAST(sum(r * hc) AS DOUBLE) AS a,
+               CAST(sum(r * (1 - hc)) AS DOUBLE) AS b,
+               CAST(sum((1 - r) * hc) AS DOUBLE) AS c,
+               CAST(sum((1 - r) * (1 - hc)) AS DOUBLE) AS d
+        FROM e),
+    lp AS (
+        SELECT sum(ln(g.i) * (
+                   (CASE WHEN g.i <= t.a + t.b THEN 1 ELSE 0 END)
+                 + (CASE WHEN g.i <= t.c + t.d THEN 1 ELSE 0 END)
+                 + (CASE WHEN g.i <= t.a + t.c THEN 1 ELSE 0 END)
+                 + (CASE WHEN g.i <= t.b + t.d THEN 1 ELSE 0 END)
+                 - 1
+                 - (CASE WHEN g.i <= t.a THEN 1 ELSE 0 END)
+                 - (CASE WHEN g.i <= t.b THEN 1 ELSE 0 END)
+                 - (CASE WHEN g.i <= t.c THEN 1 ELSE 0 END)
+                 - (CASE WHEN g.i <= t.d THEN 1 ELSE 0 END))) AS log_pmf
+        FROM t CROSS JOIN generate_series(1, 100000) AS g(i)
+        WHERE g.i <= t.a + t.b + t.c + t.d)
+    SELECT CAST(t.a AS BIGINT) AS n11, CAST(t.b AS BIGINT) AS n12,
+           CAST(t.c AS BIGINT) AS n21, CAST(t.d AS BIGINT) AS n22,
+           round(t.a * t.d / (t.b * t.c), 6) AS odds_ratio,
+           round(lp.log_pmf, 4) AS log_pmf
+    FROM t CROSS JOIN lp
+    """,
+)
+def stat_fisher_hypergeom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact machinery for a 2x2 contingency table (event
+    population x value>50), built WITHOUT any special function Spark
+    lacks: the hypergeometric log-pmf of the observed table is a
+    signed sum of log-factorials, and ln(x!) = sum_{{i<=x}} ln(i), so
+    the whole statistic collapses to ONE distributed aggregation over
+    an integer spine of length N with a per-row +/- coefficient — the
+    spine is COUNT-sized (one double per row), not data-sized, and at
+    100 TB the documented swap is Stirling/lgamma arithmetic on the
+    9 factorial arguments (no spine at all). The two-sided p-value is
+    this same table summed over the support k in [max(0,r1-c2),
+    min(r1,c1)] — identical plan shape, one row per k. Reported:
+    the table, the odds ratio, and the observed-table log-pmf
+    (rounded to 4: the only float whose distributed association
+    order differs across engines, at ~1e-8 absolute). The DuckDB
+    oracle's series cap (1e5) bounds only the ORACLE's scale factor,
+    never the operator's."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin(GROUP_A, GROUP_B)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.when(F.col("event_type") == GROUP_A, 1).otherwise(0).alias("r"),
+            F.when(F.col("value") > 50, 1).otherwise(0).alias("hc"),
+        )
+    )
+    t = ev.agg(
+        F.sum(F.col("r") * F.col("hc")).cast("double").alias("a"),
+        F.sum(F.col("r") * (1 - F.col("hc"))).cast("double").alias("b"),
+        F.sum((1 - F.col("r")) * F.col("hc")).cast("double").alias("c"),
+        F.sum((1 - F.col("r")) * (1 - F.col("hc"))).cast("double").alias("d"),
+    )
+    n_total = ev.count()  # spine bound (COUNT-scale driver scalar)
+    spine = spark.range(1, n_total + 1).select(
+        F.col("id").cast("double").alias("i")
+    )
+    ind = lambda bound: F.when(F.col("i") <= bound, 1).otherwise(0)  # noqa: E731
+    coef = (
+        ind(F.col("a") + F.col("b"))
+        + ind(F.col("c") + F.col("d"))
+        + ind(F.col("a") + F.col("c"))
+        + ind(F.col("b") + F.col("d"))
+        - F.lit(1)
+        - ind(F.col("a"))
+        - ind(F.col("b"))
+        - ind(F.col("c"))
+        - ind(F.col("d"))
+    )
+    lp = spine.crossJoin(F.broadcast(t)).agg(
+        F.sum(F.log("i") * coef).alias("log_pmf")
+    )
+    return t.crossJoin(F.broadcast(lp)).select(
+        F.col("a").cast("long").alias("n11"),
+        F.col("b").cast("long").alias("n12"),
+        F.col("c").cast("long").alias("n21"),
+        F.col("d").cast("long").alias("n22"),
+        F.round(F.col("a") * F.col("d") / (F.col("b") * F.col("c")), 6).alias(
+            "odds_ratio"
+        ),
+        F.round("log_pmf", 4).alias("log_pmf"),
+    )

@@ -465,3 +465,110 @@ def table_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _build_table(spark, sf_dir, subdir="txn_log_vacuum")
     _vacuum(table_dir, retain_from_version=1)
     return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+
+
+# ---------------------------------------------------------------- r6 ----
+# OPTIMIZE: the one life-cycle verb r5 left missing — physical
+# re-clustering of a fragmented table INSIDE the log format. Ingest
+# leaves many small, unclustered objects; OPTIMIZE rewrites them into
+# few cluster-pure objects (here: hash-clustered on o_custkey, sorted
+# within each object for row-group skipping) and commits
+# remove(fragments) + add(clustered) as ONE atomic version — readers
+# mid-replay see the old layout or the new one, never a mix, and the
+# table's CONTENT is bit-identical before and after.
+
+
+@register(
+    "table_log_optimize",
+    oracle="""
+    SELECT o_custkey % 4 AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+           min(o_custkey) AS min_ck,
+           max(o_custkey) AS max_ck,
+           CAST(1 AS BIGINT) AS n_clusters_in_file
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def table_log_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction + clustering, verified physically: v0
+    commits the committed orders as EIGHT orderkey-sliced fragments
+    (each a mix of every customer — the layout streaming ingest
+    produces); v1 is the OPTIMIZE commit — one distributed
+    repartition(o_custkey % 4) + sortWithinPartitions(o_custkey) write
+    producing four cluster-pure objects, then remove(8) + add(4)
+    atomically. The readout groups the post-OPTIMIZE scan BY PHYSICAL
+    FILE (input_file_name) and reports each file's cluster stats; the
+    oracle recomputes them per cluster from the orders fixture with
+    n_clusters_in_file pinned to 1 — a lazy OPTIMIZE that only
+    compacted without clustering, or leaked a fragment into the live
+    set, fails the purity column or the row counts. Everything
+    data-sized is one shuffle + one scan; the log work is KB-scale
+    metadata."""
+    table_dir = _sf_scratch(spark, "txn_log_opt", sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "log", "00000001.json")):
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select(*_COLS)
+        )
+        frags = []
+        for i in range(8):
+            rel = f"files/f{i}"
+            orders.filter(F.col("o_orderkey") % 8 == i).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(table_dir, rel))
+            frags.append(rel)
+        _commit(table_dir, 0, [{"op": "add", "path": p} for p in frags])
+
+        # The OPTIMIZE job itself: one shuffle clusters rows, the
+        # within-partition sort orders them for min/max row-group
+        # pruning on the cluster key's range scans.
+        full = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in frags]
+        )
+        actions = [{"op": "remove", "path": p} for p in frags]
+        for c in range(4):
+            rel = f"files/z{c}"
+            (
+                full.filter(F.pmod("o_custkey", F.lit(4)) == c)
+                # one part-file per object at fixture scale; a real
+                # OPTIMIZE sizes output files with maxRecordsPerFile
+                # instead of forcing a single writer
+                .repartition(1)
+                .sortWithinPartitions("o_custkey")
+                .write.mode("overwrite")
+                .parquet(os.path.join(table_dir, rel))
+            )
+            actions.append({"op": "add", "path": rel})
+        _commit(table_dir, 1, actions)
+
+    live = _live_objects(table_dir)
+    assert len(live) == 4, f"OPTIMIZE left {len(live)} live objects"
+    scan = (
+        spark.read.parquet(*live)
+        .withColumn("_file", F.input_file_name())
+        .withColumn("cluster_id", F.pmod("o_custkey", F.lit(4)))
+    )
+    # purity per PHYSICAL part-file, folded to the worst file of each
+    # cluster — exact whatever the part-file count per object dir
+    purity = (
+        scan.groupBy("_file")
+        .agg(
+            F.min("cluster_id").alias("cluster_id"),
+            F.countDistinct("cluster_id").alias("pf"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.max("pf").alias("n_clusters_in_file"))
+    )
+    stats = scan.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+    )
+    return stats.join(purity, "cluster_id").select(
+        "cluster_id", "n_rows", "n_keys", "min_ck", "max_ck",
+        "n_clusters_in_file",
+    )

@@ -857,3 +857,64 @@ def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "win_match_recognize_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           len(regexp_extract_all(seq, 'v+c+p+')) > 0 AS converted,
+           CAST(len(regexp_extract_all(seq, 'v+c+p+')) AS BIGINT)
+               AS n_funnels
+    FROM s
+    """,
+)
+def win_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching (SQL:2016), the
+    feature Spark lacks natively, compiled to the portable form: per
+    user, project the funnel-relevant events to a symbol stream
+    (ordered by ts with the event_id tie-break), then run the regex
+    automaton `v+c+p+` (one-or-more views, then clicks, then purchases
+    — non-overlapping greedy matches, identical semantics in Java
+    regex and RE2) over the symbol string. Reports per user: stream
+    length, whether any complete funnel matched, and the match count.
+    One user_id shuffle; the symbol string is bounded by the user's
+    funnel-event count, which is the same per-key state bound every
+    sessionizer here carries — the documented hot-user remedy is the
+    streaming automaton form (applyInPandasWithState keeps only the
+    NFA state, not the string). A DFA over symbols is exactly how
+    Flink's CEP and Snowflake's MATCH_RECOGNIZE execute this."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id").alias("ord"),
+            F.substring("event_type", 1, 1).alias("sym"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "sym"))),
+                    lambda s: s["sym"],
+                ),
+            ).alias("seq")
+        )
+    )
+    matches = F.expr("regexp_extract_all(seq, 'v+c+p+', 0)")
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        (F.size(matches) > 0).alias("converted"),
+        F.size(matches).cast("long").alias("n_funnels"),
+    )

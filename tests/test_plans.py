@@ -309,6 +309,9 @@ _SINGLE_PARTITION_OK = {
     "retention_dn_curve",    # 1-row cohort-size combine
     "dq_expectations_report",  # five 1-row rule-count combines unioned
     "stat_chi_square",       # marginal windows over the types x 7 contingency table + 1-row combine
+    "stat_effect_size_cohens_d",  # 2-row sufficient-stats agg -> 1-row combine (same as ttest_welch)
+    "stat_levene_variance",  # k-row median + sufficient-stats tables -> 1-row combine
+    "stat_fisher_hypergeom",  # 1-row contingency combine + 1-row spine-sum combine
     "stat_benford_digits",   # 1-row digit-total combine over the 9-key aggregate
     "dq_key_skew_report",    # 1-row skew-summary combine over the per-key counts
     "stream_lateness_profile",  # P-row prefix-max offset table (running max is pid-parallel)
