@@ -8,7 +8,7 @@ the grouping columns; AQE coalesces/splits post-shuffle partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
@@ -1136,4 +1136,63 @@ def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("n_prio"),
         F.countDistinct("o_orderdate").alias("n_days"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(sum(l_quantity) AS DOUBLE) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (
+        SELECT l_returnflag, price, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM g)
+    SELECT l_returnflag,
+           round(min(CASE WHEN cw >= 0.5 * tw THEN price END), 2) AS wp50,
+           round(min(CASE WHEN cw >= 0.9 * tw THEN price END), 2) AS wp90,
+           round(max(tw), 2) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED percentiles (quantity-weighted price distribution per
+    return flag) — the aggregate Spark has no built-in for, defined as
+    the discrete lower weighted quantile: the smallest value whose
+    cumulative weight reaches p of the total. Engine-identical by
+    construction (no interpolation, no midpoint formula — the
+    ulp-divergence trap event_interarrival_stats documents cannot
+    arise). Shape: collapse duplicates with one (flag, value) hash agg
+    FIRST — the cumulative window then runs over distinct values, not
+    rows — then a per-flag ordered prefix sum and a conditional-min
+    combine. The per-flag window is an ordinary hash exchange; past
+    the per-group scale limit the same two-pass range-partition prefix
+    sum the stats module uses (two_group_value_cum) is the documented
+    drop-in, and percentile_approx does NOT apply (it has no weight
+    parameter — this op exists precisely because of that gap)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("price"), "l_quantity"
+    )
+    g = li.groupBy("l_returnflag", "price").agg(
+        F.sum("l_quantity").cast("double").alias("w")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("price")
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("price"))), 2
+        ).alias("wp50"),
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("price"))), 2
+        ).alias("wp90"),
+        F.round(F.max("tw"), 2).alias("total_weight"),
     )

@@ -3286,3 +3286,88 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("epsilon"),
         F.round(F.col("n") + noise, 4).alias("noisy_n"),
     )
+
+
+def _ewma_irregular_groups(pdf):
+    """Irregular-interval EWMA recursion over one ordered series with
+    the RATIONAL decay weight w = dt / (dt + 7): pure +,*,/ on a
+    rounded input (y at 4dp) and integer day gaps, so both engines
+    evaluating this expression order produce bit-identical doubles —
+    the same determinism contract as _holt_groups. (The textbook
+    exponential form w = 1 - exp(-ln2 * dt / halflife) is libm-
+    dependent across engines; the rational weight has the identical
+    qualitative behavior — w -> 0 as dt -> 0, w -> 1 as dt -> inf,
+    w = 0.5 at dt = halflife — and IS deterministic.)"""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    dts, ewmas = [], []
+    prev_d = None
+    ew = None
+    for d, y in zip(pdf["d"], pdf["y"]):
+        if ew is None:
+            dt, ew = 0, float(y)
+        else:
+            dt = (d - prev_d).days
+            w = dt / (dt + 7.0)
+            ew = w * float(y) + (1.0 - w) * ew
+        prev_d = d
+        dts.append(dt)
+        ewmas.append(ew)
+    pdf["dt_days"] = dts
+    pdf["ewma"] = ewmas
+    return pdf
+
+
+@register(
+    "ts_ewma_halflife_irregular",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+               round(sum(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1, 2),
+    seq AS (
+        SELECT k, d, y,
+               row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+               date_diff('day',
+                         lag(d) OVER (PARTITION BY k ORDER BY d), d) AS dt
+        FROM daily),
+    r AS (
+        SELECT k, d, rn, CAST(0 AS BIGINT) AS dt_days, y, y AS ewma
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.k, s.d, s.rn, CAST(s.dt AS BIGINT) AS dt_days, s.y,
+               (s.dt / (s.dt + 7.0)) * s.y
+                   + (1.0 - s.dt / (s.dt + 7.0)) * r.ewma AS ewma
+        FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+    SELECT k, CAST(d AS TIMESTAMP) AS d, dt_days, y, ewma FROM r
+    """,
+)
+def ts_ewma_halflife_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over an IRREGULARLY-SAMPLED series (per-priority daily
+    revenue — sparse by construction, so day gaps vary): the decay
+    applied at each step depends on the TIME ELAPSED, not the sample
+    count, via the rational halflife weight w = dt/(dt+7) (w = 1/2 at
+    the 7-day halflife). This is the smoother that is actually
+    correct for event-driven series — win_ewma's fixed alpha silently
+    over-weights dense bursts and under-weights data after an outage.
+    Same execution contract as the Holt family: one ordered
+    applyInPandas pass per series key (state = one float), millions
+    of independent bounded series at 100 TB; the DuckDB oracle
+    replays the identical recursion as a recursive CTE, expression
+    for expression."""
+    import pandas as pd  # noqa: F401  (applyInPandas boundary)
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("k"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    )
+    out = daily.groupBy("k").applyInPandas(
+        _ewma_irregular_groups,
+        schema="k string, d date, y double, dt_days long, ewma double",
+    )
+    return out.select(
+        "k", F.col("d").cast("timestamp").alias("d"), "dt_days", "y", "ewma"
+    )

@@ -2901,3 +2901,148 @@ def embeddings_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+_PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents),
+    s AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE_RE}', '[PHONE]', 'g') AS clean
+        FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(clean, '{_PII_EMAIL_RE}'))
+              + len(regexp_extract_all(clean, '{_PII_PHONE_RE}')) AS BIGINT)
+               AS n_residual,
+           md5(clean) AS clean_sig
+    FROM s
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the compliance stage every training-data
+    pipeline runs before anything ships: detect and replace email
+    addresses and phone numbers, and PROVE removal by re-scanning the
+    scrubbed text (n_residual is pinned to 0 by the oracle, and the
+    md5 of the scrubbed text pins the replacement byte-for-byte, so a
+    regex that over- or under-matches on either engine is a hash
+    mismatch). The fixture corpus carries no real PII, so a
+    deterministic synthetic contact line (derived from doc_id) is
+    appended first — the scrubber itself never sees the difference.
+    Patterns are deliberately in the Java-regex ∩ RE2 common subset
+    (character classes, bounded repetition — no lookaround), which is
+    also the production constraint when the same policy file drives
+    scrubbers in multiple engines. Map-only: three regex passes fused
+    into one codegen stage, no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace("t", _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE,
+        "[PHONE]",
+    )
+    s = d.select("doc_id", "t", clean.alias("clean"))
+    n_of = lambda col, pat: F.size(  # noqa: E731
+        F.regexp_extract_all(col, F.lit(pat), F.lit(0))
+    )
+    return s.select(
+        "doc_id",
+        n_of("t", _PII_EMAIL_RE).cast("long").alias("n_emails"),
+        n_of("t", _PII_PHONE_RE).cast("long").alias("n_phones"),
+        (n_of("clean", _PII_EMAIL_RE) + n_of("clean", _PII_PHONE_RE))
+        .cast("long")
+        .alias("n_residual"),
+        F.md5("clean").alias("clean_sig"),
+    )
+
+
+@register(
+    "similarity_maxsim_multivector",
+    oracle="""
+    WITH mv AS (SELECT vec_id, label, embedding FROM embeddings),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS qe FROM mv
+          WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_vec_id, e.vec_id, e.label,
+               round(list_sum(list_transform(range(0, 8), qi ->
+                   list_max(list_transform(range(0, 8), dj ->
+                       list_sum(list_transform(
+                           list_zip(q.qe[qi*8+1 : qi*8+8],
+                                    e.embedding[dj*8+1 : dj*8+8]),
+                           x -> x[1]::DOUBLE * x[2]::DOUBLE)))))), 6)
+                   AS maxsim
+        FROM q JOIN mv e ON e.vec_id <> q.q_vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                  ORDER BY maxsim DESC, vec_id) AS rank FROM scored)
+    SELECT q_vec_id, vec_id, label, CAST(rank AS BIGINT) AS rank, maxsim
+    FROM r WHERE rank <= 3
+    """,
+)
+def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): each vector
+    is treated as EIGHT 8-d token sub-vectors (a deterministic
+    multi-vector view of the 64-d fixture embedding — production
+    stores real per-token vectors in exactly this array<float> layout),
+    and the query-document score is
+        sum over query tokens of max over doc tokens of dot(q_i, d_j)
+    — the scoring rule that beats single-vector cosine on long
+    documents because each query token finds its own best-matching
+    span. The whole 8x8 interaction matrix is a PURE JVM expression
+    (nested transform/aggregate higher-order functions — no UDF, no
+    Python), so scoring stays in codegen and fuses with the broadcast
+    of the bounded query set; ranking is per-query WindowGroupLimit.
+    At 100 TB the documented pruning is the standard two-stage form:
+    single-vector (or binary-Hamming) first stage, MaxSim re-rank on
+    its top-k only. Scores rounded to 6dp BEFORE ranking; ties break
+    on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe")
+    )
+    maxsim = F.expr(
+        """
+        aggregate(
+          transform(sequence(0, 7), qi ->
+            array_max(transform(sequence(0, 7), dj ->
+              aggregate(
+                zip_with(slice(qe, qi*8+1, 8), slice(embedding, dj*8+1, 8),
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                0D, (s, v) -> s + v)))),
+          0D, (s, v) -> s + v)
+        """
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_vec_id")
+    ).select(
+        "q_vec_id", "vec_id", "label", F.round(maxsim, 6).alias("maxsim")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("maxsim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id", "label", "rank", "maxsim")
+    )
