@@ -645,3 +645,36 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming
+    join in production (events against a slowly-changing dim table),
+    and semantically the EASY one: the static side needs no watermark
+    and no state store, each micro-batch simply hash/broadcast-joins
+    against it, so at 100 TB the dim broadcast is paid per executor,
+    not per event. Batch form here (what the oracle hash-checks);
+    the Structured Streaming twin (streaming/jobs.py::
+    stream_static_enrich_counts) is pinned equal by
+    tests/test_stream_batch_equiv.py. Dim key: user_id % 25 onto the
+    SF-independent nation table."""
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(dim), F.pmod("user_id", F.lit(25)) == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -477,3 +477,60 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ev.select("event_id", tag("event_type", "value").alias("tag"))
+
+
+def _merge_cust_orders(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Per-key cogroup merge: one customer row + that customer's orders
+    arrive as two aligned pandas frames; emit the joined rollup. Pure
+    pandas inside, Arrow batches across the boundary."""
+    if cust.empty:
+        return pd.DataFrame(
+            columns=["c_custkey", "c_mktsegment", "n_orders", "spend"]
+        )
+    n = len(orders)
+    spend = round(float(orders["o_totalprice"].sum()), 2) if n else 0.0
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(cust["c_custkey"].iloc[0])],
+            "c_mktsegment": [cust["c_mktsegment"].iloc[0]],
+            "n_orders": [n],
+            "spend": [spend],
+        }
+    )
+
+
+@register(
+    "map_cogroup_pandas",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def map_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the LAST Python execution surface this
+    module's ladder was missing (scalar UDF -> Arrow UDF -> pandas UDF
+    -> mapInPandas -> grouped applyInPandas -> COGROUPED apply): two
+    DataFrames are co-partitioned on the key and each key's two groups
+    arrive as a pandas frame PAIR, the shape custom join logic (as-of
+    merges, per-entity reconciliation, fuzzy intra-key matching) needs
+    when it genuinely cannot be a JVM join. Both sides shuffle once on
+    the key — same exchange count as the equivalent join — and the SQL
+    oracle IS that equivalent join, pinning the custom path to the
+    declarative one. Keys with no orders still emit (left-outer
+    semantics): the cogroup sees an empty right frame."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        cust.groupby("c_custkey")
+        .cogroup(orders.groupby("o_custkey"))
+        .applyInPandas(
+            _merge_cust_orders,
+            schema=(
+                "c_custkey long, c_mktsegment string, "
+                "n_orders long, spend double"
+            ),
+        )
+    )

@@ -473,3 +473,28 @@ def stream_session_dynamic_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental.stream_static_enrich: each
+    micro-batch joins against the STATIC nation dim (no state store,
+    no watermark — the static side is re-resolvable per batch, which
+    is also what makes dim UPDATES visible mid-stream in production).
+    Complete mode for the finite-input equivalence contract."""
+    from basis_spark.io import load
+
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    dim = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        s.join(
+            F.broadcast(dim),
+            F.pmod("user_id", F.lit(25)) == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")

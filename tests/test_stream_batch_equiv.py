@@ -169,3 +169,12 @@ def test_session_window_merges_at_exact_boundary(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["n"] == 2
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    stream = jobs.stream_static_enrich_counts(spark, SF_SMALL)
+    batch = incremental.stream_static_enrich(spark, SF_SMALL)
+    cols = ["n_name", "n", "sum_value"]
+    rows = _rows(stream, cols)
+    assert rows == _rows(batch, cols)
+    assert len(rows) > 0
