@@ -37,17 +37,35 @@ from basis_spark.operators.scans import _sf_scratch
 _COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
 
 
+class CommitConflict(Exception):
+    """Another writer already committed this version — the optimistic
+    concurrency signal. The loser must re-read the log and retry its
+    commit at the next version (see table_log_concurrent_commit)."""
+
+
 def _commit(table_dir: str, version: int, actions: list[dict]) -> None:
-    """Append one commit to the log, atomically (temp + rename): a
-    reader listing the log directory sees either the whole commit or
-    nothing — the same all-or-nothing contract a real log store needs."""
+    """Append one commit to the log atomically AND exclusively: the
+    content lands via temp file + os.link, and link(2) fails with
+    EEXIST if the version file already exists — create-if-absent, the
+    mutual-exclusion primitive every production log store builds its
+    optimistic concurrency on (Delta's put-if-absent, Iceberg's atomic
+    swap). The r1-r5 form used os.replace, which would have let a
+    losing concurrent writer silently CLOBBER the winner's commit —
+    a lost update in the transaction log itself."""
     log_dir = os.path.join(table_dir, "log")
     os.makedirs(log_dir, exist_ok=True)
     final = os.path.join(log_dir, f"{version:08d}.json")
-    tmp = final + ".tmp"
+    tmp = final + f".tmp.{os.getpid()}.{id(actions)}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "actions": actions}, f)
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed at {final}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _build_table(spark: SparkSession, sf_dir: str, subdir: str = "txn_log") -> str:
@@ -572,3 +590,99 @@ def table_log_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", "n_rows", "n_keys", "min_ck", "max_ck",
         "n_clusters_in_file",
     )
+
+
+@register(
+    "table_log_concurrent_commit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+    """,
+)
+def table_log_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency on the commit log: two writers prepare
+    DISJOINT appends against the same snapshot version and race to
+    commit version 2 — the loser gets CommitConflict from the
+    create-if-absent link(2) primitive (NOT a silent overwrite),
+    re-reads the log, re-validates (append-only commits conflict with
+    nothing semantically), and retries at version 3. Both appends land
+    exactly once in a serial order; the snapshot is their union either
+    way, which is what the oracle pins. This is the whole ACID story a
+    shared lakehouse table needs: data objects are immutable, so the
+    ONLY contended resource is one version-numbered log entry, and
+    put-if-absent on it serializes writers without locks. Semantic
+    conflict checking (did the winner remove an object I rewrote?) is
+    the remove-set intersection test on replay — merge/delete writers
+    run it before retrying; pure appends skip it by construction."""
+    table_dir = _build_table(spark, sf_dir, subdir="txn_log_occ")
+    if not os.path.exists(os.path.join(table_dir, "log", "00000003.json")):
+        orders = load(spark, sf_dir, "orders")
+        a = orders.filter(F.col("o_orderstatus") == "P").select(*_COLS)
+        b = orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 10 == 0)
+        ).select(*_COLS)
+        a.write.mode("overwrite").parquet(os.path.join(table_dir, "files", "w_a"))
+        b.write.mode("overwrite").parquet(os.path.join(table_dir, "files", "w_b"))
+        # Both writers read the snapshot at v1 and target v2. Writer A
+        # wins the link race; writer B MUST see CommitConflict, then
+        # retry at the next version.
+        _commit(table_dir, 2, [{"op": "add", "path": "files/w_a"}])
+        try:
+            _commit(table_dir, 2, [{"op": "add", "path": "files/w_b"}])
+            raise AssertionError("concurrent commit was silently clobbered")
+        except CommitConflict:
+            next_v = max(r["version"] for r in _read_log(table_dir)) + 1
+            _commit(table_dir, next_v, [{"op": "add", "path": "files/w_b"}])
+    return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+
+
+@register(
+    "table_log_delete_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+      AND o_totalprice <= 300000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+      AND o_totalprice * 2 <= 300000
+    """,
+)
+def table_log_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE on the logged table via copy-on-write:
+    every live object is probed for matches (one semi-join-shaped
+    limit-1 count per object — metadata-cardinality driver loop, the
+    merge_cow contract); objects WITH matches are rewritten without
+    the matching rows, objects without are never touched, and
+    remove+add land as one atomic version. Production formats add a
+    deletion-vector fast path (commit a bitmap instead of rewriting);
+    the COW form here is the semantics both paths must agree with,
+    and at 100 TB the untouched-object skip is what bounds the cost
+    to the predicate's physical footprint."""
+    table_dir = _build_table(spark, sf_dir, subdir="txn_log_del")
+    if not os.path.exists(os.path.join(table_dir, "log", "00000002.json")):
+        pred = F.col("o_totalprice") > 300000
+        actions: list[dict] = []
+        for i, obj in enumerate(_live_objects(table_dir)):
+            tgt = spark.read.parquet(obj)
+            if tgt.filter(pred).limit(1).count() == 0:
+                continue  # no matches: object stays live untouched
+            rel_new = f"files/d2_{i}"
+            tgt.filter(~pred).select(*_COLS).write.mode("overwrite").parquet(
+                os.path.join(table_dir, rel_new)
+            )
+            actions.append(
+                {"op": "remove", "path": os.path.relpath(obj, table_dir)}
+            )
+            actions.append({"op": "add", "path": rel_new})
+        _commit(table_dir, 2, actions)
+    return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)

@@ -918,3 +918,53 @@ def win_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(matches) > 0).alias("converted"),
         F.size(matches).cast("long").alias("n_funnels"),
     )
+
+
+@register(
+    "win_gaps_islands_ranges",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day_n
+        FROM events),
+    g AS (
+        SELECT user_id, day_n,
+               day_n - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_n) AS grp
+        FROM d)
+    SELECT user_id,
+           CAST(min(day_n) AS BIGINT) AS start_day,
+           CAST(max(day_n) AS BIGINT) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def win_gaps_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over INTEGER consecutiveness: collapse each
+    user's active DAYS into maximal runs of consecutive days
+    ([start, end], length) — the classic streak/coverage primitive
+    (login streaks, sensor uptime ranges, contiguous id-range
+    compaction for storage manifests). Distinct from the time-gap
+    sessionizers: the island rule here is day_n - row_number() being
+    constant within a run — one subtraction, no lag, no conditional
+    sum. Epoch-day numbering (days since 1970-01-01) keeps the
+    arithmetic integer-exact and engine-identical. One user_id
+    shuffle for the distinct, the window rides the same partitioning,
+    and the island groupBy re-uses the key — three logical steps, one
+    exchange."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_n")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    g = d.withColumn("grp", F.col("day_n") - F.row_number().over(w))
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day_n").cast("long").alias("start_day"),
+            F.max("day_n").cast("long").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .drop("grp")
+    )

@@ -123,3 +123,22 @@ def test_vacuum_deletes_only_unreferenced_and_is_idempotent(spark):
         spark.read.parquet(
             *table_log._live_objects(table_dir, as_of=0)
         ).count()
+
+
+def test_commit_is_create_if_absent(tmp_path):
+    """The log's mutual-exclusion primitive: a second commit of the
+    SAME version must raise CommitConflict and leave the winner's
+    content byte-identical (r1-r5's os.replace would have silently
+    clobbered it — a lost update in the transaction log itself)."""
+    d = str(tmp_path / "tbl")
+    table_log._commit(d, 0, [{"op": "add", "path": "files/a"}])
+    before = open(os.path.join(d, "log", "00000000.json")).read()
+    with pytest.raises(table_log.CommitConflict):
+        table_log._commit(d, 0, [{"op": "add", "path": "files/b"}])
+    assert open(os.path.join(d, "log", "00000000.json")).read() == before
+    # no staging residue from either attempt
+    leftovers = [n for n in os.listdir(os.path.join(d, "log")) if ".tmp" in n]
+    assert leftovers == []
+    # the loser retries at the next version and lands
+    table_log._commit(d, 1, [{"op": "add", "path": "files/b"}])
+    assert [r["version"] for r in table_log._read_log(d)] == [0, 1]
