@@ -3371,3 +3371,100 @@ def ts_ewma_halflife_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "k", F.col("d").cast("timestamp").alias("d"), "dt_days", "y", "ewma"
     )
+
+
+def _croston_groups(pdf):
+    """Croston's method over one ordered intermittent-demand series:
+    TWO coupled EWMAs updated only at nonzero-demand points — demand
+    size z and inter-demand interval p (in days, from the date gaps;
+    first point: z = y, p = 1.0 by declared init) — with alpha = 0.5
+    (exact binary fraction, same determinism contract as the Holt
+    family). Forecast per point = z / p (expected demand per day)."""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    zs, ps, fs = [], [], []
+    prev_d = None
+    z = p = None
+    for d, y in zip(pdf["d"], pdf["y"]):
+        if z is None:
+            z, p = float(y), 1.0
+        else:
+            gap = float((d - prev_d).days)
+            z = 0.5 * float(y) + 0.5 * z
+            p = 0.5 * gap + 0.5 * p
+        prev_d = d
+        zs.append(z)
+        ps.append(p)
+        fs.append(z / p)
+    pdf["z_size"] = zs
+    pdf["p_interval"] = ps
+    pdf["forecast_rate"] = fs
+    return pdf
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM orders GROUP BY 1, 2),
+    seq AS (
+        SELECT k, d, y,
+               row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+               CAST(date_diff('day',
+                    lag(d) OVER (PARTITION BY k ORDER BY d), d) AS DOUBLE)
+                   AS gap
+        FROM daily),
+    r AS (
+        SELECT k, d, rn, y, y AS z_size, CAST(1.0 AS DOUBLE) AS p_interval
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.k, s.d, s.rn, s.y,
+               0.5 * s.y + 0.5 * r.z_size AS z_size,
+               0.5 * s.gap + 0.5 * r.p_interval AS p_interval
+        FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+    SELECT k, CAST(d AS TIMESTAMP) AS d, y, z_size, p_interval,
+           z_size / p_interval AS forecast_rate
+    FROM r
+    """,
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast — THE method for sparse
+    series (spare parts, long-tail SKUs, rare event classes) where
+    plain EWMA systematically under-forecasts right after each
+    demand and decays toward zero between them: it smooths demand
+    SIZE and inter-demand INTERVAL separately (updates happen only at
+    demand points) and forecasts their ratio as the per-day rate.
+    Per-priority daily order counts are the demand series; days
+    without orders ARE the intermittency, carried implicitly in the
+    date gaps rather than as zero rows, which is also what makes the
+    recursion oracle-exact (no calendar spine needed). Same execution
+    contract as the Holt/EWMA family: one ordered applyInPandas pass
+    per series key, 2-float state, millions of independent series at
+    100 TB; the recursive-CTE oracle replays the identical
+    expressions."""
+    import pandas as pd  # noqa: F401  (applyInPandas boundary)
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("k"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    out = daily.groupBy("k").applyInPandas(
+        _croston_groups,
+        schema=(
+            "k string, d date, y double, z_size double,"
+            " p_interval double, forecast_rate double"
+        ),
+    )
+    return out.select(
+        "k",
+        F.col("d").cast("timestamp").alias("d"),
+        "y",
+        "z_size",
+        "p_interval",
+        "forecast_rate",
+    )
