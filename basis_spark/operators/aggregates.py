@@ -1196,3 +1196,69 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wp90"),
         F.round(F.max("tw"), 2).alias("total_weight"),
     )
+
+
+@register(
+    "agg_product",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(product(l_linenumber)) AS BIGINT) AS line_product
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    GROUP BY l_orderkey
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate — the one classical reduction Spark has no
+    built-in for. Expressed as exp(sum(ln x)): sum is the associative
+    combiner, so it partial-aggregates map-side like any sum (the
+    standard log-domain trick every engine without product() uses).
+    Inputs here are small positive integers (line numbers 1..7, group
+    product <= 7!), so snapping exp's float back with round() makes the
+    result INTEGER-EXACT — fp drift is ~1e-13 relative, twelve orders
+    of magnitude inside the snap. For general doubles the same shape
+    returns the log-domain value directly (documented; sign/zero
+    handling = count zeros + sum sign bits, two more cheap aggs)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.exp(F.sum(F.log("l_linenumber"))))
+        .cast("bigint")
+        .alias("line_product"),
+    )
+
+
+@register(
+    "agg_geo_harmonic_mean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
+           round(count(*) / sum(1.0 / o_totalprice), 4) AS harm_mean,
+           round(avg(o_totalprice), 4) AS arith_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means per order priority, next to the
+    arithmetic mean (AM >= GM >= HM — the Pythagorean-means readout for
+    rate/ratio metrics where the arithmetic mean is simply the wrong
+    statistic: growth factors, price relatives, per-token rates).
+
+    Both are single-pass associative reductions — exp(avg(ln x)) and
+    n/sum(1/x) — so they partial-aggregate map-side exactly like sum;
+    one priority-keyed exchange total. Positive-domain contract
+    (o_totalprice > 0 in the fixture and in TPC-H); rounded at 4
+    decimals, ~1e-11 above the cross-engine libm/summation-order
+    noise floor."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.avg(F.log("o_totalprice"))), 4).alias("geo_mean"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("o_totalprice")), 4
+        ).alias("harm_mean"),
+        F.round(F.avg("o_totalprice"), 4).alias("arith_mean"),
+    )

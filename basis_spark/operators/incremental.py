@@ -678,3 +678,60 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_join_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM events c LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER click->purchase attribution within a 30-minute window
+    — the outer sibling of stream_stream_join: every click emits, with
+    NULL purchase columns when nothing converted (the row an attribution
+    pipeline needs to compute conversion RATE, which the inner join
+    cannot see).
+
+    Batch plan: one shuffle per side on user_id, interval predicate at
+    the join. The streaming twin
+    (streaming.jobs.stream_click_purchase_left_join) is the watermarked
+    left-outer interval join — Spark emits the NULL row only once the
+    watermark proves no match can still arrive, so clicks inside the
+    final (delay + 30 min) horizon of a finite stream stay buffered;
+    tests/test_stream_batch_equiv.py pins streaming == batch EXACTLY on
+    matched rows and on unmatched rows older than that horizon (the
+    honest finite-stream contract; on an unbounded stream every click
+    eventually emits)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "left").select(
+        "click_id", "user_id", "purchase_id", "purchase_value"
+    )

@@ -1493,3 +1493,146 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("node", F.col("d").cast("long").alias("hops"))
+
+
+@register(
+    "graph_local_clustering",
+    oracle=_PROX_E_CTE
+    + """,
+    tri AS (SELECT e1.u, e1.v, e2.v AS w
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tcnt AS (SELECT node, count(*) AS n_tri FROM (
+                 SELECT u AS node FROM tri
+                 UNION ALL SELECT v FROM tri
+                 UNION ALL SELECT w FROM tri) t
+             GROUP BY node),
+    deg AS (SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
+            GROUP BY node)
+    SELECT deg.node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+           round(2.0 * coalesce(tcnt.n_tri, 0) / (deg.d * (deg.d - 1)), 6)
+               AS lcc
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    WHERE deg.d >= 2
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: closed wedges / possible
+    wedges = 2*triangles / (deg*(deg-1)) — the node-level cohesion
+    metric (global triangle counts say a graph HAS communities; lcc
+    says WHICH nodes sit inside one vs bridge between them).
+
+    Composition of two already-scale-shaped pieces over the shared
+    proximity edge list: the degree-ordered triangle enumeration
+    (each triangle found exactly once, wedge fan-out bounded
+    O(sqrt|E|)) and the two-hash-agg degree count, joined node-keyed.
+    Restricted to deg >= 2 where the coefficient is defined — no
+    divide-by-zero row to special-case in either engine."""
+    e = proximity_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = triangles_per_node(e)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
+_WSSSP_HOPS = 4  # bounded-depth relaxation: same contract as _BFS_HOPS
+
+
+def _wsssp_oracle() -> str:
+    """Bounded Bellman-Ford, unrolled _WSSSP_HOPS relax rounds over the
+    weighted proximity edges. Each round re-mins over (settled UNION
+    settled+edge), so the unrolled form is exactly 'min cost over paths
+    of <= H edges' — convergence-free, hence SQL-exact. Weights are
+    sqrt() of the same doubles both engines derive from md5, and every
+    candidate cost is built by the identical left-to-right add chain,
+    so min() sees bit-identical candidates (rounded at 6dp anyway)."""
+    parts = [
+        _PROX_E_CTE,
+        """ew AS MATERIALIZED (
+        SELECT a.k AS u, b.k AS v,
+               sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS w
+        FROM pts a JOIN pts b
+          ON a.k < b.k
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225.0),
+    nbrw AS MATERIALIZED (
+        SELECT u, v, w FROM ew UNION ALL SELECT v AS u, u AS v, w FROM ew),
+    d0 AS MATERIALIZED (
+        SELECT k AS node, CAST(0 AS DOUBLE) AS d FROM pts WHERE k % 97 = 0)""",
+    ]
+    prev = "d0"
+    for i in range(1, _WSSSP_HOPS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM {prev}
+            UNION ALL
+            SELECT nb.v AS node, p.d + nb.w AS d
+            FROM {prev} p JOIN nbrw nb ON nb.u = p.node
+        ) t GROUP BY node)"""
+        )
+        prev = f"d{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT node, round(d, 6) AS cost FROM {prev}"""
+    )
+
+
+@register("graph_sssp_weighted_bounded", oracle=_wsssp_oracle())
+def graph_sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest path (bounded Bellman-Ford):
+    min Euclidean path cost from any seed (custkey % 97 == 0) within
+    _WSSSP_HOPS edges of the proximity graph — the weighted sibling of
+    graph_bfs_distance (min COST vs min HOPS; routing cost, trust
+    propagation, weighted blast radius).
+
+    Each round relaxes every settled node through the weighted
+    neighbor list: one hash join + one min-aggregation, re-relaxation
+    made idempotent by min() (no frontier set to track), lineage cut
+    per round with localCheckpoint. Bounded H is the declared contract
+    (production feature pipelines ship bounded-depth costs; unbounded
+    SSSP is a diameter-length barrier chain) and is what makes the
+    unrolled oracle exact rather than convergence-dependent."""
+    ew = _grid_close_pairs(spark, sf_dir, d_max=15.0).select(
+        "u", "v", F.sqrt("d2").alias("w")
+    )
+    nbrw = ew.unionAll(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint()
+    dist = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("node"), F.lit(0.0).alias("d"))
+    )
+    for _ in range(_WSSSP_HOPS):
+        expanded = dist.join(nbrw, dist["node"] == nbrw["u"]).select(
+            F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.round("d", 6).alias("cost"))

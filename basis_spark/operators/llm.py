@@ -3046,3 +3046,89 @@ def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= 3)
         .select("q_vec_id", "vec_id", "label", "rank", "maxsim")
     )
+
+
+@register(
+    "embeddings_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) g(i))
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 6) AS mean,
+           round(stddev_pop(x), 6) AS std,
+           round(min(x), 6) AS lo,
+           round(max(x), 6) AS hi
+    FROM e GROUP BY dim
+    """,
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding lake (mean,
+    population std, range per coordinate) — the readout that feeds
+    whitening, dead-dimension pruning, and anisotropy checks (a dim
+    whose std is ~0 carries no information; a mean far from 0 breaks
+    dot-product-as-cosine assumptions).
+
+    posexplode streams (dim, x) pairs straight into a partial-
+    aggregating hash agg keyed on dim — D output rows, one exchange of
+    D x P partial states, nothing vector-sized on any single node. This
+    is the canonical 100 TB shape for any per-coordinate statistic
+    (same scaffold as the IVF centroid build)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_pop("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("lo"),
+        F.round(F.max("x"), 6).alias("hi"),
+    )
+
+
+@register(
+    "embeddings_standardize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    s AS (
+      SELECT dim, avg(x) AS mu, stddev_pop(x) AS sd FROM e GROUP BY dim),
+    z AS (
+      SELECT e.vec_id, (e.x - s.mu) / s.sd AS zx
+      FROM e JOIN s ON e.dim = s.dim)
+    SELECT vec_id,
+           round(sum(zx), 4) AS z_sum,
+           round(sum(zx * zx), 4) AS z_norm_sq,
+           round(max(abs(zx)), 4) AS z_max_abs
+    FROM z GROUP BY vec_id
+    """,
+)
+def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of every embedding —
+    the diagonal-whitening step run before cosine-based dedup or ANN
+    when dimensions have wildly different scales. Emits per-vector
+    checksums of the standardized coordinates (sum, squared norm, max
+    |z|) so the oracle pins every transformed value without an array
+    column in the compared schema.
+
+    The (dim -> mu, sd) table is D rows — computed with one exploded
+    hash agg and BROADCAST back onto the exploded stream (a map-side
+    join; the only shuffle after it is the vec_id re-assembly agg).
+    Stats-then-broadcast is the 100 TB recipe: never a second scan,
+    never a driver-side vector."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    s = e.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    )
+    z = e.join(F.broadcast(s), "dim").select(
+        "vec_id", ((F.col("x") - F.col("mu")) / F.col("sd")).alias("zx")
+    )
+    return z.groupBy("vec_id").agg(
+        F.round(F.sum("zx"), 4).alias("z_sum"),
+        F.round(F.sum(F.col("zx") * F.col("zx")), 4).alias("z_norm_sq"),
+        F.round(F.max(F.abs("zx")), 4).alias("z_max_abs"),
+    )

@@ -881,3 +881,229 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jpeg_decode_batches,
         schema="doc_id long, block_id long, v_in long, v_out long",
     )
+
+
+# ----------------------------------------------------- real BMP codec ----
+# Windows BMP, 24bpp uncompressed (BITMAPFILEHEADER + 40-byte
+# BITMAPINFOHEADER): the simplest real raster container, but the two
+# details every hand-rolled reader gets wrong are load-bearing here —
+# rows are stored BOTTOM-UP and padded to 4-byte boundaries, and
+# channels are BGR, not RGB. The fixture is 7x5 (odd width, so the
+# 3-byte row pad is actually exercised); a top/bottom flip, B/R swap,
+# or pad slip changes the per-channel means and fails the oracle.
+
+
+def make_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode RGB24 pixels (row-major, top-down) as a 24bpp BMP."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    off = 14 + 40
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            i = (y * width + x) * 3
+            out += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR
+        out += b"\x00" * pad
+    return bytes(out)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24bpp uncompressed BMP to (w, h, top-down RGB24)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hsz, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (header={hsz} bpp={bpp} comp={comp})")
+    flipped = height > 0
+    height = abs(height)
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    px = bytearray(width * height * 3)
+    p = off
+    rows = range(height - 1, -1, -1) if flipped else range(height)
+    for y in rows:
+        for x in range(width):
+            b, g, r = data[p], data[p + 1], data[p + 2]
+            i = (y * width + x) * 3
+            px[i], px[i + 1], px[i + 2] = r, g, b
+            p += 3
+        p += pad
+    return width, height, bytes(px)
+
+
+def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [], "first_px_lum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            rgb = bytes(
+                (d * 31 + i + c * 85) % 256 for i in range(35) for c in range(3)
+            )
+            w, h, decoded = decode_bmp(make_bmp(7, 5, rgb))
+            n = w * h
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
+                out[col].append(round(sum(decoded[ch::3]) / n, 6))
+            # pixel (0,0) luminance-ish checksum: catches a bottom-up
+            # flip even when the means happen to match
+            out["first_px_lum"].append(
+                decoded[0] + decoded[1] * 256 + decoded[2] * 65536
+            )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, i.range AS i,
+             (d.doc_id * 31 + i.range) % 256 AS r,
+             (d.doc_id * 31 + i.range + 85) % 256 AS g,
+             (d.doc_id * 31 + i.range + 170) % 256 AS b
+      FROM documents d, range(35) i)
+    SELECT doc_id,
+           CAST(7 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+           round(avg(r), 6) AS mean_r,
+           round(avg(g), 6) AS mean_g,
+           round(avg(b), 6) AS mean_b,
+           CAST(max(CASE WHEN i = 0 THEN r + g * 256 + b * 65536 END)
+                AS BIGINT) AS first_px_lum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL BMP decode path, zero codec libraries: synthesize a 7x5
+    # truecolor BMP per doc (odd width — the 4-byte row pad is live),
+    # encode bottom-up BGR, decode back to top-down RGB, emit channel
+    # means plus a pixel-(0,0) checksum that catches a row-flip bug the
+    # means alone cannot see. Oracle recomputes from the pixel formula.
+    # Arrow-batched mapInPandas; repartition because the fixture
+    # parquet is a single row group.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _bmp_decode_batches,
+        schema="doc_id long, width long, height long,"
+        " mean_r double, mean_g double, mean_b double, first_px_lum long",
+    )
+
+
+def _gif_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from basis_spark.operators.gif import decode_gif, make_gif
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "mean_gray": [], "gray_sum": [], "first_px": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            px = bytes((d * 31 + i * 7) % 256 for i in range(64))
+            w, h, decoded = decode_gif(make_gif(8, 8, px))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_gray"].append(round(sum(decoded) / (w * h), 6))
+            out["gray_sum"].append(sum(decoded))
+            out["first_px"].append(decoded[0])
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           round(avg((d.doc_id * 31 + i.range * 7) % 256), 6) AS mean_gray,
+           CAST(sum((d.doc_id * 31 + i.range * 7) % 256) AS BIGINT)
+               AS gray_sum,
+           CAST(max(CASE WHEN i.range = 0
+                         THEN (d.doc_id * 31) % 256 END) AS BIGINT) AS first_px
+    FROM documents d, range(64) i
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL GIF87a decode path, zero codec libraries (operators/gif.py):
+    # synthesize an 8x8 grayscale GIF per doc — a genuine LZW bitstream
+    # with code-width growth and sub-block framing — and decode it back
+    # through palette + LZW. The oracle recomputes mean/sum/first-pixel
+    # from the fixture formula, so a dictionary slip or width-growth
+    # off-by-one fails the value compare (LZW is lossless; the compare
+    # is exact integers). Arrow-batched mapInPandas like the other
+    # decoders; repartition because the fixture parquet is one row group.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _gif_decode_batches,
+        schema="doc_id long, width long, height long,"
+        " mean_gray double, gray_sum long, first_px long",
+    )
+
+
+def _hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        counts: dict[int, int] = {}
+        vsum: dict[int, int] = {}
+        for doc_id in pdf["doc_id"]:
+            w, h, px = decode_ppm(synth_ppm(int(doc_id)))
+            for i in range(w * h):
+                # integer luma (Rec.601-ish fixed point, exact in SQL):
+                # (77 R + 150 G + 29 B) >> 8
+                y = (77 * px[3 * i] + 150 * px[3 * i + 1] + 29 * px[3 * i + 2]) >> 8
+                b = y // 16
+                counts[b] = counts.get(b, 0) + 1
+                vsum[b] = vsum.get(b, 0) + y
+        yield pd.DataFrame(
+            {
+                "bin": sorted(counts),
+                "n_px": [counts[b] for b in sorted(counts)],
+                "luma_sum": [vsum[b] for b in sorted(counts)],
+            }
+        )
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle="""
+    WITH px AS (
+      SELECT ((77 * ((d.doc_id * 31 + i.range) % 256)
+             + 150 * ((d.doc_id * 31 + i.range + 85) % 256)
+             + 29 * ((d.doc_id * 31 + i.range + 170) % 256)) // 256) AS y
+      FROM documents d, range(64) i)
+    SELECT y // 16 AS bin,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(y) AS BIGINT) AS luma_sum
+    FROM px GROUP BY 1
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide luminance histogram over REAL PPM decodes — the
+    # exposure/contrast profile a multimodal curation pipeline computes
+    # before filtering (all-dark and blown-out shards show up as mass in
+    # the edge bins). Luma is integer fixed-point ((77R+150G+29B)>>8) so
+    # the oracle is exact integer arithmetic, no float weights. Each
+    # task emits its PARTIAL 16-bin histogram from its Arrow batch and
+    # the final groupBy combines them — a 16-row shuffle regardless of
+    # corpus size, the canonical map-side-reduced histogram shape.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    part = docs.mapInPandas(
+        _hist_batches, schema="bin long, n_px long, luma_sum long"
+    )
+    return part.groupBy("bin").agg(
+        F.sum("n_px").alias("n_px"), F.sum("luma_sum").alias("luma_sum")
+    )

@@ -870,3 +870,132 @@ def pipeline_lakehouse_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+@register(
+    "sql_window_clause",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(o_totalprice, 2) AS price,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           round(sum(o_totalprice) OVER w2, 2) AS run_spend
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause in SQL — define a window spec once, reference
+    it from several select-list functions (Spark requires each distinct
+    frame to be its own named spec, so the running frame is w2).
+    The analyzer surface a SQL-node user of the reference leans on for
+    readable multi-window queries; both functions compile into ONE
+    Window physical operator over one partition-by-customer exchange
+    (shared sort — the whole point of naming the spec)."""
+    tag = _sf_tag(sf_dir)
+    view = f"winclause_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_custkey,
+                   o_orderkey,
+                   round(o_totalprice, 2) AS price,
+                   rank() OVER w AS price_rank,
+                   round(sum(o_totalprice) OVER w2, 2) AS run_spend
+            FROM {view}
+            WHERE o_custkey <= 200
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey),
+                   w2 AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT user_id % 8 AS bucket,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 2)
+               AS click_v,
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
+               AS view_v,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+               AS purchase_v
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (FROM ... PIVOT (agg FOR col IN (...))) — the
+    declarative spelling of agg_conditional_pivot / agg_pivot_api.
+    Catalyst rewrites PIVOT into the same single hash aggregate over
+    pivot-CASE expressions the DataFrame .pivot() API produces (one
+    bucket-keyed shuffle, no per-value passes), which is exactly what
+    the oracle states in portable ANSI form."""
+    tag = _sf_tag(sf_dir)
+    view = f"pivot_events_{tag}"
+    load(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT bucket, round(click_v, 2) AS click_v,
+                   round(view_v, 2) AS view_v,
+                   round(purchase_v, 2) AS purchase_v
+            FROM (SELECT user_id % 8 AS bucket, event_type, value FROM {view})
+            PIVOT (sum(value)
+                   FOR event_type IN ('click' AS click_v, 'view' AS view_v,
+                                      'purchase' AS purchase_v))
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_unpivot_syntax",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS g,
+             round(sum(o_totalprice), 2) AS total_spend,
+             round(min(o_totalprice), 2) AS min_spend,
+             round(max(o_totalprice), 2) AS max_spend
+      FROM orders WHERE o_custkey <= 100 GROUP BY 1)
+    SELECT g, 'total_spend' AS metric, total_spend AS amount FROM base
+    UNION ALL
+    SELECT g, 'min_spend' AS metric, min_spend AS amount FROM base
+    UNION ALL
+    SELECT g, 'max_spend' AS metric, max_spend AS amount FROM base
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (FROM ... UNPIVOT (v FOR k IN (...))) — the
+    wide-to-long analyzer surface (Spark 3.4+), complementing the
+    stack()-based unpivot_stack and the DataFrame melt_api keys.
+    Catalyst compiles UNPIVOT to a single Expand node (one pass, rows
+    x3, no join, no union re-scan) — strictly better than the oracle's
+    portable 3-way UNION ALL spelling at any scale."""
+    tag = _sf_tag(sf_dir)
+    view = f"unpivot_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT g, metric, amount
+            FROM (SELECT o_custkey AS g,
+                         round(sum(o_totalprice), 2) AS total_spend,
+                         round(min(o_totalprice), 2) AS min_spend,
+                         round(max(o_totalprice), 2) AS max_spend
+                  FROM {view} WHERE o_custkey <= 100 GROUP BY o_custkey)
+            UNPIVOT (amount FOR metric IN (total_spend, min_spend, max_spend))
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -1044,3 +1044,89 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(metric).alias("sum_metric"),
         F.sum(F.length("value")).alias("total_chars"),
     )
+
+
+@register(
+    "source_generate_series",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i * i) AS BIGINT) AS sum_sq,
+           CAST(min(i) AS BIGINT) AS lo,
+           CAST(max(i) AS BIGINT) AS hi
+    FROM range(1, 20001) t(i)
+    GROUP BY 1
+    """,
+)
+def source_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-series generator source (spark.range) — the table-free
+    input every engine needs for spines, calendars, and synthetic
+    benchmarks. spark.range is a true distributed relation: the Range
+    physical node splits [start, end) across partitions with NO data
+    movement and NO driver materialization, so a 10-billion-row spine
+    costs nothing but arithmetic on 1000 executors. Grouped here to a
+    bounded 7-row summary so the oracle pins every generated value
+    (sum of squares catches any off-by-one at either boundary)."""
+    r = spark.range(1, 20001).select(F.col("id").alias("i"))
+    return (
+        r.groupBy((F.col("i") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("i") * F.col("i")).alias("sum_sq"),
+            F.min("i").alias("lo"),
+            F.max("i").alias("hi"),
+        )
+    )
+
+
+@register(
+    "source_fixed_width",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source — the mainframe/COBOL exchange format the
+    reference's CSV reader family sits next to: no delimiters, fields
+    live at byte offsets. Spark has no fixed-width reader, but it does
+    not need one: read.text gives one row per line (splittable at line
+    boundaries, so a 100 TB extract parallelizes like any text scan)
+    and typed columns are pure substring/cast JVM expressions — no
+    Python, no UDF, whole-stage codegen end to end.
+
+    Layout (33 bytes): custkey %010d | mktsegment %-10s |
+    acctbal-cents %+013d. Cents are floor(bal*100) so the roundtrip is
+    integer-exact (no double-rounding-mode trap between engines).
+    """
+    out = os.path.join(
+        scratch_dir("fixed_width"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(out):
+        cust = load(spark, sf_dir, "customer").select(
+            F.concat(
+                F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+                F.rpad(F.col("c_mktsegment"), 10, " "),
+                F.when(F.floor(F.col("c_acctbal") * 100) < 0, F.lit("-"))
+                .otherwise(F.lit("+")),
+                F.lpad(
+                    F.abs(F.floor(F.col("c_acctbal") * 100)).cast("string"),
+                    12,
+                    "0",
+                ),
+            ).alias("value")
+        )
+        cust.write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    sign = F.when(F.substring("value", 21, 1) == "-", -1).otherwise(1)
+    return raw.select(
+        F.substring("value", 1, 10).cast("bigint").alias("c_custkey"),
+        F.trim(F.substring("value", 11, 10)).alias("c_mktsegment"),
+        (sign * F.substring("value", 22, 12).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+    )

@@ -550,3 +550,134 @@ def stat_fisher_hypergeom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("log_pmf", 4).alias("log_pmf"),
     )
+
+
+@register(
+    "stat_spearman_rho",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS x, c.c_acctbal AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (
+      SELECT seg,
+             rank() OVER (PARTITION BY seg ORDER BY x)
+               + (count(*) OVER (PARTITION BY seg, x) - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY seg ORDER BY y)
+               + (count(*) OVER (PARTITION BY seg, y) - 1) / 2.0 AS ry
+      FROM j)
+    SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 6) AS spearman_rho
+    FROM r GROUP BY seg
+    """,
+)
+def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per segment (order spend vs the
+    customer's account balance) — the robust monotone-association
+    measure (Pearson on average ranks, so outliers and nonlinearity
+    don't distort it; the feature-screening default for heavy-tailed
+    pipeline metrics).
+
+    Ties get textbook average ranks, spelled identically in both
+    engines: min-rank + (tie_count - 1)/2 — rank() plus a
+    count-over-the-(group, value)-partition, all window functions over
+    ONE segment-keyed exchange. corr() is a streaming co-moment
+    aggregate (no rank materialization beyond the window pass).
+
+    Scale: two window passes + one hash agg, all partitioned by
+    segment; no global sort, no collect. Rank windows order WITHIN a
+    segment — the 100 TB variant range-partitions each segment's values
+    (the stats.py prefix-sum scaffold) if single segments outgrow a
+    partition."""
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("x"),
+            F.col("c_acctbal").alias("y"),
+        )
+    )
+    def avg_rank(col: str) -> F.Column:
+        w_rank = Window.partitionBy("seg").orderBy(col)
+        w_tie = Window.partitionBy("seg", col)
+        return F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+    r = j.select(
+        "seg", avg_rank("x").alias("rx"), avg_rank("y").alias("ry")
+    )
+    return r.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "stat_kendall_tau_b",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, c_custkey AS k, c_acctbal AS x,
+                      c_custkey % 97 AS y
+               FROM customer),
+    p AS (
+      SELECT a.nk,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+      FROM c a JOIN c b ON a.nk = b.nk AND a.k < b.k)
+    SELECT nk AS nationkey,
+           CAST(sum(con) AS BIGINT) AS concordant,
+           CAST(sum(dis) AS BIGINT) AS discordant,
+           round((sum(con) - sum(dis))
+                 / sqrt((sum(con) + sum(dis) + sum(tx))
+                        * (sum(con) + sum(dis) + sum(ty))), 6) AS tau_b
+    FROM p GROUP BY nk
+    """,
+)
+def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per nation between a customer's balance and a
+    deterministic behavioural proxy (custkey % 97) — the
+    concordant/discordant-pair association measure, with the tau-b tie
+    correction in both denominator arms.
+
+    Pairwise by construction (O(n^2) per group), so the contract is
+    BOUNDED GROUPS: pairs are generated by an equi-join on the group
+    key with k_a < k_b — Catalyst executes a shuffled hash join keyed
+    on nation, so each group's quadratic work stays inside one task and
+    nothing global is quadratic. At 100 TB the declared scale path for
+    unbounded groups is the O(n log n) merge-sort inversion count
+    (documented, not needed for bounded panels like per-nation QC
+    samples)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("x"),
+        (F.col("c_custkey") % 97).alias("y"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk")) & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.nk").alias("nk"),
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).alias(
+            "prod"
+        ),
+        (F.col("a.x") == F.col("b.x")).alias("eqx"),
+        (F.col("a.y") == F.col("b.y")).alias("eqy"),
+    )
+    agg = p.groupBy("nk").agg(
+        F.sum(F.when(F.col("prod") > 0, 1).otherwise(0)).alias("con"),
+        F.sum(F.when(F.col("prod") < 0, 1).otherwise(0)).alias("dis"),
+        F.sum(F.when(F.col("eqx") & ~F.col("eqy"), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("eqy") & ~F.col("eqx"), 1).otherwise(0)).alias("ty"),
+    )
+    denom = F.sqrt(
+        (F.col("con") + F.col("dis") + F.col("tx"))
+        * (F.col("con") + F.col("dis") + F.col("ty"))
+    )
+    return agg.select(
+        F.col("nk").alias("nationkey"),
+        F.col("con").alias("concordant"),
+        F.col("dis").alias("discordant"),
+        F.round((F.col("con") - F.col("dis")) / denom, 6).alias("tau_b"),
+    )

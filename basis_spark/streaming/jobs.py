@@ -498,3 +498,52 @@ def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_click_purchase_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream interval join (the streaming
+    twin of incremental.stream_join_left_outer): clicks left-joined to
+    same-user purchases within [click_ts, click_ts + 30 min].
+
+    Outer rows are watermark-gated: Spark can only emit (click, NULL)
+    once the purchase-side watermark passes click_ts + 30 min — before
+    that, a match could still arrive. On a finite availableNow run the
+    final watermark rests at max_event_ts - delay, so unmatched clicks
+    YOUNGER than (delay + 30 min) from the stream tail remain buffered
+    and never emit; the equivalence test pins exactly that horizon.
+    Matched rows are not gated and emit as they join."""
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, chunk_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        _read_stream(spark, chunk_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "leftOuter").select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_value"
+    )
+    return _run_to_memory(joined, "append")

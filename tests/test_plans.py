@@ -134,13 +134,7 @@ def test_partition_filter_prunes_partitioned_sink(spark):
     # hive-partitioned sink: reading one partition value must show a
     # partition filter at scan time.
     scans.sink_parquet_roundtrip(spark, SF_ORACLE)  # ensures sink exists
-    import os
-
-    from basis_spark.io import scratch_dir
-
-    path = os.path.join(
-        scratch_dir("parquet_roundtrip"), os.path.basename(SF_ORACLE.rstrip("/"))
-    )
+    path = scans._sf_scratch(spark, "parquet_roundtrip", SF_ORACLE)
     df = spark.read.parquet(path).filter(F.col("event_type") == "click")
     plan = _plan(df)
     assert "PartitionFilters" in plan
@@ -172,13 +166,7 @@ def test_partitioned_sink_prunes_on_read(spark):
     filter on the partition column shows up as PartitionFilters in the
     scan, and non-matching partition dirs are never read."""
     scans.sink_parquet_roundtrip(spark, SF_ORACLE).count()  # ensure written
-    import os
-
-    from basis_spark.io import scratch_dir
-
-    out = os.path.join(
-        scratch_dir("parquet_roundtrip"), os.path.basename(SF_ORACLE.rstrip("/"))
-    )
+    out = scans._sf_scratch(spark, "parquet_roundtrip", SF_ORACLE)
     back = spark.read.parquet(out).filter(F.col("event_type") == "click")
     plan = _plan(back)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]

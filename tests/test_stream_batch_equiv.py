@@ -178,3 +178,48 @@ def test_stream_static_enrich_equals_batch(spark):
     rows = _rows(stream, cols)
     assert rows == _rows(batch, cols)
     assert len(rows) > 0
+
+
+def test_stream_left_outer_join_equals_batch_to_horizon(spark):
+    """Left-outer stream-stream join: matched rows identical to batch;
+    unmatched (NULL) rows identical for clicks older than the
+    watermark horizon (delay + join window) — younger unmatched clicks
+    legitimately stay buffered on a finite stream."""
+    from pyspark.sql import functions as F
+
+    from basis_spark.io import load
+
+    stream = jobs.stream_click_purchase_left_join(spark, SF_SMALL)
+    batch = incremental.stream_join_left_outer(spark, SF_SMALL)
+    cols = ["click_id", "user_id", "purchase_id", "purchase_value"]
+
+    s_matched = _rows(stream.filter("purchase_id IS NOT NULL"), cols)
+    b_matched = _rows(batch.filter("purchase_id IS NOT NULL"), cols)
+    assert s_matched == b_matched and len(s_matched) > 0
+
+    # the global watermark is the MIN across both inputs of
+    # (max event ts seen - delay); outer rows need it past
+    # click_ts + 30 min, so the provable-emission horizon is
+    # min(max click ts, max purchase ts) - 1 h - 30 min
+    ev = load(spark, SF_SMALL, "events")
+    side_max = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    horizon = side_max - __import__("datetime").timedelta(minutes=90)
+    clicks = load(spark, SF_SMALL, "events").filter(
+        (F.col("event_type") == "click") & (F.col("ts") < F.lit(horizon))
+    )
+    old_ids = {r.event_id for r in clicks.select("event_id").collect()}
+    s_null = [
+        r for r in _rows(stream.filter("purchase_id IS NULL"), cols)
+        if r[0] in old_ids
+    ]
+    b_null = [
+        r for r in _rows(batch.filter("purchase_id IS NULL"), cols)
+        if r[0] in old_ids
+    ]
+    assert s_null == b_null and len(b_null) > 0
