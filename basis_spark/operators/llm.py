@@ -3132,3 +3132,150 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("zx") * F.col("zx")), 4).alias("z_norm_sq"),
         F.round(F.max(F.abs("zx")), 4).alias("z_max_abs"),
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    first_seen AS (
+      SELECT token, min(doc_id) AS fs FROM tok GROUP BY token),
+    types_per_bucket AS (
+      SELECT fs // 50 AS bucket, count(*) AS new_types
+      FROM first_seen GROUP BY 1),
+    tokens_per_bucket AS (
+      SELECT doc_id // 50 AS bucket, count(*) AS n_tokens
+      FROM tok GROUP BY 1)
+    SELECT t.bucket,
+           CAST(coalesce(y.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(y.new_types, 0))
+                OVER (ORDER BY t.bucket) AS BIGINT) AS cum_types,
+           CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+               AS cum_tokens
+    FROM tokens_per_bucket t
+    LEFT JOIN types_per_bucket y ON t.bucket = y.bucket
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law readout): cumulative distinct
+    token types vs cumulative token volume, in corpus ingest order
+    bucketed 50 docs at a time — the curve that tells a tokenizer/
+    dedup pipeline whether new data is still contributing vocabulary or
+    the corpus has saturated (a flattening type curve under a rising
+    token curve = diminishing novelty; a dedup regression makes it
+    flatten EARLY).
+
+    First-seen is a min() per token (one token-keyed shuffle — the
+    exact shape of dedup_exact's hash dedup), bucket rollups are two
+    tiny hash aggs, and the cumulative window runs over the
+    bucket-count-bounded spine (declared single partition; ~|docs|/50
+    rows, never data-sized)."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("fs"))
+    types_b = first_seen.groupBy(
+        (F.col("fs") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    tokens_b = tok.groupBy(
+        (F.col("doc_id") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_b.join(types_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_types"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+      FROM freq)
+    SELECT CAST(count(*) AS BIGINT) AS n_top,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(r)), 6) AS zipf_intercept,
+           round(regr_r2(ln(f), ln(r)), 6) AS r2
+    FROM ranked WHERE r <= 100
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top-100 token types — natural corpora run close
+    to -1; machine-generated or template-heavy corpora deviate hard,
+    making this a one-row corpus-health fingerprint (and a drift check
+    between ingest batches).
+
+    Token counting is one token-keyed hash agg; the top 100 come from
+    orderBy+limit — TakeOrderedAndProject, a distributed per-partition
+    top-k plus a 100-row merge, NEVER a vocab-sized sort (tie-broken
+    deterministically by token so both engines pick the same set);
+    ranks are then a window over that bounded 100-row relation
+    (declared single partition, same justification as tpch_q15) and
+    the regression is Spark's built-in regr_* — a 1-row algebraic
+    combine, no collect."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    top = freq.orderBy(F.col("f").desc(), F.col("token")).limit(100)
+    w = Window.orderBy(F.col("f").desc(), F.col("token"))
+    ranked = top.select("f", F.row_number().over(w).alias("r"))
+    lf, lr = F.log("f"), F.log("r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
+
+
+@register(
+    "multimodal_shard_index",
+    oracle="""
+    SELECT doc_id % 16 AS shard_id,
+           doc_id,
+           CAST(coalesce(sum(n_chars) OVER (
+               PARTITION BY doc_id % 16 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS byte_offset,
+           n_chars AS byte_length
+    FROM documents
+    """,
+)
+def multimodal_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample random-access index for packed training shards (the
+    .idx sidecar a dataloader seeks with): within each shard, samples
+    are laid out in doc_id order and every sample's byte offset is the
+    running sum of the payloads before it. shard_pack emits the
+    per-shard MANIFEST (counts/bytes); this emits the per-SAMPLE seek
+    table — together they are the WebDataset-style shard contract.
+
+    One window per shard partition (exclusive prefix sum via ROWS ...
+    1 PRECEDING, so sample 0 starts at offset 0) — the shuffle is
+    keyed on shard_id exactly like the pack stage, and at 100 TB the
+    index write rides the same partitionBy(shard_id) sink as the
+    payload, one pass, no second scan."""
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy(F.col("doc_id") % 16)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        (F.col("doc_id") % 16).alias("shard_id"),
+        "doc_id",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("byte_offset"),
+        F.col("n_chars").alias("byte_length"),
+    )

@@ -999,3 +999,57 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_subquery_surfaces",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey <= 2)
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_subquery_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three SQL subquery surfaces in one query — correlated EXISTS,
+    uncorrelated IN, and a scalar subquery in a comparison — the
+    analyzer features a SQL-node user writes daily. Catalyst
+    decorrelates them into joins, which is the entire scale story:
+    EXISTS -> left-semi hash join on custkey, IN -> semi join against
+    the broadcast nation list, and the scalar avg -> a 1-row subquery
+    result reused as a literal — so the query runs as two semi joins
+    plus a filter, never a per-row re-execution (the naive nested-loop
+    reading of the same SQL)."""
+    tag = _sf_tag(sf_dir)
+    views = {}
+    for t in ("customer", "orders", "nation"):
+        views[t] = f"subq_{t}_{tag}"
+        load(spark, sf_dir, t).createOrReplaceTempView(views[t])
+    try:
+        return spark.sql(
+            f"""
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM {views['customer']} c
+            WHERE EXISTS (SELECT 1 FROM {views['orders']} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+              AND c.c_acctbal > (SELECT avg(c_acctbal)
+                                 FROM {views['customer']})
+              AND c.c_nationkey IN (SELECT n_nationkey
+                                    FROM {views['nation']}
+                                    WHERE n_regionkey <= 2)
+            GROUP BY c_mktsegment
+            """
+        )
+    finally:
+        for v in views.values():
+            spark.catalog.dropTempView(v)

@@ -681,3 +681,96 @@ def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dis").alias("discordant"),
         F.round((F.col("con") - F.col("dis")) / denom, 6).alias("tau_b"),
     )
+
+
+@register(
+    "eval_auc_rank",
+    oracle=f"""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type='{GROUP_A}' THEN 1 ELSE 0 END AS ca,
+             CASE WHEN event_type='{GROUP_B}' THEN 1 ELSE 0 END AS cb
+      FROM events WHERE event_type IN ('{GROUP_A}','{GROUP_B}')),
+    g AS (SELECT v, sum(ca) AS na, sum(cb) AS nb FROM s GROUP BY v),
+    c AS (SELECT v, na, nb,
+             coalesce(sum(na) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cna_prev,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+          FROM g)
+    SELECT CAST(max(tb) AS BIGINT) AS n_pos,
+           CAST(max(ta) AS BIGINT) AS n_neg,
+           round(sum(nb * (cna_prev + na / 2.0)) / (max(ta) * max(tb)), 6)
+               AS auc
+    FROM c
+    """,
+)
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the rank-sum identity (AUC == U/(n1*n0) == P[score of
+    a positive > score of a negative] + half the ties) — the standard
+    classifier eval computed WITHOUT sorting predictions into one
+    task: purchases play the positive class, clicks the negative, and
+    `value` is the score.
+
+    Rides the same distributed prefix-sum scaffold as the KS /
+    Mann-Whitney keys (two_group_value_cum): per distinct score,
+    positives at that score beat every negative strictly below
+    (cna_prev) and tie half the negatives at it (na/2). One
+    value-keyed aggregation + P-row offset table + 1-row combine —
+    the shape that holds at any score cardinality."""
+    c = two_group_value_cum(spark, sf_dir)
+    # exclusive prefix: cna is inclusive in the scaffold
+    cna_prev = F.col("cna") - F.col("na")
+    return c.agg(
+        F.max("tb").cast("long").alias("n_pos"),
+        F.max("ta").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("nb") * (cna_prev + F.col("na") / 2.0))
+            / (F.max("ta") * F.max("tb")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH s AS (
+      SELECT value / (value + 100.0) AS score,
+             CASE WHEN event_type = '{GROUP_B}' THEN 1 ELSE 0 END AS label
+      FROM events WHERE event_type IN ('{GROUP_A}','{GROUP_B}'))
+    SELECT CAST(floor(score * 10) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate,
+           round(abs(avg(score) - avg(CAST(label AS DOUBLE))), 6) AS gap
+    FROM s GROUP BY 1
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table for a scored binary outcome: ten
+    equal-width score bins, each with its mean predicted score vs the
+    observed positive rate — the per-bin |gap| column is the integrand
+    of ECE and the readout that says WHERE a model is over- or
+    under-confident (AUC, its companion key, only says whether ranking
+    works). Score is the deterministic monotone value/(value+100) —
+    bounded in (0,1) at every SF — so the whole eval is
+    value-hash-reproducible with no model artifact.
+
+    One hash aggregation keyed on the 10-value bin — fully map-side
+    combinable, no window, no sort; the canonical shape for any
+    fixed-bin eval at 100 TB."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(GROUP_A, GROUP_B)
+    )
+    score = F.col("value") / (F.col("value") + 100.0)
+    label = F.when(F.col("event_type") == GROUP_B, 1.0).otherwise(0.0)
+    s = ev.select(score.alias("score"), label.alias("label"))
+    return s.groupBy(
+        F.floor(F.col("score") * 10).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("label"), 6).alias("pos_rate"),
+        F.round(F.abs(F.avg("score") - F.avg("label")), 6).alias("gap"),
+    )

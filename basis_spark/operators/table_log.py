@@ -686,3 +686,59 @@ def table_log_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             actions.append({"op": "add", "path": rel_new})
         _commit(table_dir, 2, actions)
     return spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+
+
+@register(
+    "table_log_change_feed",
+    oracle="""
+    SELECT 'removed' AS change_type,
+           CAST(1 AS BIGINT) AS commit_version,
+           o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'added' AS change_type,
+           CAST(1 AS BIGINT) AS commit_version,
+           o_orderkey, o_custkey, round(o_totalprice * 2, 2) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    """,
+)
+def table_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two committed versions (the CDC
+    read — Delta's table_changes / Iceberg's changelog scan): replay
+    the v1 commit's actions and emit each row that left the table
+    ('removed') and each row that entered it ('added'). The v1
+    reprice therefore shows every odd order twice — its pre-image at
+    the old price and its post-image at 2x.
+
+    The scale property this format buys: ONLY the delta objects are
+    read — v1 removed p1 and added p2, so untouched p0 (half the
+    table) is never scanned, and cost is bounded by the churn, not
+    the table. exceptAll between the removed-set and added-set scans
+    cancels rows rewritten verbatim (an OPTIMIZE/compaction commit
+    produces an EMPTY feed — file movement is not data change).
+    Without persistent row ids, removed+added is the honest
+    vocabulary: classifying a pair as an UPDATE needs a key contract,
+    which is merge_cow's layer, not the log's."""
+    table_dir = _build_table(spark, sf_dir)
+    v1 = _read_log(table_dir)[1]
+    removed = [a["path"] for a in v1["actions"] if a["op"] == "remove"]
+    added = [a["path"] for a in v1["actions"] if a["op"] == "add"]
+    pre = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in removed]
+    ).select(*_COLS)
+    post = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in added]
+    ).select(*_COLS)
+
+    def tag(df: DataFrame, change_type: str) -> DataFrame:
+        return df.select(
+            F.lit(change_type).alias("change_type"),
+            F.lit(1).cast("long").alias("commit_version"),
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+
+    return tag(pre.exceptAll(post), "removed").unionAll(
+        tag(post.exceptAll(pre), "added")
+    )

@@ -534,3 +534,92 @@ def map_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "udtf_analyze_dynamic_schema",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS sum_o_totalprice,
+           round(min(o_totalprice), 2) AS min_o_totalprice,
+           round(max(o_totalprice), 2) AS max_o_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a static analyze() method (Spark 4,
+    SPARK-44418) — the UDTF computes its OWN output schema at plan time
+    from its arguments: here a generic per-partition profiler whose
+    output columns are derived from the metric column NAME passed in
+    ('o_totalprice' -> sum_o_totalprice/min_o_totalprice/
+    max_o_totalprice). This is the API surface for reusable table
+    functions that adapt to their input (the reference's typed node
+    signatures resolve statically; analyze() is Spark's equivalent
+    hook). Execution contract is identical to the TABLE-arg UDTF:
+    partition-keyed shuffle, O(1) state per partition, rows stream
+    through eval."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class Profile:
+        @staticmethod
+        def analyze(table: AnalyzeArgument, metric: AnalyzeArgument) -> AnalyzeResult:
+            col = metric.value  # the metric COLUMN NAME, a plan-time literal
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("o_orderpriority", StringType()),
+                        StructField("n", LongType()),
+                        StructField(f"sum_{col}", DoubleType()),
+                        StructField(f"min_{col}", DoubleType()),
+                        StructField(f"max_{col}", DoubleType()),
+                    ]
+                )
+            )
+
+        def __init__(self) -> None:
+            self.key = None
+            self.n = 0
+            self.s = 0.0
+            self.lo = None
+            self.hi = None
+
+        def eval(self, row, metric: str):
+            self.key = row["o_orderpriority"]
+            v = row[metric]
+            self.n += 1
+            self.s += v
+            self.lo = v if self.lo is None or v < self.lo else self.lo
+            self.hi = v if self.hi is None or v > self.hi else self.hi
+
+        def terminate(self):
+            if self.n:
+                yield (
+                    self.key,
+                    self.n,
+                    round(self.s, 2),
+                    round(self.lo, 2),
+                    round(self.hi, 2),
+                )
+
+    view = f"udtf_profile_{uuid.uuid4().hex[:12]}"
+    load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).createOrReplaceTempView(view)
+    spark.udtf.register("basis_profile", udtf(Profile))
+    out = spark.sql(
+        f"""
+        SELECT * FROM basis_profile(
+            TABLE({view}) PARTITION BY (o_orderpriority), 'o_totalprice'
+        )
+        """
+    )
+    spark.catalog.dropTempView(view)
+    return out

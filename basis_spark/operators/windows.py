@@ -968,3 +968,55 @@ def win_gaps_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+      FROM events GROUP BY 1)
+    SELECT d,
+           CAST(count(*) OVER w AS BIGINT) AS n_days,
+           round(corr(x, y) OVER w, 6) AS roll_corr
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between two daily metric series (click
+    value vs purchase value) — the co-movement monitor that catches a
+    decoupling (tracking pixel broke; one funnel stage regressed) long
+    before either single-series anomaly detector fires.
+
+    corr() is an algebraic aggregate, so Spark evaluates it OVER the
+    moving frame with streaming co-moment state — no per-frame
+    re-scan, no UDF. The daily rollup is a hash agg (~|days| rows),
+    after which the single ordered window over a calendar-bounded
+    series is a declared-safe single partition (the same bounded-spine
+    justification as ts_decompose_trend_seasonal); at 100 TB the raw
+    scan dominates, never this window. n_days < 7 rows at the head are
+    the window warm-up, emitted (corr over fewer points) exactly as
+    both engines define the frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.round(F.corr("x", "y").over(w), 6).alias("roll_corr"),
+    )

@@ -326,6 +326,8 @@ _SINGLE_PARTITION_OK = {
     "corpus_mixture_balance",  # 1-row min-lang-count combine broadcast into the rate filter
     "stat_ks_two_sample",    # P-row offset table + 1-row max-gap combine (cumsum is pid-parallel)
     "stat_mann_whitney_u",   # same P-row offset table + 1-row U combine
+    "eval_auc_rank",         # same scaffold: P-row offset table + 1-row AUC combine
+    "sql_subquery_surfaces", # scalar-subquery avg: 1-row combine reused as a literal
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
@@ -344,6 +346,9 @@ _SINGLE_PARTITION_OK = {
     "source_text_lines",       # 400-row fixture file read + 1-row report combine
     "event_ab_test_lift",      # 2-row per-arm table -> 1-row readout combine
     "retail_channel_cumulative_compare",  # cumulative window over the calendar-bounded day spine
+    "ts_rolling_corr",         # rolling corr window over the calendar-bounded daily rollup
+    "text_vocab_growth",       # cumulative window over the |docs|/50-row bucket spine
+    "text_zipf_slope",         # rank over the 100-row top-k relation + 1-row regr combine
 }
 
 
