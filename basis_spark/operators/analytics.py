@@ -3468,3 +3468,65 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_interval",
         "forecast_rate",
     )
+
+
+@register(
+    "dq_drift_psi",
+    oracle="""
+    WITH tagged AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+             CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS period
+      FROM events),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS cb
+      FROM tagged GROUP BY bin),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts)
+    SELECT bin,
+           CAST(ca AS BIGINT) AS n_ref, CAST(cb AS BIGINT) AS n_cur,
+           round((ca + 0.5) / (ta + 5.0), 6) AS p_ref,
+           round((cb + 0.5) / (tb + 5.0), 6) AS p_cur,
+           round(((ca + 0.5) / (ta + 5.0) - (cb + 0.5) / (tb + 5.0))
+                 * ln(((ca + 0.5) / (ta + 5.0))
+                      / ((cb + 0.5) / (tb + 5.0))), 6) AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index table between a reference and a
+    current population over 10 fixed value bins — the model-monitoring
+    drift score (PSI > 0.2 = investigate) whose per-bin contributions
+    say WHERE the distribution moved, which KS/chi-square keys don't
+    localize. Laplace smoothing ((c+0.5)/(n+5)) keeps empty bins finite
+    and deterministic on both engines. Hash-split halves make the
+    expected PSI ~0 — a null drift, verifying the machinery exactly
+    (a real deployment keys `period` on ingest date instead; same
+    plan).
+
+    One bin-keyed hash agg (map-side combinable) + a 1-row totals
+    combine broadcast back as a literal — the totals never shuffle
+    data, so the shape survives any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 0.5) / (F.col("ta") + 5.0)
+    pb = (F.col("cb") + 0.5) / (F.col("tb") + 5.0)
+    return j.select(
+        "bin",
+        F.col("ca").alias("n_ref"),
+        F.col("cb").alias("n_cur"),
+        F.round(pa, 6).alias("p_ref"),
+        F.round(pb, 6).alias("p_cur"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )

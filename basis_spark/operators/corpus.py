@@ -684,3 +684,75 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias(f"rr_at_{EVAL_K}"),
     )
+
+
+@register(
+    "corpus_span_corruption",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             [CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                      for ch in string_split_regex(
+                          substring(md5(CAST(doc_id AS VARCHAR) || '-' ||
+                                        CAST(i AS VARCHAR)), 1, 13), '')]),
+                     (a, d) -> a * 16 + d) + 0.5) / 4503599627370496.0 < 0.15
+                   THEN 1 ELSE 0 END
+              for i in range(1, len(string_split(text, ' ')) + 1)] AS m
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(m) AS BIGINT) AS n_tokens,
+           CAST(list_sum(m) AS BIGINT) AS n_masked,
+           CAST(list_sum([CASE WHEN m[i] = 1
+                                AND (i = 1 OR m[i - 1] = 0)
+                               THEN 1 ELSE 0 END
+                          for i in range(1, len(m) + 1)]) AS BIGINT)
+               AS n_spans,
+           round(CAST(list_sum(m) AS DOUBLE) / len(m), 6) AS mask_rate
+    FROM base
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption planning (the T5/UL2 denoising objective's data
+    prep): every token position draws a DETERMINISTIC uniform from
+    md5(doc_id, position) and positions under the 15% rate are masked;
+    runs of consecutive masked positions form the spans that become
+    sentinel tokens. Emits per-doc mask counts, span counts (a span
+    starts where a masked position follows an unmasked one), and the
+    realized mask rate — the stats a pretraining pipeline audits before
+    committing a corruption config to a 100 TB run. Hash-derived
+    randomness (the sample_weighted_priority convention) is what makes
+    a masking PLAN value-hash reproducible across engines and reruns —
+    a seeded RNG plan is neither.
+
+    Pure map-side JVM: transform/filter/aggregate higher-order
+    expressions over the token-position sequence; no shuffle at all
+    (the per-doc row is the output grain)."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        "(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '-',"
+        " CAST(i AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 0.5)"
+        " / 4503599627370496.0"
+    )
+    m = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' '))),"
+            f" i -> CASE WHEN {u} < 0.15 THEN 1 ELSE 0 END)"
+        ).alias("m"),
+    )
+    n_masked = F.expr(
+        "aggregate(m, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    n_spans = F.expr(
+        "aggregate(transform(sequence(1, size(m)),"
+        " i -> CASE WHEN m[i - 1] = 1 AND (i = 1 OR m[i - 2] = 0)"
+        " THEN 1 ELSE 0 END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return m.select(
+        "doc_id",
+        F.size("m").cast("long").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        F.round(n_masked.cast("double") / F.size("m"), 6).alias("mask_rate"),
+    )

@@ -1636,3 +1636,90 @@ def graph_sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("node", F.round("d", 6).alias("cost"))
+
+
+_LPA_ROUNDS = 2  # bounded synchronous rounds: deterministic, SQL-exact
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties to the smallest label. Bounded
+    rounds (not convergence) is the declared contract — synchronous
+    LPA can oscillate, so production runs fix the round budget, which
+    is also exactly what makes the unrolled oracle well-defined."""
+    parts = [
+        _PROX_E_CTE,
+        """nbr AS MATERIALIZED (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS label FROM nbr)""",
+    ]
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+        SELECT nb.u AS node, l.label, count(*) AS c
+        FROM nbr nb JOIN {prev} l ON l.node = nb.v
+        GROUP BY nb.u, l.label),
+    l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rnk
+            FROM c{i}) t WHERE rnk = 1)"""
+        )
+        prev = f"l{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM {prev} GROUP BY label"""
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by bounded synchronous label propagation
+    over the proximity graph — the near-linear community algorithm
+    (Raghavan et al. 2007) that needs no modularity objective and no
+    edge weights: start every node at its own label, repeat 'adopt
+    your neighbors' majority label (ties to the smallest)' for a fixed
+    round budget, then read communities off the surviving labels.
+    Completes the graph family's community axis next to the
+    CONNECTIVITY axis (dedup_cluster_cc) and the COHESION axis
+    (k-core, clustering coefficient).
+
+    Each round is one hash join of the |2E| neighbor list against the
+    |V| label table, a (node, label)-keyed count, and a
+    WindowGroupLimit-shaped argmax per node — two shuffles per round,
+    lineage cut with localCheckpoint exactly like the kcore/BFS/SSSP
+    loops. Synchronous rounds (not async convergence) keep the result
+    deterministic and the unrolled SQL oracle exact."""
+    e = proximity_edges(spark, sf_dir)
+    nbr = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = nbr.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            nbr.join(labels, nbr["v"] == labels["node"])
+            .select(F.col("u").alias("n2"), "label")
+            .groupBy("n2", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("n2").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(F.col("n2").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+    )

@@ -3279,3 +3279,82 @@ def multimodal_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("byte_offset"),
         F.col("n_chars").alias("byte_length"),
     )
+
+
+@register(
+    "embeddings_pq_quantize",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, s.range AS s,
+             [CAST(embedding[s.range * 8 + j + 1] AS DOUBLE)
+              for j in range(8)] AS v
+      FROM embeddings, range(8) s),
+    anchors AS (
+      SELECT vec_id AS code, s, v AS av FROM sub WHERE vec_id < 16),
+    d AS (
+      SELECT sub.vec_id, sub.s, a.code,
+             round(list_sum(list_transform(range(8),
+                 j -> (sub.v[j + 1] - a.av[j + 1])
+                    * (sub.v[j + 1] - a.av[j + 1]))), 6) AS d2
+      FROM sub JOIN anchors a ON sub.s = a.s),
+    best AS (
+      SELECT vec_id, s, code, d2,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rnk
+      FROM d)
+    SELECT vec_id,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           round(sum(d2), 6) AS recon_err_sq
+    FROM best WHERE rnk = 1 GROUP BY vec_id
+    """,
+)
+def embeddings_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the 64-dim vector splits into 8 subspaces
+    of 8 dims, each encoded as the id of its nearest codebook anchor —
+    the compression rung between int8 scalar quantization and binary
+    Hamming (8 bytes/vector here, with asymmetric distance still
+    computable per subspace). Codebooks are the first 16 vectors'
+    sub-vectors — DETERMINISTIC anchors, which is what upgrades PQ
+    from the tolerance tier (learned k-means codebooks,
+    similarity_ann_ivf_kmeans's territory) to an exact value-hash
+    oracle; swapping in learned centroids changes only the broadcast
+    table. Emits per-vector code checksum + total squared
+    reconstruction error (rounded per subspace BEFORE the argmin and
+    the sum, so float summation order can't flip a tie on either
+    engine; ties break by anchor id).
+
+    Scale shape: the codebook is 16x8 floats x 8 subspaces — a
+    broadcast, never a shuffle; assignment is map-side per (vector,
+    subspace); the only exchange is the final vec_id re-assembly agg."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s ->"
+                " struct(s AS s, slice(ve, s * 8 + 1, 8) AS v))"
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.s").alias("s"), F.col("sv.v").alias("v"))
+    anchors = sub.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), "s", F.col("v").alias("av")
+    )
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(v, av, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+        ),
+        6,
+    )
+    j = sub.join(F.broadcast(anchors), "s").select(
+        "vec_id", "s", "code", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    best = j.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return best.groupBy("vec_id").agg(
+        F.sum("code").alias("code_sum"),
+        F.round(F.sum("d2"), 6).alias("recon_err_sq"),
+    )

@@ -1107,3 +1107,70 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.groupBy("bin").agg(
         F.sum("n_px").alias("n_px"), F.sum("luma_sum").alias("luma_sum")
     )
+
+
+def _wav_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "frame": [], "rms": [],
+            "zero_crossings": [], "peak": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            _rate, _n, samples = decode_wav(
+                make_wav(synth_wav_samples(d, n=256))
+            )
+            for f in range(4):
+                seg = samples[f * 64 : (f + 1) * 64]
+                sq = sum(s * s for s in seg)
+                zc = sum(
+                    1
+                    for i in range(1, 64)
+                    if (seg[i - 1] < 0) != (seg[i] < 0)
+                )
+                out["doc_id"].append(doc_id)
+                out["frame"].append(f)
+                out["rms"].append(round((sq / 64.0) ** 0.5, 6))
+                out["zero_crossings"].append(zc)
+                out["peak"].append(max(abs(s) for s in seg))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_rms_frames",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, k.range AS k,
+             ((d.doc_id * 37 + k.range * 11) % 2001) - 1000 AS amp
+      FROM documents d, range(256) k),
+    lagged AS (
+      SELECT doc_id, k // 64 AS frame, amp,
+             lag(amp) OVER (PARTITION BY doc_id, k // 64 ORDER BY k)
+                 AS prev_amp
+      FROM s)
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           round(sqrt(sum(CAST(amp AS DOUBLE) * amp) / 64.0), 6) AS rms,
+           CAST(sum(CASE WHEN prev_amp IS NOT NULL
+                          AND (prev_amp < 0) <> (amp < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(max(abs(amp)) AS BIGINT) AS peak
+    FROM lagged GROUP BY doc_id, frame
+    """,
+)
+def multimodal_audio_rms_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame-level audio features over REAL WAV decodes: 256 PCM samples
+    # per doc split into four 64-sample frames, each emitting RMS
+    # energy, zero-crossing count, and peak amplitude — the windowed
+    # stats every downstream audio featurizer (VAD, MFCC front end,
+    # silence trimming) starts from, where multimodal_audio_decode
+    # stops at whole-clip stats. The oracle recomputes all three from
+    # the sample formula (zero crossings via lag() sign flips), so a
+    # frame-boundary or endianness slip fails values, not just counts.
+    # One-to-four fan-out inside the same Arrow batch — no extra
+    # shuffle; frames inherit the doc's partition.
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _wav_frame_batches,
+        schema="doc_id long, frame long, rms double,"
+        " zero_crossings long, peak long",
+    )

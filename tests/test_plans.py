@@ -328,6 +328,7 @@ _SINGLE_PARTITION_OK = {
     "stat_mann_whitney_u",   # same P-row offset table + 1-row U combine
     "eval_auc_rank",         # same scaffold: P-row offset table + 1-row AUC combine
     "sql_subquery_surfaces", # scalar-subquery avg: 1-row combine reused as a literal
+    "dq_drift_psi",          # 1-row bin-totals combine broadcast back onto the 10-bin table
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
