@@ -1053,3 +1053,40 @@ def sql_subquery_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for v in views.values():
             spark.catalog.dropTempView(v)
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4) — SQL that runs a SQL string with
+    positional ? parameters bound through the parser: the dynamic-SQL
+    surface stored procedures and orchestration nodes use when the
+    statement itself is data (a column list from a config table, a
+    tenant-specific filter). Completes the SQL-node quartet: template
+    (names), named params (values), IDENTIFIER (identifiers), and now
+    whole-statement dynamism — with the same injection-safety story as
+    named params, because USING binds typed literals, never splices
+    strings."""
+    tag = _sf_tag(sf_dir)
+    view = f"execimm_lineitem_{tag}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    stmt = (
+        f"SELECT l_returnflag, count(*) AS n,"
+        f" round(sum(l_extendedprice), 2) AS revenue"
+        f" FROM {view} WHERE l_quantity >= ? GROUP BY l_returnflag"
+    )
+    try:
+        return spark.sql(
+            "EXECUTE IMMEDIATE :stmt USING 25", args={"stmt": stmt}
+        )
+    finally:
+        spark.catalog.dropTempView(view)

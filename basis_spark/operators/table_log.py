@@ -742,3 +742,102 @@ def table_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(pre.exceptAll(post), "removed").unionAll(
         tag(post.exceptAll(pre), "added")
     )
+
+
+@register(
+    "table_log_branch",
+    oracle="""
+    WITH f AS (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT 'main' AS ref,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN o_orderkey % 2 = 0
+                          THEN o_totalprice ELSE o_totalprice * 2 END), 2)
+               AS sum_price
+    FROM f
+    UNION ALL
+    SELECT 'exp' AS ref,
+           CAST(count(*) + sum(CASE WHEN o_orderkey % 2 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice)
+                 + sum(CASE WHEN o_orderkey % 2 = 0
+                            THEN o_totalprice * 3 ELSE 0 END), 2) AS sum_price
+    FROM f
+    """,
+)
+def table_log_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs on the transaction-log table (Iceberg's
+    branch/tag model — the lakehouse verb Delta lacks): a branch is a
+    named pointer {base_version, own log dir}. Branch 'exp' forks from
+    version 0 (BEFORE main's v1 reprice) and appends its own commit (a
+    3x-repriced copy of the even orders); main's log is never touched,
+    and the branch never sees main's later commits — a writable,
+    isolated experiment against frozen production data, at the cost of
+    one KB ref file and zero data copies.
+
+    Branch snapshot = replay(main log, to base_version) + replay(branch
+    log): both replays are the same O(#commits) metadata fold, and
+    reads stay object-pruned exactly like main-line time travel. The
+    output reads BOTH refs and rolls each up, so the oracle pins main's
+    isolation (still the v1 reprice) AND the branch's fork+append in
+    one comparison."""
+    table_dir = _build_table(spark, sf_dir)
+    refs_dir = os.path.join(table_dir, "refs")
+    branch_log = os.path.join(table_dir, "log-exp")
+    marker = os.path.join(branch_log, "00000000.json")
+    if not os.path.exists(marker):
+        os.makedirs(refs_dir, exist_ok=True)
+        os.makedirs(branch_log, exist_ok=True)
+        with open(os.path.join(refs_dir, "exp.json.tmp"), "w") as f:
+            json.dump({"name": "exp", "base_version": 0,
+                       "log_dir": "log-exp"}, f)
+        os.replace(os.path.join(refs_dir, "exp.json.tmp"),
+                   os.path.join(refs_dir, "exp.json"))
+        tripled = (
+            load(spark, sf_dir, "orders")
+            .filter((F.col("o_orderstatus") == "F")
+                    & (F.col("o_orderkey") % 2 == 0))
+            .select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") * 3).alias("o_totalprice"),
+            )
+        )
+        tripled.write.mode("overwrite").parquet(
+            os.path.join(table_dir, "files", "exp0")
+        )
+        tmp = marker + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": 0,
+                       "actions": [{"op": "add", "path": "files/exp0"}]}, f)
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass  # concurrent builder won the race; same bytes
+        finally:
+            os.unlink(tmp)
+
+    with open(os.path.join(refs_dir, "exp.json")) as f:
+        ref = json.load(f)
+    # branch live set: main's log replayed to the fork point, plus the
+    # branch's own commits replayed in full
+    base_objs = _live_objects(table_dir, as_of=ref["base_version"])
+    branch_objs = []
+    for name in sorted(os.listdir(os.path.join(table_dir, ref["log_dir"]))):
+        if name.endswith(".json"):
+            with open(os.path.join(table_dir, ref["log_dir"], name)) as f:
+                for a in json.load(f)["actions"]:
+                    if a["op"] == "add":
+                        branch_objs.append(os.path.join(table_dir, a["path"]))
+                    else:
+                        branch_objs.remove(os.path.join(table_dir, a["path"]))
+
+    def rollup(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("ref"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).select("ref", "n_rows", "sum_price")
+
+    main = spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+    branch = spark.read.parquet(*(base_objs + branch_objs)).select(*_COLS)
+    return rollup(main, "main").unionAll(rollup(branch, "exp"))

@@ -329,6 +329,7 @@ _SINGLE_PARTITION_OK = {
     "eval_auc_rank",         # same scaffold: P-row offset table + 1-row AUC combine
     "sql_subquery_surfaces", # scalar-subquery avg: 1-row combine reused as a literal
     "dq_drift_psi",          # 1-row bin-totals combine broadcast back onto the 10-bin table
+    "table_log_branch",      # two 1-row ref rollup combines unioned
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
