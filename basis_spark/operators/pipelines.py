@@ -1090,3 +1090,129 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "pipeline_embedding_index",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    s AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sd FROM e GROUP BY dim),
+    z AS (SELECT e.vec_id, e.dim, (e.x - s.mu) / s.sd AS zx
+          FROM e JOIN s ON e.dim = s.dim),
+    d AS (SELECT v.vec_id, a.vec_id AS code,
+                 round(sum((v.zx - a.zx) * (v.zx - a.zx)), 6) AS d2
+          FROM z v JOIN z a ON v.dim = a.dim AND a.vec_id < 16
+          GROUP BY v.vec_id, a.vec_id),
+    best AS (SELECT vec_id, code, d2,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, code) AS rnk
+             FROM d)
+    SELECT code AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(d2), 4) AS sum_d2,
+           CAST(min(vec_id) AS BIGINT) AS min_vec
+    FROM best WHERE rnk = 1 GROUP BY code
+    """,
+)
+def pipeline_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship embedding-index build, end to end in ONE Catalyst plan:
+    per-dimension stats -> z-standardize every vector -> assign each to
+    its nearest of 16 deterministic anchor cells in the whitened space
+    -> emit the per-cell index health report (occupancy + total
+    assignment distance) an IVF build publishes before serving. This
+    composes three registered primitives (embeddings_dim_stats,
+    embeddings_standardize, the IVF assignment shape) the way a real
+    index job runs them — no intermediate materialization, Catalyst
+    fuses the whole chain.
+
+    Scale shape: the ONLY shuffles are the (dim) stats agg, the vec_id
+    array reassembly, and the final 16-cell rollup. Stats (64 rows) and
+    anchors (16 z-vectors) broadcast; assignment is a map-side
+    zip_with/aggregate distance per (vector, anchor) with distances
+    rounded at 6dp BEFORE the argmin (ties by anchor id) so float
+    summation order can't flip a cell on either engine. Cell occupancy
+    counts are exactly what decides probe fan-out at serve time — a
+    skewed report here is the capacity-planning signal."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    s = e.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    )
+    z = e.join(F.broadcast(s), "dim").select(
+        "vec_id", "dim", ((F.col("x") - F.col("mu")) / F.col("sd")).alias("zx")
+    )
+    zv = z.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "zx"))),
+            lambda st: st["zx"],
+        ).alias("zv")
+    )
+    anchors = zv.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("zv").alias("av")
+    )
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(zv, av, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        ),
+        6,
+    )
+    scored = zv.crossJoin(F.broadcast(anchors)).select(
+        "vec_id", "code", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "code")
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return best.groupBy(F.col("code").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("d2"), 4).alias("sum_d2"),
+        F.min("vec_id").alias("min_vec"),
+    )
+
+
+@register(
+    "sql_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_filled,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2)
+               AS big_revenue,
+           round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+               AS avg_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard aggregate FILTER (WHERE ...) clause — per-
+    aggregate conditions without CASE gymnastics, and unlike
+    CASE-WHEN-ELSE-NULL it composes with ANY aggregate including
+    count(*). Catalyst compiles every filtered aggregate in this query
+    into ONE hash aggregate pass (the filters become per-expression
+    predicates inside the same partial agg), identical to what the
+    conditional-pivot keys get from CASE — the surface is what's being
+    pinned, the plan is already optimal."""
+    tag = _sf_tag(sf_dir)
+    view = f"filterclause_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderpriority,
+                   count(*) AS n_all,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+                   round(sum(o_totalprice)
+                         FILTER (WHERE o_totalprice > 200000), 2)
+                       AS big_revenue,
+                   round(avg(o_totalprice)
+                         FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open
+            FROM {view} GROUP BY o_orderpriority
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)

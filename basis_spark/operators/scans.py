@@ -1130,3 +1130,100 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_cents"
         ),
     )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource writer API — the
+    write-side sibling of source_python_datasource and the analogue of
+    a basis sink node targeting a system Spark has no connector for.
+    Executors stream each partition's rows through write() into a
+    temp file and return a commit MESSAGE; the driver's commit() then
+    renames every temp into place — the standard two-phase protocol,
+    so a failed/speculated task (abort()) leaves no partial output
+    and the sink is exactly-once per job even though writers are
+    plain Python. Verified by reading the files back with the JSON
+    reader and re-aggregating against the source-of-truth oracle."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out = _sf_scratch(spark, "pysink_jsonl", sf_dir)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, tmp: str):
+            self.tmp = tmp
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, it):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(
+                self.path, f"part-{_uuid.uuid4().hex}.jsonl.tmp"
+            )
+            with open(tmp, "w") as fh:
+                for row in it:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "nationkey": row["c_nationkey"],
+                                "acctbal": row["c_acctbal"],
+                            }
+                        )
+                        + "\n"
+                    )
+            return _Msg(tmp)
+
+        def commit(self, messages):
+            for m in messages:
+                os.replace(m.tmp, m.tmp[: -len(".tmp")])
+
+        def abort(self, messages):
+            for m in messages:
+                if os.path.exists(m.tmp):
+                    os.unlink(m.tmp)
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "basis_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options["path"])
+
+    try:
+        spark.dataSource.register(_JsonlSink)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+    if not os.path.exists(out) or not any(
+        n.endswith(".jsonl") for n in os.listdir(out)
+    ):
+        load(spark, sf_dir, "customer").select(
+            "c_nationkey", "c_acctbal"
+        ).write.format("basis_jsonl_sink").mode("append").option(
+            "path", out
+        ).save()
+    back = spark.read.schema("nationkey long, acctbal double").json(
+        os.path.join(out, "*.jsonl")
+    )
+    return back.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("acctbal"), 2).alias("sum_bal"),
+    )
