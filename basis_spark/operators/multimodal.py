@@ -1174,3 +1174,81 @@ def multimodal_audio_rms_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame long, rms double,"
         " zero_crossings long, peak long",
     )
+
+
+def _tar_member_batches(tar_path: str):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import tarfile
+
+        for pdf in batches:
+            out = {"member": [], "doc_id": [], "n_bytes": [], "byte_sum": []}
+            with tarfile.open(tar_path, "r") as tf:
+                names = set()
+                for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                    names.update(
+                        f"{d:06d}.txt" for d in range(int(lo), int(hi))
+                    )
+                for m in tf:
+                    if m.name not in names:
+                        continue
+                    data = tf.extractfile(m).read()
+                    out["member"].append(m.name)
+                    out["doc_id"].append(int(m.name.split(".")[0]))
+                    out["n_bytes"].append(len(data))
+                    out["byte_sum"].append(sum(data))
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+@register(
+    "multimodal_tar_shard_read",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_bytes,
+           CAST(((doc_id * 31) % 256) + ((doc_id * 31 + 7) % 256)
+                + ((doc_id * 31 + 14) % 256) + ((doc_id * 31 + 21) % 256)
+                + ((doc_id * 31 + 28) % 256) + ((doc_id * 31 + 35) % 256)
+                + ((doc_id * 31 + 42) % 256) + ((doc_id * 31 + 49) % 256)
+                AS BIGINT) AS byte_sum
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_tar_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL tar-shard read (the WebDataset container): build one tar of
+    # 200 members once per session (stdlib tarfile, deterministic
+    # 8-byte payloads from the doc_id formula), then each task opens
+    # the shard and extracts ONLY its assigned member range — the
+    # seek-and-extract access pattern a dataloader uses against
+    # .tar shards, driven here by an 8-way range split so the single
+    # shard is read in parallel. Oracle recomputes byte sums from the
+    # payload formula, so a header-offset or extraction bug fails
+    # values. At 100 TB there are many shards: the same gen runs per
+    # (shard, member-range) with binaryFile-listed paths.
+    import io as _io
+    import os
+    import tarfile as _tarfile
+
+    from basis_spark.io import scratch_dir
+
+    shard = os.path.join(
+        scratch_dir("tar_shards"),
+        f"shard_{spark.sparkContext.applicationId}.tar",
+    )
+    if not os.path.exists(shard):
+        tmp = shard + f".tmp.{os.getpid()}"
+        with _tarfile.open(tmp, "w") as tf:
+            for d in range(200):
+                payload = bytes((d * 31 + i * 7) % 256 for i in range(8))
+                info = _tarfile.TarInfo(name=f"{d:06d}.txt")
+                info.size = len(payload)
+                tf.addfile(info, _io.BytesIO(payload))
+        os.replace(tmp, shard)
+    ranges = spark.range(0, 200, 25).select(
+        F.col("id").alias("lo"), (F.col("id") + 25).alias("hi")
+    )
+    out = ranges.mapInPandas(
+        _tar_member_batches(shard),
+        schema="member string, doc_id long, n_bytes long, byte_sum long",
+    )
+    return out.select("doc_id", "n_bytes", "byte_sum")

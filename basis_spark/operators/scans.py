@@ -1227,3 +1227,44 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("acctbal"), 2).alias("sum_bal"),
     )
+
+
+@register(
+    "scan_gzip_text",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(i * 13 % 1000) AS BIGINT) AS sum_metric,
+           CAST(sum(length('rec|' || CAST(i AS VARCHAR) || '|'
+                           || CAST(i * 13 % 1000 AS VARCHAR))) AS BIGINT)
+               AS total_chars
+    FROM range(500) t(i)
+    """,
+)
+def scan_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed text source — Spark decompresses .gz
+    transparently through the Hadoop codec chain, so ingesting vendor
+    log drops needs no pre-processing step. The 100 TB caveat IS the
+    operator's documentation: gzip is NOT splittable, so one .gz file
+    = one task no matter its size — a single 500 GB .gz is a straggler
+    by construction. The production layout is many ~128 MB-1 GB .gz
+    objects (parallelism from file count, as here conceptually), or
+    zstd/bzip2 when within-file splits are required."""
+    import gzip
+
+    out = os.path.join(
+        scratch_dir("gzip_text"),
+        f"rows_{spark.sparkContext.applicationId}.txt.gz",
+    )
+    if not os.path.exists(out):
+        tmp = out + f".tmp.{os.getpid()}"
+        with gzip.open(tmp, "wt") as fh:
+            for i in range(500):
+                fh.write(f"rec|{i}|{i * 13 % 1000}\n")
+        os.replace(tmp, out)
+    df = spark.read.text(out)
+    metric = F.regexp_extract("value", r"^rec\|(\d+)\|(\d+)$", 2).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(metric).alias("sum_metric"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )

@@ -774,3 +774,104 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("label"), 6).alias("pos_rate"),
         F.round(F.abs(F.avg("score") - F.avg("label")), 6).alias("gap"),
     )
+
+
+_POIS_CDF = (  # cumulative Poisson(1) probabilities, fixed literals so
+    # both engines bucket the SAME hash-uniform into the SAME weight
+    (0.367879441, 0),
+    (0.735758882, 1),
+    (0.919698603, 2),
+    (0.981011843, 3),
+    (0.996340153, 4),
+)
+
+
+@register(
+    "stat_bootstrap_poisson_ci",
+    oracle="""
+    WITH r AS (
+      SELECT e.value, b.range AS b,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                  for ch in string_split_regex(
+                      substring(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+                                    CAST(b.range AS VARCHAR)), 1, 13), '')]),
+                 (a, d) -> a * 16 + d) + 0.5) / 4503599627370496.0 AS u
+      FROM events e, range(16) b
+      WHERE e.event_type = 'purchase'),
+    w AS (
+      SELECT b, value,
+             CASE WHEN u < 0.367879441 THEN 0
+                  WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2
+                  WHEN u < 0.981011843 THEN 3
+                  WHEN u < 0.996340153 THEN 4
+                  ELSE 5 END AS wt
+      FROM r),
+    reps AS (
+      SELECT b, sum(wt * value) / sum(wt) AS m
+      FROM w GROUP BY b)
+    SELECT CAST(16 AS BIGINT) AS n_replicates,
+           round(avg(m), 6) AS boot_mean,
+           round(stddev_samp(m), 6) AS boot_se,
+           round(min(m), 6) AS boot_lo,
+           round(max(m), 6) AS boot_hi
+    FROM reps
+    """,
+)
+def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error / range for a mean via the POISSON
+    bootstrap (the distributed form: resampling n-out-of-n needs
+    coordinated sampling without replacement across machines, but
+    Poisson(1) per-row weights need NO coordination — each row decides
+    its own multiplicity per replicate, independently, map-side; the
+    approximation error vs the multinomial bootstrap is O(1/n)).
+    B=16 replicates of the purchase-value mean, weights drawn from
+    md5(event_id, b) through a fixed Poisson(1) inverse-CDF table —
+    hash-deterministic, so the WHOLE resampling plan is value-hash
+    reproducible (the sample_weighted_priority convention; a seeded
+    RNG bootstrap is neither portable nor rerun-stable).
+
+    Shape: a x16 map-side fan-out, one 16-key hash agg (replicate
+    sufficient stats partial-aggregate like any sum), and a 1-row
+    combine over the 16 replicate means — no data-sized shuffle, no
+    second scan, holds at any corpus size."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    r = ev.select(
+        "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    )
+    u = (v.cast("double") + 0.5) / F.lit(float(1 << 52))
+    wt = F.lit(5)
+    for thresh, k in reversed(_POIS_CDF):
+        wt = F.when(u < thresh, k).otherwise(wt)
+    reps = (
+        r.select("b", "value", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m")
+        )
+    )
+    return reps.agg(
+        F.lit(16).cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+        F.round(F.min("m"), 6).alias("boot_lo"),
+        F.round(F.max("m"), 6).alias("boot_hi"),
+    )

@@ -330,6 +330,8 @@ _SINGLE_PARTITION_OK = {
     "sql_subquery_surfaces", # scalar-subquery avg: 1-row combine reused as a literal
     "dq_drift_psi",          # 1-row bin-totals combine broadcast back onto the 10-bin table
     "table_log_branch",      # two 1-row ref rollup combines unioned
+    "scan_gzip_text",        # 500-row unsplittable-file read + 1-row report combine
+    "stat_bootstrap_poisson_ci",  # 1-row combine over the 16 replicate means
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
