@@ -3530,3 +3530,123 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_cur"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
     )
+
+
+@register(
+    "ts_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             count(*) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    idx AS (
+      SELECT x, row_number() OVER (ORDER BY d) - 1 AS t,
+             count(*) OVER () AS n
+      FROM daily),
+    freq AS (SELECT k.range AS k FROM range(1, 9) k)
+    SELECT k,
+           round((pow(sum(x * cos(2 * pi() * k * t / n)), 2)
+                  + pow(sum(x * sin(2 * pi() * k * t / n)), 2))
+                 / pow(max(n), 2), 4) AS power_norm
+    FROM idx, freq
+    GROUP BY k
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse periodogram of the daily click-count series: spectral
+    power at the first 8 Fourier frequencies, N-squared-normalized —
+    the seasonality DETECTOR (a peak at k = N/7 says 'weekly') that
+    decides whether ts_decompose/ts_holt_winters should run at all,
+    computed without any FFT library: S(k) = (Σ x·cos)² + (Σ x·sin)²
+    is just two algebraic aggregates per frequency.
+
+    The day ordinal comes from a row_number over the calendar-bounded
+    daily rollup (declared single partition, ~|days| rows); the x8
+    frequency fan-out is a broadcast-range cross join evaluated
+    map-side; each (k) group's sums partial-aggregate like any sum.
+    Normalized power is rounded at 4dp — three orders above the
+    cross-engine libm cos/sin + summation-order noise floor."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("d")
+    wtot = Window.partitionBy(F.lit(1))
+    idx = daily.select(
+        "x",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(wtot).alias("n"),
+    )
+    freq = spark.range(1, 9).select(F.col("id").alias("k"))
+    j = idx.crossJoin(F.broadcast(freq))
+    ang = 2 * F.lit(3.141592653589793) * F.col("k") * F.col("t") / F.col("n")
+    return j.groupBy("k").agg(
+        F.round(
+            (
+                F.pow(F.sum(F.col("x") * F.cos(ang)), 2)
+                + F.pow(F.sum(F.col("x") * F.sin(ang)), 2)
+            )
+            / F.pow(F.max("n"), 2),
+            4,
+        ).alias("power_norm")
+    )
+
+
+@register(
+    "privacy_pseudonymize_consistent",
+    oracle="""
+    WITH c AS (
+      SELECT substring(md5('pepper-v1:' || CAST(c_custkey AS VARCHAR)),
+                       1, 16) AS pid,
+             c_mktsegment
+      FROM customer),
+    o AS (
+      SELECT substring(md5('pepper-v1:' || CAST(o_custkey AS VARCHAR)),
+                       1, 16) AS pid,
+             o_totalprice
+      FROM orders)
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(DISTINCT c.pid) AS BIGINT) AS n_pseudonyms,
+           CAST(count(o.o_totalprice) AS BIGINT) AS n_orders,
+           round(sum(coalesce(o.o_totalprice, 0)), 2) AS revenue
+    FROM c LEFT JOIN o ON c.pid = o.pid
+    GROUP BY c.c_mktsegment
+    """,
+)
+def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization across tables: every customer key is
+    replaced by a keyed-hash token (md5 with a secret pepper — the
+    pattern; swap in HMAC-SHA256 where the guarantee must survive
+    brute-force of the key space) in BOTH the customer and orders
+    tables, and the analysis joins ON THE TOKENS. What the key proves
+    is the property pseudonymization must preserve and naive
+    per-table masking destroys: referential integrity — per-segment
+    order counts and revenue through the token join are exactly what
+    the raw-key join would produce, while no raw key appears in any
+    output column. Tokenization is a map-side expression; the join
+    shuffles on the token exactly as it would on the raw key (same
+    cardinality, same skew), so the privacy layer is plan-neutral."""
+    pepper = F.lit("pepper-v1:")
+    c = load(spark, sf_dir, "customer").select(
+        F.substring(
+            F.md5(F.concat(pepper, F.col("c_custkey").cast("string"))), 1, 16
+        ).alias("pid"),
+        "c_mktsegment",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.substring(
+            F.md5(F.concat(pepper, F.col("o_custkey").cast("string"))), 1, 16
+        ).alias("pid"),
+        "o_totalprice",
+    )
+    return (
+        c.join(o, "pid", "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("pid").alias("n_pseudonyms"),
+            F.count("o_totalprice").alias("n_orders"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

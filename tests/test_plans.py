@@ -332,6 +332,7 @@ _SINGLE_PARTITION_OK = {
     "table_log_branch",      # two 1-row ref rollup combines unioned
     "scan_gzip_text",        # 500-row unsplittable-file read + 1-row report combine
     "stat_bootstrap_poisson_ci",  # 1-row combine over the 16 replicate means
+    "ts_periodogram",        # day-ordinal window over the calendar-bounded daily rollup
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
