@@ -3650,3 +3650,87 @@ def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@register(
+    "event_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+                 AS cohort
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE) AS wk,
+             sum(e.value) AS v
+      FROM events e WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT f.cohort,
+             CAST((rev.wk - f.cohort) / 7 AS BIGINT) AS week_offset,
+             sum(rev.v) AS wk_rev
+      FROM rev JOIN firsts f ON rev.user_id = f.user_id
+      WHERE rev.wk >= f.cohort
+      GROUP BY 1, 2),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM firsts GROUP BY 1)
+    SELECT c.cohort, c.week_offset,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           round(sum(c2.wk_rev) / s.n_users, 4) AS cum_ltv_per_user
+    FROM cells c
+    JOIN cells c2 ON c2.cohort = c.cohort
+                 AND c2.week_offset <= c.week_offset
+    JOIN sizes s ON s.cohort = c.cohort
+    GROUP BY c.cohort, c.week_offset, s.n_users
+    """,
+)
+def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per user by
+    signup-week cohort and week offset — the growth metric a retention
+    matrix (retention_cohort's territory) cannot answer: WHICH cohorts
+    pay back acquisition cost, and by when. The cumulative axis makes
+    curves comparable across cohorts of different ages.
+
+    Shapes: first-activity agg on user_id (one row per user — the
+    broadcast side at scale), revenue rollup to (user, week), cohort
+    cells, then a cumulative WINDOW per cohort (the oracle spells the
+    same cumsum as a bounded self-join; Spark uses the window — both
+    exact). Cohort count is calendar-bounded, so the window partitions
+    are tiny; nothing user-sized crosses a single partition."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    cells = (
+        rev.join(firsts, "user_id")
+        .filter(F.col("wk") >= F.col("cohort"))
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.sum("v").alias("wk_rev"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_users",
+            F.round(F.sum("wk_rev").over(w) / F.col("n_users"), 4).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )

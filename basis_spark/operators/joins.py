@@ -1723,3 +1723,64 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("min_node"),
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=_PROX_E_CTE
+    + """,
+    deg AS (SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
+            GROUP BY node),
+    pairs AS (
+        SELECT du.d AS dx, dv.d AS dy
+        FROM e JOIN deg du ON du.node = e.u
+               JOIN deg dv ON dv.node = e.v)
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(dx + dy, dx * dy), 6) AS mix_corr,
+           round((avg(CAST(dx AS DOUBLE) * dy) - avg(dx) * avg(dy))
+                 / (CASE WHEN stddev_pop(dx) * stddev_pop(dy) = 0 THEN NULL
+                         ELSE stddev_pop(dx) * stddev_pop(dy) END), 6)
+               AS assortativity
+    FROM (SELECT dx, dy FROM pairs
+          UNION ALL SELECT dy AS dx, dx AS dy FROM pairs) sym
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the proximity graph: the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (Newman 2002) — positive means hubs attach to hubs (social-style),
+    negative means hub-and-spoke (infrastructure-style). This single
+    number decides salting strategy before any join on the graph: a
+    disassortative power-law graph concentrates wedge work at hubs;
+    an assortative one concentrates SHUFFLE PAIRS between hot
+    partitions. Emitted alongside a secondary mixing correlation so
+    the oracle pins more than one moment of the joint distribution.
+
+    Shape: one degree agg (two map-side-combinable passes over the
+    edge list), two broadcast-joinable lookups (degree table is
+    |V|-sized; at scale it hash-joins on the edge keys), and a 1-row
+    corr() combine — co-moment state only, no sort."""
+    e = proximity_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    pairs = e.join(du, "u").join(dv, "v").select("dx", "dy")
+    sym = pairs.unionAll(
+        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    sx, sy = F.stddev_pop("dx"), F.stddev_pop("dy")
+    cov = F.avg(F.col("dx").cast("double") * F.col("dy")) - F.avg("dx") * F.avg("dy")
+    return sym.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.corr(F.col("dx") + F.col("dy"), F.col("dx") * F.col("dy")), 6)
+        .alias("mix_corr"),
+        F.round(cov / F.when(sx * sy == 0, None).otherwise(sx * sy), 6).alias(
+            "assortativity"
+        ),
+    )

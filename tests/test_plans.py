@@ -333,6 +333,7 @@ _SINGLE_PARTITION_OK = {
     "scan_gzip_text",        # 500-row unsplittable-file read + 1-row report combine
     "stat_bootstrap_poisson_ci",  # 1-row combine over the 16 replicate means
     "ts_periodogram",        # day-ordinal window over the calendar-bounded daily rollup
+    "graph_assortativity",   # 1-row corr/co-moment combine over the edge-degree pairs
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
