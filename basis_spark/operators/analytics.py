@@ -3734,3 +3734,85 @@ def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "interval_merge_overlaps",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                      PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+      FROM flagged)
+    SELECT user_id,
+           CAST(count(DISTINCT island) AS BIGINT) AS n_merged,
+           CAST(sum(dur) AS BIGINT) AS covered_minutes
+    FROM (SELECT user_id, island,
+                 datediff('second', min(s), max(e)) // 60 AS dur
+          FROM islands GROUP BY user_id, island) t
+    GROUP BY user_id
+    """,
+)
+def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key (the classic gaps-and-islands
+    sweep): every event opens a 45-minute activity interval; touching/
+    overlapping intervals coalesce into islands, and the output is each
+    user's merged-interval count plus total covered minutes — the
+    coverage metric behind billing windows, on-call overlap, and GPU
+    reservation accounting, where double-counting overlap is exactly
+    the bug.
+
+    One user-keyed exchange serves everything: an island STARTS where
+    the interval's start exceeds the running max of all previous ends
+    (the running max handles containment — a long interval swallowing
+    later short ones — which naive lag(e) comparisons get wrong);
+    island ids are the running sum of those flags; the rollup reuses
+    the same partitioning. Interval arithmetic stays in whole minutes
+    so both engines compare exact integers."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("user_id", "island").agg(
+        (
+            (
+                F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s"))
+            )
+            / 60
+        )
+        .cast("long")
+        .alias("dur")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").alias("n_merged"),
+        F.sum("dur").alias("covered_minutes"),
+    )

@@ -3358,3 +3358,62 @@ def embeddings_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("code").alias("code_sum"),
         F.round(F.sum("d2"), 6).alias("recon_err_sq"),
     )
+
+
+@register(
+    "text_hash_features",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest([substring(text, i, 3)
+                     for i in range(1, length(text) - 1)]) AS g
+      FROM documents WHERE length(text) >= 3),
+    buckets AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+      FROM grams),
+    per_bucket AS (
+      SELECT doc_id, b, count(*) AS c FROM buckets GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS nnz_buckets,
+           CAST(sum(b * c) AS BIGINT) AS bucket_checksum
+    FROM per_bucket GROUP BY doc_id
+    """,
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer): every char
+    3-gram hashes into one of 64 buckets, giving each document a
+    fixed-width sparse count vector with NO vocabulary to build,
+    broadcast, or version — the property that makes hashed features
+    the only practical text featurizer at 100 TB (a fitted vocabulary
+    is a second pass plus a coordination artifact; a hash function is
+    neither). Emits per-doc vector stats (total grams, nonzero
+    buckets, bucket-weighted checksum) so the oracle pins every
+    bucket assignment without comparing an array column.
+
+    Map-side gram explode -> (doc, bucket) hash agg -> per-doc rollup;
+    the md5-derived bucket is the same deterministic-hash convention
+    as the sampling/bootstrap keys, so the 'model features' are
+    bit-reproducible across engines and reruns."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    b = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % 64
+    ).alias("b")
+    per_bucket = grams.select("doc_id", b).groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_bucket.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("nnz_buckets"),
+        F.sum(F.col("b") * F.col("c")).alias("bucket_checksum"),
+    )
