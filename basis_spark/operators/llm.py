@@ -3417,3 +3417,59 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nnz_buckets"),
         F.sum(F.col("b") * F.col("c")).alias("bucket_checksum"),
     )
+
+
+@register(
+    "multimodal_shard_pack_balanced",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+      FROM documents),
+    routed AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (r // 16) % 2 = 0
+                  THEN r % 16 ELSE 15 - (r % 16) END AS shard_id
+      FROM ranked)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM routed GROUP BY shard_id
+    """,
+)
+def multimodal_shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-BALANCED shard routing (the load-aware sibling of
+    multimodal_shard_pack's hash routing): samples sort by payload
+    size descending and deal onto 16 shards in boustrophedon
+    (snake) order — rank block k goes 0..15, block k+1 goes 15..0 —
+    so every shard gets one sample from each size stratum and the
+    largest payloads can't pile onto low shard ids. This is the
+    deterministic, shuffle-friendly approximation of LPT bin packing
+    (true LPT is inherently sequential: each placement depends on all
+    previous loads); snake dealing bounds the max/min shard-byte
+    ratio tightly at any corpus size without any sequential state.
+
+    The global size rank is the two-pass range-partition scaffold
+    (windows.global_rank on (-n_chars, doc_id)) — NO SinglePartition
+    sort at any corpus size; the plan's only data-sized movement is
+    the range exchange plus the 16-key rollup."""
+    from basis_spark.operators.windows import global_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (-F.col("n_chars")).alias("neg_size")
+    )
+    ranked = global_rank(docs, "neg_size", "doc_id").select(
+        "doc_id", "n_chars", (F.col("rank") - 1).alias("r")
+    )
+    block, pos = (F.col("r") / 16).cast("long"), F.col("r") % 16
+    routed = ranked.select(
+        "doc_id",
+        "n_chars",
+        F.when(block % 2 == 0, pos).otherwise(15 - pos).alias("shard_id"),
+    )
+    return routed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+    )

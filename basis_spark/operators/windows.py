@@ -1020,3 +1020,72 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_days"),
         F.round(F.corr("x", "y").over(w), 6).alias("roll_corr"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events),
+    run AS (
+      SELECT user_id, ts, event_type,
+             sum(first_seen) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS distinct_so_far
+      FROM flagged)
+    SELECT user_id,
+           CAST(max(distinct_so_far) AS BIGINT) AS final_distinct,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(distinct_so_far) AS BIGINT) AS area_under_curve
+    FROM run GROUP BY user_id
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — the window
+    Spark (and the SQL standard) refuse to evaluate directly, unlocked
+    by the first-occurrence decomposition: flag each row that is the
+    first of its (user, event_type), then a running SUM of flags IS
+    the running distinct count. Per user the output pins the final
+    distinct count, event total, and the area under the
+    distinct-growth curve (which detects WHEN variety arrived — two
+    users with identical finals differ if one explored early). Both
+    windows order on the TOTAL key (ts, event_id): a ts-only order
+    leaves tied rows' prefix sums engine-dependent, which the area
+    column would expose.
+
+    Two windows, both on the same user-keyed exchange (the
+    first-occurrence window sub-partitions by event_type — same
+    hash-partition family, no second shuffle at the exchange level
+    after AQE reuse); the rollup reuses the partitioning again. The
+    same decomposition is the 100 TB answer whenever 'distinct so far'
+    is asked of any stream."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    ).select(
+        "user_id", F.sum("first_seen").over(w_run).alias("distinct_so_far")
+    )
+    return run.groupBy("user_id").agg(
+        F.max("distinct_so_far").alias("final_distinct"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("distinct_so_far").alias("area_under_curve"),
+    )

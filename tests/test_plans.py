@@ -311,6 +311,7 @@ _SINGLE_PARTITION_OK = {
     "agg_hist_equi_depth",   # same two-pass global_rank: P-row count table only, never data-sized
     "customer_rfm_segmentation",  # 3x global_rank over the customer rollup: 3 P-row count tables
     "text_perplexity_bucket",     # global_rank over the per-doc ppl rollup: P-row count table only
+    "multimodal_shard_pack_balanced",  # global_rank over doc sizes: P-row count table only
     "win_moving_avg",        # global frame over per-day pre-agg (~2.5k rows max)
     "win_percent_of_total",  # grand-total window over the 25-row nation agg
     "win_range_frame",       # same bounded per-day spine
