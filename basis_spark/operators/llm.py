@@ -3473,3 +3473,177 @@ def multimodal_shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_chars").alias("total_bytes"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@register(
+    "similarity_mips_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 500 = 0),
+    d AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+      SELECT q.q_id, d.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(d.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 6) AS ip
+      FROM d, q WHERE d.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, ip,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY ip DESC, vec_id) AS rnk
+      FROM dots)
+    SELECT q_id, vec_id, ip, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS) via the norm-augmentation
+    reduction (Bachrach et al. 2014, the XBOX transform): raw inner
+    product is NOT a metric (no triangle inequality, long vectors
+    dominate), so cosine/L2 index structures can't serve it — until
+    every data vector is padded with sqrt(M^2 - |x|^2) (M = corpus max
+    norm, one broadcast scalar) and every query with 0. In the
+    augmented space, L2-nearest EQUALS max-inner-product, so the whole
+    ANN ladder (IVF, PQ, LSH) becomes MIPS-capable unchanged — this is
+    how recommendation retrieval ships. The operator runs the
+    transform, ranks in augmented L2, and emits raw-IP top-5 whose
+    ORDER the plain inner-product oracle must reproduce exactly — the
+    reduction's correctness is the thing under test.
+
+    Shapes: max-norm is a 1-row combine broadcast into the padding
+    expression; queries broadcast; scoring is map-side zip_with per
+    (doc, query); per-query top-k via WindowGroupLimit. Rounded at 6dp
+    before ranking on both engines, ties by vec_id."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    )
+    norm2 = F.expr("aggregate(ve, 0D, (a, x) -> a + x * x)")
+    with_norm = emb.withColumn("n2", norm2)
+    mx = with_norm.agg(F.max("n2").alias("m2"))
+    docs = with_norm.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.expr(
+            "concat(ve, array(sqrt(m2 - n2)))"
+        ).alias("aug"),  # data vector padded to equal norm M
+    )
+    q = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("concat(ve, array(0D))").alias("qaug"),
+    )
+    # In augmented space |d|=M for all docs, so argmin L2 == argmax IP;
+    # the emitted score is the RAW inner product (qaug's pad is 0, so
+    # the augmented dot IS the raw dot) — exactly what the oracle ranks.
+    ip = F.round(
+        F.expr(
+            "aggregate(zip_with(aug, qaug, (x, y) -> x * y),"
+            " 0D, (a, t) -> a + t)"
+        ),
+        6,
+    )
+    scored = docs.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", ip.alias("ip"))
+    w = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "ip", "rnk")
+    )
+
+
+@register(
+    "embeddings_mrl_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 400 = 0),
+    full_d AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 6) AS s
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    trunc_d AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 17),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 6) AS s
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    full_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY s DESC, vec_id) AS r
+        FROM full_d) t WHERE r <= 10),
+    trunc_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY s DESC, vec_id) AS r
+        FROM trunc_d) t WHERE r <= 10)
+    SELECT f.q_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           round(count(t.vec_id) / 10.0, 2) AS recall_at_10
+    FROM full_top f LEFT JOIN trunc_top t
+      ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def embeddings_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation QUALITY eval: recall@10 of the 16-dim
+    prefix ranking against the full 64-dim ranking, per query — the
+    measurement that decides whether embeddings_truncate_mrl's 4x
+    storage cut is safe for a given corpus (MRL-trained models hold
+    recall; a non-MRL model collapses here, and THIS readout is how
+    you find out before committing the index build). Both rankings
+    are exact brute force at oracle scale; at 100 TB each side is the
+    ANN ladder at its own dimension and this key becomes the
+    acceptance test between them.
+
+    Shapes: queries broadcast; both dot products are one map-side
+    zip_with pass each (the 16-dim one over the slice); per-query
+    top-10 via WindowGroupLimit; the overlap join is (q_id, vec_id)
+    keyed on 10-row-per-query relations — trivially small at any
+    corpus size."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    )
+    q = emb.filter(F.col("vec_id") % 400 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("ve").alias("qe")
+    )
+    j = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+
+    def topk(score_expr: str) -> DataFrame:
+        s = F.round(F.expr(score_expr), 6)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("s").desc(), F.col("vec_id")
+        )
+        return (
+            j.select("q_id", "vec_id", s.alias("s"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 10)
+            .select("q_id", "vec_id")
+        )
+
+    full_top = topk(
+        "aggregate(zip_with(ve, qe, (x, y) -> x * y), 0D, (a, t) -> a + t)"
+    )
+    trunc_top = topk(
+        "aggregate(zip_with(slice(ve, 1, 16), slice(qe, 1, 16),"
+        " (x, y) -> x * y), 0D, (a, t) -> a + t)"
+    )
+    t = trunc_top.select(
+        F.col("q_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    return (
+        full_top.join(
+            t,
+            (F.col("q_id") == F.col("t_qid"))
+            & (F.col("vec_id") == F.col("t_vid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("t_vid").alias("n_overlap"),
+            F.round(F.count("t_vid") / 10.0, 2).alias("recall_at_10"),
+        )
+    )

@@ -1268,3 +1268,45 @@ def scan_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(metric).alias("sum_metric"),
         F.sum(F.length("value")).alias("total_chars"),
     )
+
+
+@register(
+    "source_json_multiline",
+    oracle="""
+    SELECT CAST(i % 5 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i * 3) AS BIGINT) AS sum_metric
+    FROM range(300) t(i)
+    GROUP BY 1
+    """,
+)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file JSON ARRAY source (multiLine=true) — the shape REST
+    APIs and config exports actually produce, as opposed to the
+    line-delimited JSONL that source_json_roundtrip covers. The scale
+    contract is the caveat: a multiLine JSON document cannot be split
+    (the parser needs the whole token tree), so one file = one task —
+    the same straggler physics as gzip; production either converts to
+    JSONL at ingest (then every line splits) or keeps API dumps small
+    and many."""
+    import json as _json
+
+    out = os.path.join(
+        scratch_dir("json_multiline"),
+        f"payload_{spark.sparkContext.applicationId}.json",
+    )
+    if not os.path.exists(out):
+        tmp = out + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                [{"i": i, "grp": i % 5, "metric": i * 3} for i in range(300)],
+                fh,
+                indent=1,  # pretty-printed: rows span many lines
+            )
+        os.replace(tmp, out)
+    df = spark.read.option("multiLine", "true").schema(
+        "i long, grp long, metric long"
+    ).json(out)
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("metric").alias("sum_metric")
+    )

@@ -335,6 +335,7 @@ _SINGLE_PARTITION_OK = {
     "stat_bootstrap_poisson_ci",  # 1-row combine over the 16 replicate means
     "ts_periodogram",        # day-ordinal window over the calendar-bounded daily rollup
     "graph_assortativity",   # 1-row corr/co-moment combine over the edge-degree pairs
+    "similarity_mips_topk",  # 1-row max-norm combine broadcast into the padding expr
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
