@@ -3816,3 +3816,87 @@ def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("island").alias("n_merged"),
         F.sum("dur").alias("covered_minutes"),
     )
+
+
+@register(
+    "dq_fk_discovery",
+    oracle="""
+    WITH cand AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS edge,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child,
+             (SELECT count(DISTINCT o.o_custkey) FROM orders o
+              WHERE o.o_custkey IN (SELECT c_custkey FROM customer))
+                 AS n_contained
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+              WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation.n_nationkey',
+             (SELECT count(DISTINCT c_nationkey) FROM customer),
+             (SELECT count(DISTINCT c.c_nationkey) FROM customer c
+              WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation))
+      UNION ALL
+      SELECT 'orders.o_orderkey->lineitem.l_linenumber',
+             (SELECT count(DISTINCT o_orderkey) FROM orders),
+             (SELECT count(DISTINCT o.o_orderkey) FROM orders o
+              WHERE o.o_orderkey IN (SELECT l_linenumber FROM lineitem))
+    )
+    SELECT edge,
+           CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           round(CAST(n_contained AS DOUBLE) / n_child, 6) AS containment,
+           CAST(CASE WHEN n_contained = n_child THEN 1 ELSE 0 END AS BIGINT)
+               AS is_fk_candidate
+    FROM cand
+    """,
+)
+def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) DISCOVERY over a candidate
+    column-pair set: for each child->parent pair, the fraction of the
+    child's distinct values contained in the parent — containment 1.0
+    flags an FK candidate, fractional containment measures how dirty a
+    SUSPECTED edge is (dq_referential_orphans audits edges you already
+    trust; this finds them, including the negative control pair that
+    must NOT qualify). The Metanome/profiling primitive run before
+    adopting an unfamiliar lake.
+
+    Per pair: one distinct-agg on the child plus a LEFT SEMI join to
+    the parent (Catalyst compiles the IN-subquery to exactly that) —
+    each pair's cost is two hash shuffles on its own key, pairs run
+    independently, and the 4-row report unions at the end. At scale
+    the candidate set comes from schema metadata (same plan, more
+    unions), and bloom/HLL containment is the documented approximate
+    first pass."""
+    pairs = [
+        ("orders.o_custkey->customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("customer.c_nationkey->nation.n_nationkey",
+         ("customer", "c_nationkey"), ("nation", "n_nationkey")),
+        ("orders.o_orderkey->lineitem.l_linenumber",
+         ("orders", "o_orderkey"), ("lineitem", "l_linenumber")),
+    ]
+    out = None
+    for edge, (ct, cc), (pt, pc) in pairs:
+        child = load(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        parent = load(spark, sf_dir, pt).select(F.col(pc).alias("k"))
+        contained = child.join(parent, "k", "semi")
+        row = child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            contained.agg(F.count(F.lit(1)).alias("n_contained"))
+        ).select(
+            F.lit(edge).alias("edge"),
+            "n_child",
+            "n_contained",
+            F.round(
+                F.col("n_contained").cast("double") / F.col("n_child"), 6
+            ).alias("containment"),
+            F.when(F.col("n_contained") == F.col("n_child"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_fk_candidate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1216,3 +1216,74 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "pipeline_feature_snapshot",
+    oracle="""
+    WITH cutoff AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 14 DAY AS t FROM events),
+    hist AS (
+      SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type, e.value
+      FROM events e, cutoff WHERE CAST(e.ts AS TIMESTAMP) < cutoff.t)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS lifetime_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS lifetime_variety,
+           CAST(count(*) FILTER (WHERE ts >= (SELECT t FROM cutoff)
+                                             - INTERVAL 7 DAY) AS BIGINT)
+               AS n_7d,
+           round(coalesce(sum(value) FILTER (
+               WHERE event_type = 'purchase'
+                 AND ts >= (SELECT t FROM cutoff) - INTERVAL 30 DAY), 0), 2)
+               AS purchase_30d,
+           CAST(datediff('second', max(ts),
+                         (SELECT t FROM cutoff)) // 86400 AS BIGINT)
+               AS days_since_last
+    FROM hist GROUP BY user_id
+    """,
+)
+def pipeline_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature snapshot (the feature-store pattern): per
+    user, a training feature row AS OF a cutoff (here max_ts - 14 d) —
+    lifetime counts/variety, 7-day activity, 30-day purchase value,
+    recency — computed STRICTLY from events before the cutoff. The
+    leakage rule is structural (one filter before any aggregation),
+    not per-feature discipline; every windowed feature is a
+    conditional aggregate in the SAME single hash agg, so adding a
+    feature costs an expression, not a pass. This is the offline half
+    of training-serving skew control: the label join runs AS OF the
+    same cutoff (join_point_in_time_state's key), and re-running at an
+    older cutoff backfills historical training sets from the same
+    plan.
+
+    Shapes: the cutoff is a 1-row combine broadcast into the filter;
+    one user-keyed exchange computes every feature; nothing scans
+    twice."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 14 DAYS")).alias("t")
+    )
+    hist = ev.crossJoin(F.broadcast(cutoff)).filter(F.col("ts") < F.col("t"))
+    in_7d = F.col("ts") >= F.col("t") - F.expr("INTERVAL 7 DAYS")
+    in_30d_purchase = (F.col("event_type") == "purchase") & (
+        F.col("ts") >= F.col("t") - F.expr("INTERVAL 30 DAYS")
+    )
+    return hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lifetime_events"),
+        F.countDistinct("event_type").alias("lifetime_variety"),
+        F.sum(F.when(in_7d, 1).otherwise(0)).alias("n_7d"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(in_30d_purchase, F.col("value"))), F.lit(0.0)
+            ),
+            2,
+        ).alias("purchase_30d"),
+        (
+            (
+                F.unix_timestamp(F.max("t")) - F.unix_timestamp(F.max("ts"))
+            )
+            / 86400
+        )
+        .cast("long")
+        .alias("days_since_last"),
+    )

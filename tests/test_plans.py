@@ -336,6 +336,8 @@ _SINGLE_PARTITION_OK = {
     "ts_periodogram",        # day-ordinal window over the calendar-bounded daily rollup
     "graph_assortativity",   # 1-row corr/co-moment combine over the edge-degree pairs
     "similarity_mips_topk",  # 1-row max-norm combine broadcast into the padding expr
+    "dq_fk_discovery",       # four pairs x two 1-row count combines, unioned
+    "pipeline_feature_snapshot",  # 1-row cutoff combine broadcast into the leakage filter
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
