@@ -623,3 +623,98 @@ def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS charged
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED scalar function (CREATE FUNCTION ... RETURN expr,
+    Spark 4 / SPARK-46246) — the reference's reusable computed-column
+    node expressed as catalog object: business logic named once
+    (disc_price, charged) and reused across queries. The decisive
+    property vs a Python UDF: the analyzer INLINES the SQL body into
+    the calling plan, so the aggregate below runs entirely inside
+    whole-stage codegen — a named abstraction with zero executor-side
+    function-call cost. Session-scoped temp functions; uuid-suffixed
+    so concurrent harnesses can't collide."""
+    fn1 = f"disc_price_{uuid.uuid4().hex[:10]}"
+    fn2 = f"charged_{uuid.uuid4().hex[:10]}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fn1}(p DOUBLE, d DOUBLE)"
+        f" RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fn2}(p DOUBLE, d DOUBLE,"
+        f" t DOUBLE) RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    view = f"sqludf_lineitem_{uuid.uuid4().hex[:10]}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(sum({fn1}(l_extendedprice, l_discount)), 2)
+                       AS disc_revenue,
+                   round(sum({fn2}(l_extendedprice, l_discount, l_tax)), 2)
+                       AS charged
+            FROM {view} GROUP BY l_returnflag
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_udf_table_valued",
+    oracle="""
+    WITH buckets AS (
+      SELECT o_orderkey, o_totalprice, i.range + 1 AS installment,
+             o_totalprice / 4 AS amount
+      FROM orders, range(4) i
+      WHERE o_orderkey <= 500)
+    SELECT installment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(amount), 2) AS total_amount
+    FROM buckets GROUP BY installment
+    """,
+)
+def sql_udf_table_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED TABLE function (CREATE FUNCTION ... RETURNS TABLE,
+    Spark 4) used as a LATERAL correlated source: per order, generate
+    its 4-installment payment schedule — the declarative sibling of
+    the Python UDTF keys, with the same inlining advantage as the
+    scalar form (the body is a subquery the analyzer splices in, so
+    the explode runs as a JVM generator, never a Python worker).
+    Session-scoped, uuid-suffixed registration."""
+    fn = f"installments_{uuid.uuid4().hex[:10]}"
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {fn}(price DOUBLE)
+        RETURNS TABLE(installment INT, amount DOUBLE)
+        RETURN SELECT explode(sequence(1, 4)), price / 4"""
+    )
+    view = f"sqltvf_orders_{uuid.uuid4().hex[:10]}"
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 500
+    ).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT t.installment,
+                   count(*) AS n,
+                   round(sum(t.amount), 2) AS total_amount
+            FROM {view} o, LATERAL {fn}(o.o_totalprice) t
+            GROUP BY t.installment
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
