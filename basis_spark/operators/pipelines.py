@@ -1287,3 +1287,45 @@ def pipeline_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_last"),
     )
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS rev
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN ... END procedural blocks): DECLARE
+    a session variable, SET it from a scalar query, use it as a
+    predicate in the next statement — multi-step orchestration logic
+    expressed entirely in SQL, the surface the reference's SQL-node
+    DAGs cover with inter-node wiring. The script's final statement's
+    result set is the block's result. The variable binding is
+    equivalent to the oracle's scalar subquery, but the script form
+    lets later statements (loops, IF/ELSE, error handlers) reuse the
+    value without re-evaluating it."""
+    tag = _sf_tag(sf_dir)
+    view = f"script_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            BEGIN
+              DECLARE thr DOUBLE;
+              SET thr = (SELECT avg(o_totalprice) FROM {view});
+              SELECT o_orderpriority,
+                     count(*) AS n,
+                     round(sum(o_totalprice), 2) AS rev
+              FROM {view} WHERE o_totalprice > thr
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
