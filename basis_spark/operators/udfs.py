@@ -718,3 +718,57 @@ def sql_udf_table_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "udtf_arrow_native",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice / 100000) AS BIGINT) AS price_band,
+           round(o_totalprice - floor(o_totalprice / 100000) * 100000, 2)
+               AS remainder
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def udtf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE UDTF (@arrow_udtf, Spark 4.1): eval receives
+    pyarrow RecordBatches and yields pyarrow Tables — the zero-copy
+    rung above the pandas UDTF (no pandas materialization, no
+    per-column Series conversion; pyarrow.compute kernels run directly
+    on the Arrow buffers Spark already shipped). The right tool when a
+    table function is shaped like columnar math rather than row logic.
+    Banding arithmetic here is deliberately something SQL could do —
+    the KEY pins the execution surface (batch in, table out, schema
+    contract), which the plain-SQL oracle then verifies exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="o_orderkey bigint, price_band bigint,"
+                " remainder double")
+    class Bander:
+        def eval(self, batch: "pa.RecordBatch"):
+            tbl = pa.Table.from_batches([batch])
+            price = pc.cast(tbl.column("o_totalprice"), pa.float64())
+            band = pc.floor(pc.divide(price, 100000.0))
+            rem = pc.round(
+                pc.subtract(price, pc.multiply(band, 100000.0)), 2
+            )
+            yield pa.Table.from_arrays(
+                [
+                    tbl.column("o_orderkey"),
+                    pc.cast(band, pa.int64()),
+                    rem,
+                ],
+                names=["o_orderkey", "price_band", "remainder"],
+            )
+
+    spark.udtf.register("basis_arrow_bander", Bander)
+    view = f"arrowudtf_orders_{uuid.uuid4().hex[:12]}"
+    load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView(view)
+    out = spark.sql(f"SELECT * FROM basis_arrow_bander(TABLE({view}))")
+    spark.catalog.dropTempView(view)
+    return out
