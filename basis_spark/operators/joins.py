@@ -1784,3 +1784,58 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+@register(
+    "join_null_skew_isolated",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders),
+    j AS (
+      SELECT l.o_orderkey, l.k, l.o_totalprice, c.c_mktsegment
+      FROM l LEFT JOIN customer c ON l.k = c.c_custkey)
+    SELECT coalesce(c_mktsegment, '(unmatched)') AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM j GROUP BY 1
+    """,
+)
+def join_null_skew_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew isolation: in a left join, rows with a NULL key can
+    never match — but a naive plan still SHUFFLES them, and because
+    hash(NULL) is one value, every null row lands on ONE reducer: the
+    classic silent straggler in fact tables with optional foreign keys
+    (a third of the rows here). The isolation rewrite splits the input
+    BEFORE the exchange: non-null rows take the real join, null rows
+    bypass it entirely (union back with NULL dim columns), so the
+    shuffle carries only joinable rows and no partition inherits the
+    null mass. Value-identical to the plain left join the oracle runs —
+    isolation is pure physical-plan hygiene, which is exactly why it
+    belongs in the engine, not in user code."""
+    l = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    matched = l.filter(F.col("k").isNotNull()).join(cust, "k", "left")
+    nulls = l.filter(F.col("k").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    j = matched.select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    ).unionAll(nulls.select("o_orderkey", "o_totalprice", "c_mktsegment"))
+    return j.groupBy(
+        F.coalesce("c_mktsegment", F.lit("(unmatched)")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

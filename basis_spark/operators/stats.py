@@ -875,3 +875,60 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("m"), 6).alias("boot_lo"),
         F.round(F.max("m"), 6).alias("boot_hi"),
     )
+
+
+@register(
+    "stat_wilson_interval",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey AS nationkey,
+             count(*) AS n,
+             sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS x
+      FROM customer GROUP BY c_nationkey)
+    SELECT nationkey,
+           CAST(n AS BIGINT) AS n,
+           CAST(x AS BIGINT) AS n_hits,
+           round(CAST(x AS DOUBLE) / n, 6) AS rate,
+           round((x / CAST(n AS DOUBLE) + 1.9208 / n
+                  - 1.96 * sqrt((x / CAST(n AS DOUBLE))
+                                * (1 - x / CAST(n AS DOUBLE)) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           round((x / CAST(n AS DOUBLE) + 1.9208 / n
+                  + 1.96 * sqrt((x / CAST(n AS DOUBLE))
+                                * (1 - x / CAST(n AS DOUBLE)) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM g
+    """,
+)
+def stat_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) for a per-group binomial rate — the
+    CI that stays inside [0,1] and behaves at small n and extreme
+    rates, where the naive Wald interval collapses (Wald at x=0 gives
+    [0,0] with false certainty). This is how rates should be RANKED:
+    sort by wilson_lo, not by raw rate, so a 1/1 group can't outrank a
+    180/200 group — the Reddit/Evan Miller ranking rule, and the
+    honest readout for per-segment conversion tables.
+
+    Pure closed form per group (z=1.96 constants folded to literals so
+    both engines evaluate the identical expression): one hash agg for
+    (n, x), then map-side arithmetic — no second pass, no window."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("x"),
+    )
+    p = F.col("x") / F.col("n").cast("double")
+    n = F.col("n").cast("double")
+    center = p + 1.9208 / n
+    margin = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return g.select(
+        "nationkey",
+        "n",
+        F.col("x").alias("n_hits"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    )

@@ -450,3 +450,58 @@ def test_percentile_swapin_flips_with_scale_limit(spark, monkeypatch):
         assert "percentile_approx" in plan, fn.__name__
         # no exact single-combine percentile survives the flip
         assert "percentile_disc" not in plan, fn.__name__
+
+
+def test_mips_topk_uses_window_group_limit(spark):
+    """similarity_mips_topk's rnk<=5 must push into WindowGroupLimit so
+    each map task keeps 5 candidates per query before the shuffle —
+    the property that makes augmented-space top-k viable at corpus
+    scale."""
+    from basis_spark.operators import llm
+
+    plan = _plan(llm.similarity_mips_topk(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_udfs_inline_to_jvm(spark):
+    """SQL-defined functions (scalar and table-valued) must INLINE:
+    no Python evaluation node anywhere in either executed plan."""
+    from basis_spark.operators import udfs
+
+    for fn in (udfs.sql_udf_scalar, udfs.sql_udf_table_valued):
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "Python" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_index_broadcasts_stats_and_anchors(spark):
+    """The flagship index build must broadcast the dim-stats and anchor
+    sides (both KB-sized) — a shuffle join on either would be the
+    100 TB regression this plan exists to avoid."""
+    from basis_spark.operators import pipelines
+
+    plan = _plan(pipelines.pipeline_embedding_index(spark, SF_ORACLE))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_null_skew_isolation_filters_before_exchange(spark):
+    """join_null_skew_isolated: the join branch's scan-side filter must
+    include an isnotnull on the synthetic key, proving null rows never
+    enter the join's exchange (they ride the union bypass instead)."""
+    from basis_spark.operators import joins as _joins
+
+    plan = _plan(_joins.join_null_skew_isolated(spark, SF_ORACLE))
+    assert "isnotnull" in plan
+    assert "Union" in plan
+
+
+def test_balanced_shard_pack_has_no_global_sort(spark):
+    """The snake-dealing router must rank via the two-pass scaffold:
+    rangepartitioning yes, data-sized global window no."""
+    from basis_spark.operators import llm
+
+    plan = _plan(llm.multimodal_shard_pack_balanced(spark, SF_ORACLE))
+    assert "rangepartitioning" in plan
+    assert "row_number()" not in plan
