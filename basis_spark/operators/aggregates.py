@@ -1262,3 +1262,119 @@ def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("harm_mean"),
         F.round(F.avg("o_totalprice"), 4).alias("arith_mean"),
     )
+
+
+@register(
+    "sketch_bloom_prefilter",
+    oracle="""
+    WITH member_bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                                         || ':' || CAST(h.range AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 16384 AS bit
+      FROM customer, range(3) h),
+    probes AS (
+      SELECT o_custkey AS probe, 1 AS is_member FROM orders
+      WHERE o_orderkey <= 1000
+      UNION ALL
+      SELECT o_custkey + 1000000, 0 FROM orders WHERE o_orderkey <= 1000),
+    probe_bits AS (
+      SELECT p.probe, p.is_member,
+             sum(CASE WHEN mb.bit IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM (SELECT probe, is_member,
+                   CAST(('0x' || substring(md5(CAST(probe AS VARCHAR)
+                                               || ':' || CAST(h.range AS VARCHAR)),
+                                           1, 8)) AS BIGINT) % 16384 AS bit
+            FROM probes, range(3) h) p
+      LEFT JOIN member_bits mb ON p.bit = mb.bit
+      GROUP BY p.probe, p.is_member)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(is_member) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hits,
+           CAST(sum(CASE WHEN hits = 3 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(sum(CASE WHEN hits < 3 AND is_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+    FROM probe_bits
+    """,
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter, built and probed entirely in
+    SQL expressions: the member set (customer keys) hashes into a
+    16384-bit space with k=3 md5-derived hash functions; a probe is a
+    bloom HIT only if all three of its bits are set. Probes are half
+    true members, half synthetic non-members, so the report pins the
+    sketch's defining contract numerically: n_false_negatives MUST be
+    0 (Bloom filters never miss a member), n_false_positives is the
+    tunable cost. Deterministic hashes (the house md5 convention) make
+    even the FP SET reproducible cross-engine — which is what lets a
+    100 TB join planner TRUST the prefilter's selectivity estimate.
+
+    Scale shape: the bit set is at most 16384 distinct values — a
+    broadcastable side regardless of member-set size (the point of the
+    sketch); probe evaluation is map-side hashing + a broadcast
+    membership check; the report is a 1-row combine. This is the
+    manual form of what join_runtime_prefilter gets from Spark's
+    InSubquery bloom rewrite."""
+    m = 16384
+    k = 3
+
+    def bits(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                col.cast("string"), F.lit(":"), F.lit(str(i))
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+                for i in range(k)
+            ]
+        )
+
+    member_bits = (
+        load(spark, sf_dir, "customer")
+        .select(F.explode(bits(F.col("c_custkey"))).alias("bit"))
+        .distinct()
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    probes = o.select(
+        F.col("o_custkey").alias("probe"), F.lit(1).alias("is_member")
+    ).unionAll(
+        o.select(
+            (F.col("o_custkey") + 1000000).alias("probe"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+    pb = probes.select(
+        "probe", "is_member", F.explode(bits(F.col("probe"))).alias("bit")
+    )
+    hits = (
+        pb.join(
+            F.broadcast(member_bits.withColumn("present", F.lit(1))),
+            "bit",
+            "left",
+        )
+        .groupBy("probe", "is_member")
+        .agg(F.sum(F.coalesce("present", F.lit(0))).alias("hits"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("is_member").alias("n_true_members"),
+        F.sum(F.when(F.col("hits") == k, 1).otherwise(0)).alias("n_bloom_hits"),
+        F.sum(
+            F.when((F.col("hits") == k) & (F.col("is_member") == 0), 1).otherwise(0)
+        ).alias("n_false_positives"),
+        F.sum(
+            F.when((F.col("hits") < k) & (F.col("is_member") == 1), 1).otherwise(0)
+        ).alias("n_false_negatives"),
+    )

@@ -3900,3 +3900,77 @@ def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "privacy_randomized_response",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS truth,
+             CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                      for ch in string_split_regex(
+                          substring(md5('rr:' || CAST(c_custkey AS VARCHAR)),
+                                    1, 13), '')]),
+                     (a, d) -> a * 16 + d) + 0.5) / 4503599627370496.0 < 0.75
+                  THEN 1 ELSE 0 END AS keep
+      FROM customer),
+    obs AS (
+      SELECT truth,
+             CASE WHEN keep = 1 THEN truth ELSE 1 - truth END AS reported
+      FROM r)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(truth AS DOUBLE)), 6) AS true_rate,
+           round(avg(CAST(reported AS DOUBLE)), 6) AS reported_rate,
+           round((avg(CAST(reported AS DOUBLE)) - 0.25) / 0.5, 6)
+               AS debiased_rate,
+           round(abs((avg(CAST(reported AS DOUBLE)) - 0.25) / 0.5
+                     - avg(CAST(truth AS DOUBLE))), 6) AS calibration_error
+    FROM obs
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965) — the LOCAL differential
+    privacy mechanism: each record reports its sensitive bit truthfully
+    with p=0.75 and flipped otherwise, giving every individual
+    plausible deniability (epsilon = ln(p/(1-p)) ≈ 1.1) while the
+    aggregate debiases exactly: rate = (observed - (1-p)) / (2p - 1).
+    Completes the privacy family's third axis: audits (k-anon ladder),
+    central DP (laplace release), and now local DP — noise added
+    BEFORE collection, the only model that protects against the data
+    collector itself. The flip decision is the house hash-uniform
+    (md5-derived), so the mechanism is rerun-stable — re-releasing
+    cannot average the noise away — and the calibration_error column
+    pins how close the debiased estimate lands to truth on this
+    fixture (emitted here as the eval readout; a production release
+    drops the truth columns).
+
+    One map-side expression per row + a 1-row combine; nothing about
+    the mechanism shuffles."""
+    c = load(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rr:"), F.col("c_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    )
+    u = (v.cast("double") + 0.5) / F.lit(float(1 << 52))
+    reported = F.when(u < 0.75, truth).otherwise(1 - truth)
+    obs = c.select(
+        truth.alias("truth"), reported.alias("reported")
+    )
+    rep_rate = F.avg(F.col("reported").cast("double"))
+    true_rate = F.avg(F.col("truth").cast("double"))
+    debiased = (rep_rate - 0.25) / 0.5
+    return obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(rep_rate, 6).alias("reported_rate"),
+        F.round(debiased, 6).alias("debiased_rate"),
+        F.round(F.abs(debiased - true_rate), 6).alias("calibration_error"),
+    )

@@ -338,6 +338,8 @@ _SINGLE_PARTITION_OK = {
     "similarity_mips_topk",  # 1-row max-norm combine broadcast into the padding expr
     "dq_fk_discovery",       # four pairs x two 1-row count combines, unioned
     "pipeline_feature_snapshot",  # 1-row cutoff combine broadcast into the leakage filter
+    "sketch_bloom_prefilter",     # 1-row FP/FN report combine (bit set is broadcast-bounded)
+    "privacy_randomized_response",  # 1-row debias combine
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
