@@ -1737,10 +1737,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e JOIN deg du ON du.node = e.u
                JOIN deg dv ON dv.node = e.v)
     SELECT CAST(count(*) AS BIGINT) AS n_edges,
-           round(corr(dx + dy, dx * dy), 6) AS mix_corr,
+           round((avg((dx + dy) * CAST(dx * dy AS DOUBLE))
+                  - avg(dx + dy) * avg(dx * dy))
+                 / nullif(stddev_pop(dx + dy) * stddev_pop(dx * dy), 0), 6)
+               AS mix_corr,
            round((avg(CAST(dx AS DOUBLE) * dy) - avg(dx) * avg(dy))
-                 / (CASE WHEN stddev_pop(dx) * stddev_pop(dy) = 0 THEN NULL
-                         ELSE stddev_pop(dx) * stddev_pop(dy) END), 6)
+                 / nullif(stddev_pop(dx) * stddev_pop(dy), 0), 6)
                AS assortativity
     FROM (SELECT dx, dy FROM pairs
           UNION ALL SELECT dy AS dx, dx AS dy FROM pairs) sym
@@ -1774,15 +1776,21 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionAll(
         pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
     )
-    sx, sy = F.stddev_pop("dx"), F.stddev_pop("dy")
-    cov = F.avg(F.col("dx").cast("double") * F.col("dy")) - F.avg("dx") * F.avg("dy")
+    # explicit co-moment formula with a nullif'd denominator on BOTH
+    # engines: Spark's corr() under ANSI THROWS on a zero-variance side
+    # (a tiny/regular graph has constant degree pairs), where the
+    # convention here is a NULL coefficient
+    def g_corr(a: F.Column, b: F.Column) -> F.Column:
+        cov = F.avg(a.cast("double") * b) - F.avg(a) * F.avg(b)
+        denom = F.stddev_pop(a) * F.stddev_pop(b)
+        return cov / F.when(denom == 0, None).otherwise(denom)
+
     return sym.agg(
         F.count(F.lit(1)).alias("n_edges"),
-        F.round(F.corr(F.col("dx") + F.col("dy"), F.col("dx") * F.col("dy")), 6)
-        .alias("mix_corr"),
-        F.round(cov / F.when(sx * sy == 0, None).otherwise(sx * sy), 6).alias(
-            "assortativity"
-        ),
+        F.round(
+            g_corr(F.col("dx") + F.col("dy"), F.col("dx") * F.col("dy")), 6
+        ).alias("mix_corr"),
+        F.round(g_corr(F.col("dx"), F.col("dy")), 6).alias("assortativity"),
     )
 
 
