@@ -3974,3 +3974,131 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(debiased, 6).alias("debiased_rate"),
         F.round(F.abs(debiased - true_rate), 6).alias("calibration_error"),
     )
+
+
+@register(
+    "event_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the distinct user
+    bases of every event-type pair — the segmentation readout behind
+    'do purchasers and error-reporters overlap?', campaign audience
+    dedup, and surface cannibalization checks. Exact set similarity
+    over ARBITRARY set sizes, via one distinct pass and a user-keyed
+    self-join (each user contributes its type-pair combinations —
+    bounded by types^2 per user, never by user count); at real
+    cardinalities the documented approximate path swaps the exact
+    distinct/intersection counts for theta sketches
+    (sketch_theta_set_ops' machinery), same report shape."""
+    tu = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "ts_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+      FROM events GROUP BY 1),
+    lags AS (SELECT k.range AS lag FROM range(-7, 8) k),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER))
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((avg(x * y) - avg(x) * avg(y))
+                 / nullif(stddev_pop(x) * stddev_pop(y), 0), 6) AS xcorr
+    FROM pairs GROUP BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two daily series (click value
+    leading/lagging purchase value, lags -7..+7): the lag with max
+    |xcorr| is the lead-lag screen run before any causal claim —
+    'purchases follow clicks by k days' is THIS readout. Correlation
+    uses the explicit co-moment formula over a nullif'd denominator
+    (the ANSI-safe convention graph_assortativity set; Spark corr()
+    throws on degenerate windows).
+
+    Shapes: the daily rollup is one hash agg; the x15 lag fan-out
+    broadcasts the lag spine; the shifted self-join keys on the date
+    column of the ~|days|-row rollup — everything after the raw scan
+    is calendar-bounded metadata."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("d2"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+        .select("lag", "x", "y")
+    )
+    cov = F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+    denom = F.stddev_pop("x") * F.stddev_pop("y")
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(cov / F.when(denom == 0, None).otherwise(denom), 6).alias(
+            "xcorr"
+        ),
+    )
