@@ -848,3 +848,72 @@ def ts_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ny_day", "ny_hour")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "date_business_days",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS r
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey <= 2000),
+    calc AS (
+      SELECT l_orderkey, l_linenumber, s, r,
+             r - s AS cal_days,
+             ((r - s) // 7) * 5
+             + ((r - s) % 7)
+             - CASE WHEN (r - s) % 7 > 0
+                     AND isodow(s) + ((r - s) % 7) - 1 >= 6
+                    THEN least(CAST(2 AS BIGINT),
+                               isodow(s) + ((r - s) % 7) - 6) ELSE 0 END
+             - CASE WHEN isodow(s) = 7 AND (r - s) % 7 > 0
+                    THEN -1 ELSE 0 END AS biz_raw
+      FROM li)
+    SELECT l_orderkey, l_linenumber,
+           CAST(cal_days AS BIGINT) AS cal_days,
+           CAST(biz_raw AS BIGINT) AS business_days
+    FROM calc
+    """,
+)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business days between order and ship dates (weekends excluded,
+    half-open [s, r)) — SLA math, closed form rather than a calendar
+    join: full weeks contribute 5 each; the remainder days are walked
+    from the start weekday, subtracting those that land on Sat/Sun.
+    Identical integer expression on both engines (Spark
+    weekday()+1 == DuckDB isodow, the equivalence date_parts pinned),
+    so the oracle is exact arithmetic. A holiday calendar upgrades
+    this to the spine-join form (ts_calendar_dim's machinery) — the
+    closed form is the zero-join fast path that covers the 'net of
+    weekends' contract.
+
+    Map-side expressions only; no shuffle beyond the final projection
+    (bounded to 2000 orders so the oracle output stays small)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    s, r = F.to_date("o_orderdate"), F.to_date("l_shipdate")
+    cal = F.datediff(r, s)
+    isodow_s = F.weekday(s) + 1
+    rem = cal % 7
+    over = isodow_s + rem - 1
+    weekend_hits = (
+        F.when(
+            (rem > 0) & (over >= 6),
+            F.least(F.lit(2).cast("long"), over - 5),
+        ).otherwise(0)
+        + F.when((isodow_s == 7) & (rem > 0), -1).otherwise(0)
+    )
+    biz = (cal / 7).cast("long") * 5 + rem - weekend_hits
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cal.cast("long").alias("cal_days"),
+        biz.cast("long").alias("business_days"),
+    )

@@ -244,3 +244,25 @@ def test_span_corruption_span_count_identity():
             if mask[i - 1] and (i == 1 or not mask[i - 2])
         )
         assert direct == formula
+
+
+@given(st.integers(0, 6), st.integers(0, 120))
+@settings(**SETTINGS)
+def test_business_days_closed_form_vs_brute(start_offset, cal):
+    """date_business_days' closed form == day-by-day weekday scan, for
+    every (start weekday, span) combination — the per-branch arithmetic
+    both engines evaluate."""
+    import datetime
+
+    s = datetime.date(2000, 1, 3) + datetime.timedelta(days=start_offset)
+    brute = sum(
+        1
+        for i in range(cal)
+        if (s + datetime.timedelta(days=i)).isoweekday() <= 5
+    )
+    isodow = s.isoweekday()
+    rem = cal % 7
+    over = isodow + rem - 1
+    a = min(2, over - 5) if (rem > 0 and over >= 6) else 0
+    b = -1 if (isodow == 7 and rem > 0) else 0
+    assert (cal // 7) * 5 + rem - (a + b) == brute
