@@ -4102,3 +4102,75 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xcorr"
         ),
     )
+
+
+@register(
+    "ts_backtest_accuracy",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    bounds AS (SELECT max(day) AS mx FROM daily),
+    joined AS (
+      SELECT a.day, a.rev AS actual, f.rev AS forecast
+      FROM daily a
+      JOIN daily f ON f.day = a.day - 7
+      CROSS JOIN bounds b
+      WHERE a.day > b.mx - 28)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(actual - forecast)), 4) AS mae,
+           round(avg(abs(actual - forecast) / nullif(abs(actual), 0)), 6)
+               AS mape,
+           round(sqrt(avg((actual - forecast) * (actual - forecast))), 4)
+               AS rmse,
+           round(sum(CASE WHEN forecast > actual THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS over_forecast_rate
+    FROM joined
+    """,
+)
+def ts_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: seasonal-naive (y_hat[t] = y[t-7]) evaluated
+    on the final 28 days — MAE, MAPE, RMSE, and over-forecast rate.
+    ts_forecast_snaive PRODUCES forecasts; this key answers the
+    question a forecast consumer actually asks ('how wrong is it, in
+    units and in percent, and is the error biased?'), and the same
+    harness scores any candidate model by swapping the forecast join —
+    the error metrics, holdout windowing, and bias readout stay fixed.
+
+    Shapes: the daily rollup is one hash agg; the forecast is a
+    self-join on a 7-day date shift over the calendar-bounded rollup;
+    holdout selection broadcasts a 1-row max-date combine; the score is
+    a 1-row combine. Revenue pre-rounded at 4dp so both engines
+    backtest the identical series."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    bounds = daily.agg(F.max("day").alias("mx"))
+    f = daily.select(F.col("day").alias("fday"), F.col("rev").alias("forecast"))
+    joined = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") > F.date_sub(F.col("mx"), 28))
+        .join(f, F.expr("fday = date_sub(day, 7)"))
+        .select(F.col("rev").alias("actual"), "forecast")
+    )
+    err = F.col("actual") - F.col("forecast")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(
+            F.avg(
+                F.abs(err)
+                / F.when(F.abs("actual") == 0, None).otherwise(F.abs("actual"))
+            ),
+            6,
+        ).alias("mape"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(
+            F.sum(F.when(F.col("forecast") > F.col("actual"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("over_forecast_rate"),
+    )

@@ -756,3 +756,128 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_spans.alias("n_spans"),
         F.round(n_masked.cast("double") / F.size("m"), 6).alias("mask_rate"),
     )
+
+
+_BPE_SEP = "\x1f"  # unit separator: never appears in fixture tokens
+_BPE_ROUNDS = 2
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE merge rounds in SQL. Symbol strings use a DOUBLE
+    unit-separator between symbols (and at both ends): a merge is then
+    a plain replace() of SEP+a+SEP+SEP+b+SEP with SEP+ab+SEP, and
+    because every boundary carries TWO separators, consecutive
+    occurrences keep a separator each — leftmost non-overlapping
+    replace() implements exactly BPE's greedy left-to-right merge
+    (verified against a scan in tests/test_r7_ops.py)."""
+    s2 = "chr(31) || chr(31)"
+    parts = [f"""
+    WITH words AS (
+      SELECT w, count(*) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 50) t
+      WHERE length(w) >= 2 GROUP BY w),
+    rep0 AS (
+      SELECT w, wc,
+             {s2} || list_aggregate(
+                 [substring(w, i, 1) for i in range(1, length(w) + 1)],
+                 'string_agg', {s2}) || {s2} AS r
+      FROM words)"""]
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT syms[j] AS a, syms[j + 1] AS b, sum(wc) AS c
+      FROM (SELECT wc, list_filter(string_split(r, {s2}), x -> x <> '')
+                       AS syms
+            FROM rep{i - 1}),
+           range(1, 64) t(j)
+      WHERE j < len(syms)
+      GROUP BY 1, 2),
+    b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    rep{i} AS (
+      SELECT w, wc,
+             replace(r, chr(31) || b{i}.a || {s2} || b{i}.b || chr(31),
+                     chr(31) || b{i}.a || b{i}.b || chr(31)) AS r
+      FROM rep{i - 1}, b{i})""")
+    selects = [
+        f"""SELECT CAST({i} AS BIGINT) AS round, a AS left_sym,
+               b AS right_sym, CAST(c AS BIGINT) AS pair_count,
+               a || b AS merged FROM b{i}"""
+        for i in range(1, _BPE_ROUNDS + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register("tokenizer_bpe_train", oracle=_bpe_oracle())
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge TRAINING, bounded rounds (Sennrich et
+    al. 2016 — the algorithm under BPE/WordPiece-family tokenizers):
+    per round, count every adjacent symbol pair across the word-
+    frequency table, merge the most frequent pair everywhere
+    (lexicographic tie-break), repeat. Emits each round's learned merge
+    rule and its count — rounds 1..N ARE the tokenizer's merges.txt.
+
+    The distributed trick is the merge itself: symbol sequences live as
+    double-separator strings, so the greedy non-overlapping merge is
+    ONE replace() expression per word (no per-row Python, no iteration
+    over positions) — property-tested against a reference scan. Per
+    round: one pair-explode hash agg, a 1-row argmax broadcast, one
+    map-side replace. Round count is the declared budget (real BPE
+    runs ~30k rounds; each is this same cheap plan, and the word table
+    — not the corpus — is the working set, exactly how production BPE
+    trainers scale)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    s2 = _BPE_SEP * 2
+    rep = words.select(
+        "w",
+        "wc",
+        F.concat(
+            F.lit(s2),
+            F.concat_ws(s2, F.split(F.col("w"), "(?!^)(?=.)")),
+            F.lit(s2),
+        ).alias("r"),
+    )
+    syms = (
+        f"filter(split(r, '{_BPE_SEP}{_BPE_SEP}'), x -> x <> '')"
+    )
+    reports = None
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = rep.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({syms}) - 1),"
+                    f" j -> struct({syms}[j-1] AS a, {syms}[j] AS b))"
+                )
+            ).alias("p"),
+        ).select("wc", "p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        ).localCheckpoint()
+        row = best.select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("c").alias("pair_count"),
+            F.concat("a", "b").alias("merged"),
+        )
+        reports = row if reports is None else reports.unionAll(row)
+        rep = rep.crossJoin(F.broadcast(best)).select(
+            "w",
+            "wc",
+            F.expr(
+                f"replace(r, '{_BPE_SEP}' || a || '{_BPE_SEP}{_BPE_SEP}'"
+                f" || b || '{_BPE_SEP}',"
+                f" '{_BPE_SEP}' || a || b || '{_BPE_SEP}')"
+            ).alias("r"),
+        ).localCheckpoint()
+    return reports

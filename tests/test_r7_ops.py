@@ -266,3 +266,33 @@ def test_business_days_closed_form_vs_brute(start_offset, cal):
     a = min(2, over - 5) if (rem > 0 and over >= 6) else 0
     b = -1 if (isodow == 7 and rem > 0) else 0
     assert (cal // 7) * 5 + rem - (a + b) == brute
+
+
+@given(
+    st.text(alphabet="ab", min_size=0, max_size=12),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a")]),
+)
+@settings(**SETTINGS)
+def test_bpe_double_separator_replace_is_greedy_merge(word, pair):
+    """The double-separator replace() trick == reference greedy
+    left-to-right non-overlapping BPE merge, including the self-
+    overlapping pair ('a','a') on runs like 'aaaa'."""
+    S = "\x1f"
+    a, b = pair
+
+    def ref_merge(symbols):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    symbols = list(word)
+    rep = S * 2 + (S * 2).join(symbols) + S * 2 if symbols else S * 2
+    merged_rep = rep.replace(S + a + S + S + b + S, S + a + b + S)
+    got = [s for s in merged_rep.split(S * 2) if s]
+    assert got == ref_merge(symbols)
