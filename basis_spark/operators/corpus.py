@@ -881,3 +881,87 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         ).localCheckpoint()
     return reports
+
+
+@register(
+    "tokenizer_bpe_apply",
+    # reuse the training CTE chain verbatim, swap the final SELECTs for
+    # the encode readout (string surgery keeps the two keys' training
+    # definitions literally identical)
+    oracle=_bpe_oracle().rsplit("SELECT CAST(1", 1)[0].rstrip()
+    + """,
+    enc AS (
+      SELECT w, wc,
+             len(list_filter(string_split(r, chr(31) || chr(31)),
+                             x -> x <> '')) AS n_syms,
+             length(w) AS n_chars
+      FROM rep2)
+    SELECT CAST(sum(wc) AS BIGINT) AS n_words,
+           CAST(sum(wc * n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(wc * n_syms) AS BIGINT) AS total_tokens,
+           round(sum(wc * n_chars) / CAST(sum(wc * n_syms) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM enc
+    """,
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned BPE merges (the tokenize step that runs
+    per-document forever after training runs once): apply the trained
+    merge rules in order to every word and report the corpus
+    compression — chars per token is the fertility number that decides
+    context-window budgeting and is THE acceptance metric for a
+    tokenizer on a new corpus. Deliberately re-runs the training chain
+    and encodes the same word table, so the oracle pins that encode is
+    exactly train's final state (held-out encode swaps the words CTE;
+    the merge-application expression is byte-identical).
+
+    Per merge rule: one broadcast + one map-side replace — encoding N
+    rules deep is N cheap narrow transformations, no shuffle after the
+    word table."""
+    reports = tokenizer_bpe_train(spark, sf_dir)  # ensures same rules
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in reports.orderBy("round").collect()
+    ]
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    s2 = _BPE_SEP * 2
+    rep = words.select(
+        "w",
+        "wc",
+        F.concat(
+            F.lit(s2),
+            F.concat_ws(s2, F.split(F.col("w"), "(?!^)(?=.)")),
+            F.lit(s2),
+        ).alias("r"),
+    )
+    for a, b in merges:
+        rep = rep.withColumn(
+            "r",
+            F.expr(
+                f"replace(r, '{_BPE_SEP}' || '{a}' || '{_BPE_SEP}{_BPE_SEP}'"
+                f" || '{b}' || '{_BPE_SEP}',"
+                f" '{_BPE_SEP}' || '{a}{b}' || '{_BPE_SEP}')"
+            ),
+        )
+    n_syms = F.expr(
+        f"size(filter(split(r, '{_BPE_SEP}{_BPE_SEP}'), x -> x <> ''))"
+    )
+    enc = rep.select(
+        "wc", n_syms.alias("n_syms"), F.length("w").alias("n_chars")
+    )
+    return enc.agg(
+        F.sum("wc").alias("n_words"),
+        F.sum(F.col("wc") * F.col("n_chars")).alias("total_chars"),
+        F.sum(F.col("wc") * F.col("n_syms")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("wc") * F.col("n_chars"))
+            / F.sum(F.col("wc") * F.col("n_syms")).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
