@@ -4174,3 +4174,84 @@ def ts_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("over_forecast_rate"),
     )
+
+
+@register(
+    "dq_alert_rules",
+    oracle="""
+    WITH metrics AS (
+      SELECT event_type,
+             count(*) AS n,
+             round(avg(value), 6) AS avg_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type),
+    rules AS (
+      SELECT * FROM (VALUES
+        ('min_volume',   'n',         'lt', CAST(2000 AS DOUBLE)),
+        ('avg_in_range', 'avg_value', 'gt', CAST(50.5 AS DOUBLE)),
+        ('avg_in_range', 'avg_value', 'lt', CAST(48.3 AS DOUBLE)),
+        ('reach_floor',  'n_users',   'lt', CAST(100 AS DOUBLE))
+      ) AS r(rule_name, metric, op, threshold)),
+    evaluated AS (
+      SELECT m.event_type, r.rule_name, r.metric, r.op, r.threshold,
+             CASE r.metric WHEN 'n' THEN CAST(m.n AS DOUBLE)
+                           WHEN 'avg_value' THEN m.avg_value
+                           WHEN 'n_users' THEN CAST(m.n_users AS DOUBLE)
+             END AS observed
+      FROM metrics m CROSS JOIN rules r)
+    SELECT event_type, rule_name, metric, round(observed, 6) AS observed,
+           threshold
+    FROM evaluated
+    WHERE (op = 'lt' AND observed < threshold)
+       OR (op = 'gt' AND observed > threshold)
+    """,
+)
+def dq_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative alert-rule engine: monitoring rules live as DATA (a
+    rule table of metric/op/threshold rows), not as code — adding an
+    alert is an INSERT, and the rule table versions/audits/diffs like
+    any other table, which is the operational property hardcoded
+    threshold IFs can never have. Metrics compute once per entity,
+    rules cross-apply against the tiny metric table, breaches emit as
+    rows (empty result == healthy corpus; the thresholds here trip the
+    volume floor on two event types and both sides of the average band
+    deterministically, while the reach floor stays green — breaches
+    AND non-breaches are pinned by the oracle).
+
+    Shapes: one event rollup (hash agg + distinct), the rule table
+    broadcasts (it is config-sized by definition), evaluation is a
+    map-side CASE — rule count never touches the shuffle plan."""
+    m = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    rules = spark.createDataFrame(
+        [
+            ("min_volume", "n", "lt", 2000.0),
+            ("avg_in_range", "avg_value", "gt", 50.5),
+            ("avg_in_range", "avg_value", "lt", 48.3),
+            ("reach_floor", "n_users", "lt", 100.0),
+        ],
+        "rule_name string, metric string, op string, threshold double",
+    )
+    observed = (
+        F.when(F.col("metric") == "n", F.col("n").cast("double"))
+        .when(F.col("metric") == "avg_value", F.col("avg_value"))
+        .when(F.col("metric") == "n_users", F.col("n_users").cast("double"))
+    )
+    ev = m.crossJoin(F.broadcast(rules)).withColumn("observed", observed)
+    breach = ((F.col("op") == "lt") & (F.col("observed") < F.col("threshold"))) | (
+        (F.col("op") == "gt") & (F.col("observed") > F.col("threshold"))
+    )
+    return ev.filter(breach).select(
+        "event_type",
+        "rule_name",
+        "metric",
+        F.round("observed", 6).alias("observed"),
+        "threshold",
+    )
