@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from basis_spark.io import load
+from basis_spark.io import load, scratch_dir
 from basis_spark.registry import register
 
 FEATURE_SCHEMA = "doc_id long, mime string, n_bytes long, feat array<double>"
@@ -1252,3 +1252,99 @@ def multimodal_tar_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="member string, doc_id long, n_bytes long, byte_sum long",
     )
     return out.select("doc_id", "n_bytes", "byte_sum")
+
+
+def _tar_write_batches(out_dir: str):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import os as _os
+        import tarfile as _tarfile
+        import uuid as _uuid
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _os.makedirs(out_dir, exist_ok=True)
+            by_shard: dict[int, list[tuple[int, bytes]]] = {}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = bytes((d * 31 + i * 7) % 256 for i in range(8))
+                by_shard.setdefault(d % 4, []).append((d, payload))
+            out = {"shard_id": [], "n_members": [], "tar_bytes": [],
+                   "payload_bytes": []}
+            for shard_id, members in sorted(by_shard.items()):
+                tmp = _os.path.join(
+                    out_dir, f".tmp-{_uuid.uuid4().hex}.tar"
+                )
+                with _tarfile.open(tmp, "w") as tf:
+                    for d, payload in sorted(members):
+                        info = _tarfile.TarInfo(name=f"{d:06d}.bin")
+                        info.size = len(payload)
+                        tf.addfile(info, _io.BytesIO(payload))
+                final = _os.path.join(
+                    out_dir,
+                    f"shard-{shard_id:02d}-{_uuid.uuid4().hex[:8]}.tar",
+                )
+                _os.replace(tmp, final)
+                out["shard_id"].append(shard_id)
+                out["n_members"].append(len(members))
+                out["tar_bytes"].append(_os.path.getsize(final))
+                out["payload_bytes"].append(
+                    sum(len(p) for _, p in members)
+                )
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+@register(
+    "multimodal_tar_shard_write",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id % 4 AS shard_id, doc_id
+      FROM documents WHERE doc_id < 120)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(ceil((count(*) * 1024 + 1024) / 10240.0) * 10240
+                AS BIGINT) AS tar_bytes,
+           CAST(count(*) * 8 AS BIGINT) AS payload_bytes
+    FROM m GROUP BY shard_id
+    """,
+)
+def multimodal_tar_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WRITE side of the WebDataset tar-shard contract (the read side is
+    # multimodal_tar_shard_read): each task packs ITS partition's
+    # samples into real tar archives, one per shard routed by key hash,
+    # written atomically (tmp + rename). The oracle pins the tar FORMAT
+    # arithmetic exactly: every member costs one 512-byte header plus
+    # its payload rounded up to a 512 block (8-byte payloads -> 1024
+    # bytes per member), plus the 1024-byte end-of-archive marker, all
+    # padded to the 10240-byte record size (blocking factor 20) — so a
+    # header-size or padding regression fails values, not vibes.
+    # Each shard's tar is written by exactly one task (partition ==
+    # shard routing), which is what makes parallel shard writes safe
+    # with no coordination; at fleet scale this is
+    # repartition(shard_id) + this generator, the standard recipe.
+    import os
+
+    out_dir = os.path.join(
+        scratch_dir("tar_write"),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", (F.col("doc_id") % 4).alias("shard_id"))
+        .repartition(4, "shard_id")
+    )
+    part = docs.mapInPandas(
+        _tar_write_batches(out_dir),
+        schema="shard_id long, n_members long, tar_bytes long,"
+        " payload_bytes long",
+    )
+    return part.groupBy("shard_id").agg(
+        F.sum("n_members").alias("n_members"),
+        F.sum("tar_bytes").alias("tar_bytes"),
+        F.sum("payload_bytes").alias("payload_bytes"),
+    )

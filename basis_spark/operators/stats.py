@@ -932,3 +932,47 @@ def stat_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_lo"),
         F.round((center + margin) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "stat_power_sample_size",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_observed,
+           round(avg(value), 6) AS mean,
+           round(var_samp(value), 6) AS variance,
+           CAST(ceil(2 * var_samp(value)
+                     * power((1.959964 + 0.841621)
+                             / (0.05 * avg(value)), 2)) AS BIGINT)
+               AS n_per_arm_5pct_mde
+    FROM events GROUP BY event_type
+    """,
+)
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: per metric stream, the sample size
+    each arm needs to detect a 5% relative lift at alpha=0.05 /
+    power=0.80 — n = 2*sigma^2*((z_a + z_b)/MDE)^2, the planning
+    number every A/B platform computes BEFORE launch (event_ab_test_
+    lift reads the experiment out AFTER; this decides whether running
+    it is even feasible). Variance comes from the live metric stream,
+    so the answer tracks the data, not a stale assumption; z constants
+    are folded literals (1.959964, 0.841621) so both engines evaluate
+    the identical closed form.
+
+    One hash agg per metric stream (count/avg/var_samp are one-pass
+    co-moments), then map-side arithmetic — the entire power analysis
+    is a single aggregation pass over the events."""
+    ev = load(spark, sf_dir, "events")
+    z = 1.959964 + 0.841621  # z_{0.975} + z_{0.80}
+    mde = 0.05
+    n_req = F.ceil(
+        2
+        * F.var_samp("value")
+        * F.pow(F.lit(z) / (F.lit(mde) * F.avg("value")), 2)
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_observed"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 6).alias("variance"),
+        n_req.alias("n_per_arm_5pct_mde"),
+    )
