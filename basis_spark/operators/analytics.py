@@ -4255,3 +4255,48 @@ def dq_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("observed", 6).alias("observed"),
         "threshold",
     )
+
+
+@register(
+    "event_decay_engagement",
+    oracle="""
+    WITH b AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+    scored AS (
+      SELECT e.user_id,
+             exp(-(datediff('second', CAST(e.ts AS TIMESTAMP), b.mx)
+                   / 86400.0) / 30.0) AS decay
+      FROM events e, b)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(decay), 4) AS engagement,
+           round(max(decay), 6) AS freshest
+    FROM scored GROUP BY user_id
+    """,
+)
+def event_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score (half-life-style,
+    tau = 30 days): every event contributes exp(-age/tau), so the score
+    is a recency-weighted activity count — the ranking feature
+    retention models and feed rankers use instead of raw counts,
+    because yesterday's 10 events and last year's 10 events must not
+    score alike. A cutoff-free alternative to the windowed features in
+    pipeline_feature_snapshot: the window is soft, so no boundary
+    cliff. Age anchors to the corpus max-ts (1-row broadcast) for
+    reproducibility — production anchors to the run date, same plan.
+
+    Map-side exp() per event + one user-keyed agg; rounded at 4dp,
+    well above libm/summation-order noise for scores bounded by event
+    counts."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(F.max("ts").alias("mx"))
+    age_days = (
+        F.unix_timestamp("mx") - F.unix_timestamp("ts")
+    ) / 86400.0
+    scored = ev.crossJoin(F.broadcast(b)).select(
+        "user_id", F.exp(-age_days / 30.0).alias("decay")
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("decay"), 4).alias("engagement"),
+        F.round(F.max("decay"), 6).alias("freshest"),
+    )

@@ -1310,3 +1310,76 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"), F.sum("metric").alias("sum_metric")
     )
+
+
+@register(
+    "maintenance_stats_sampled",
+    oracle="""
+    WITH s AS (
+      SELECT l_quantity, l_extendedprice,
+             CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 16 = 0 AS in_sample
+      FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) * 16 AS BIGINT)
+               AS n_estimated,
+           round(abs(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) * 16.0
+                     - count(*)) / count(*), 6) AS count_rel_error,
+           round(avg(l_extendedprice), 4) AS avg_exact,
+           round(avg(CASE WHEN in_sample THEN l_extendedprice END), 4)
+               AS avg_sampled,
+           round(abs(avg(CASE WHEN in_sample THEN l_extendedprice END)
+                     - avg(l_extendedprice)) / avg(l_extendedprice), 6)
+               AS avg_rel_error
+    FROM s
+    """,
+)
+def maintenance_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based table profiling with its error HONESTLY measured:
+    a deterministic 1/16 hash sample (md5 of the row key — the
+    reproducible-sample convention) estimates row count and column
+    mean, and the report carries the relative error against the exact
+    pass computed alongside. At 100 TB the exact columns are what you
+    STOP computing — the point of this key is that the error readout
+    was measured once per table family before trusting the shortcut,
+    which is how production stats jobs (ANALYZE ... SAMPLE) earn their
+    configuration. Single pass: the sample flag is a map-side
+    expression, both estimates and both exact stats ride one
+    aggregation (no second scan even while calibrating)."""
+    li = load(spark, sf_dir, "lineitem")
+    in_sample = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+        == 0
+    )
+    s = li.select("l_extendedprice", in_sample.alias("in_sample"))
+    n_est = F.sum(F.when(F.col("in_sample"), 1).otherwise(0)) * 16
+    avg_s = F.avg(F.when(F.col("in_sample"), F.col("l_extendedprice")))
+    avg_x = F.avg("l_extendedprice")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        n_est.cast("long").alias("n_estimated"),
+        F.round(
+            F.abs(n_est.cast("double") - F.count(F.lit(1)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("count_rel_error"),
+        F.round(avg_x, 4).alias("avg_exact"),
+        F.round(avg_s, 4).alias("avg_sampled"),
+        F.round(F.abs(avg_s - avg_x) / avg_x, 6).alias("avg_rel_error"),
+    )
