@@ -1378,3 +1378,69 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("hits") < k) & (F.col("is_member") == 1), 1).otherwise(0)
         ).alias("n_false_negatives"),
     )
+
+
+@register(
+    "agg_percentile_exact_scaffold",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS r,
+             count(*) OVER () AS n
+      FROM lineitem),
+    targets AS (
+      SELECT p.p, greatest(CAST(1 AS BIGINT),
+                           CAST(ceil(p.p * (SELECT max(n) FROM ranked))
+                                AS BIGINT)) AS target
+      FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                   (CAST(0.99 AS DOUBLE))) p(p))
+    SELECT t.p AS pctile,
+           CAST(max(rk.n) AS BIGINT) AS n,
+           round(max(rk.v), 4) AS value
+    FROM targets t JOIN ranked rk ON rk.r = t.target
+    GROUP BY t.p
+    """,
+)
+def agg_percentile_exact_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles (p50/p90/p99, lower discrete) computed
+    the way a 100 TB engine must: Spark's exact `percentile` buffers
+    every value in ONE aggregation state (the users-sized-combine
+    failure mode SCALE.md flags), and approx_percentile trades away
+    exactness. This key does neither — the two-pass range-partition
+    rank scaffold (windows.global_rank, P-way parallel local sorts +
+    a P-row offset table) assigns every row its exact global rank, and
+    the percentiles are then a 3-row broadcast-joined rank lookup.
+    Exactness at any scale, no data-sized state anywhere, ~one shuffle
+    — the missing top rung of the percentile ladder (exact-per-group /
+    approx-sketch / exact-global-distributed).
+
+    Ties: rank keys include the row id, so the selected value is the
+    canonical lower discrete percentile on both engines."""
+    from basis_spark.operators.windows import global_rank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_rank(li, "v", "l_orderkey", "l_linenumber")
+    targets = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "p double"
+    ).crossJoin(
+        F.broadcast(ranked.agg(F.max("n_total").alias("n")))
+    ).select(
+        "p",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("p") * F.col("n")).cast("long")
+        ).alias("target"),
+        F.col("n"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("rank") == F.col("target")
+        )
+        .groupBy(F.col("p").alias("pctile"))
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("v"), 4).alias("value"),
+        )
+    )

@@ -344,6 +344,7 @@ _SINGLE_PARTITION_OK = {
     "tokenizer_bpe_apply",        # 1-row fertility combine over the word table
     "event_decay_engagement",     # 1-row max-ts anchor combine broadcast into the decay expr
     "maintenance_stats_sampled",  # 1-row calibration-report combine
+    "agg_percentile_exact_scaffold",  # global_rank P-row offset table + 3-row target combine
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
