@@ -1383,3 +1383,46 @@ def maintenance_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_s, 4).alias("avg_sampled"),
         F.round(F.abs(avg_s - avg_x) / avg_x, 6).alias("avg_rel_error"),
     )
+
+
+@register(
+    "scan_nested_struct_pruning",
+    oracle="""
+    SELECT k % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+    GROUP BY 1
+    """,
+)
+def scan_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct parquet with SCHEMA PRUNING: events re-land with a
+    typed meta STRUCT column (k plus two decoy fields), and the reader
+    selects only meta.k — Spark's nested-schema pruning pushes the
+    projection INSIDE the struct, so the parquet scan reads one leaf
+    column, not the whole struct (ReadSchema shows
+    struct<k:bigint> only; asserted in tests/test_plans.py). At 100 TB
+    with wide metadata structs (multimodal payload descriptors,
+    provenance blobs) this is the difference between reading one leaf
+    and reading every nested field — the nested sibling of flat column
+    pruning, and the reason typed structs beat JSON strings for hot
+    fields (json_variant_extract's trade-off documented from the other
+    side)."""
+    out = _sf_scratch(spark, "events_nested", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events")
+        nested = ev.select(
+            "event_id",
+            "event_type",
+            F.struct(
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+                F.lit("decoy").alias("tag"),
+                F.md5(F.col("props")).alias("blob"),
+            ).alias("meta"),
+        )
+        nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select((F.col("meta.k") % 10).alias("k_bucket"), "meta.k").groupBy(
+        "k_bucket"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))

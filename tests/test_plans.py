@@ -512,3 +512,15 @@ def test_balanced_shard_pack_has_no_global_sort(spark):
     plan = _plan(llm.multimodal_shard_pack_balanced(spark, SF_ORACLE))
     assert "rangepartitioning" in plan
     assert "row_number()" not in plan
+
+
+def test_nested_struct_pruning_reads_one_leaf(spark):
+    """scan_nested_struct_pruning: the parquet ReadSchema must contain
+    ONLY meta.k — the decoy struct fields (tag, blob) must not be
+    read (nested-schema pruning, the claim in the operator's
+    docstring)."""
+    df = scans.scan_nested_struct_pruning(spark, SF_ORACLE)
+    plan = _plan(df)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "k:bigint" in rs
+    assert "tag" not in rs and "blob" not in rs, rs
