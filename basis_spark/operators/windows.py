@@ -1089,3 +1089,92 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("distinct_so_far").alias("area_under_curve"),
     )
+
+
+def global_runmax_excl(df: DataFrame, val_col: str, *keys: str) -> DataFrame:
+    """EXCLUSIVE distributed running max over a global total order —
+    global_runmax with a (unbounded preceding, 1 preceding) local
+    frame, NULL for the global first row. The primitive skyline /
+    dominance scans need: 'max over rows STRICTLY before me', where
+    the inclusive form cannot distinguish a row's own value from an
+    earlier equal one. Same two-pass shape; the P-row offset table is
+    unchanged (a partition's exclusive prefix still includes every
+    EARLIER partition fully)."""
+    for col in ("runmax_excl", "__gx_pid", "__gx_prev"):
+        if col in df.columns:
+            raise ValueError(
+                f"global_runmax_excl would clobber input column {col!r}"
+            )
+    spark = df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loc = (
+        df.repartitionByRange(P, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__gx_pid", F.spark_partition_id())
+    )
+    pmax = loc.groupBy("__gx_pid").agg(F.max(val_col).alias("m"))
+    woff = Window.orderBy("__gx_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmax.withColumn("__gx_prev", F.max("m").over(woff)).select(
+        "__gx_pid", "__gx_prev"
+    )
+    wloc = Window.partitionBy("__gx_pid").orderBy(*keys).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        loc.join(F.broadcast(offs), "__gx_pid")
+        .withColumn(
+            "runmax_excl",
+            F.greatest(F.max(val_col).over(wloc), F.col("__gx_prev")),
+        )
+        .drop("__gx_pid", "__gx_prev")
+    )
+
+
+@register(
+    "win_skyline_pareto_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT l_extendedprice AS x, max(l_discount) AS y
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT x, y,
+             max(y) OVER (ORDER BY x DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pm
+      FROM pts)
+    SELECT round(x, 2) AS price, round(y, 2) AS discount
+    FROM m WHERE pm IS NULL OR y > pm
+    """,
+)
+def win_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): the line items not DOMINATED in
+    (price, discount) — no other item has both ≥ with one strictly
+    greater. The classic multi-criteria shortlist operator (best
+    tradeoffs, not best single metric), and the 2-D case has an exact
+    O(n log n) distributed form: collapse same-x points to their max y
+    (anything below is dominated at equal x), then a single
+    exclusive prefix-max scan in x-descending order keeps exactly the
+    points whose y beats every higher-x point.
+
+    The scan is windows.global_runmax_excl — the two-pass
+    range-partition prefix pattern (P-way parallel local sorts, P-row
+    offset table) — so no data-sized single-partition window exists in
+    the plan, unlike the textbook OVER (ORDER BY x) formulation the
+    oracle is allowed to use. Higher dimensions switch to the
+    block-nested-loop skyline with local-front pruning (documented,
+    not needed for the 2-D contract)."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_extendedprice").alias("x")).agg(
+        F.max("l_discount").alias("y")
+    )
+    neg = pts.withColumn("negx", -F.col("x"))
+    scanned = global_runmax_excl(neg, "y", "negx")
+    return (
+        scanned.filter(
+            F.col("runmax_excl").isNull()
+            | (F.col("y") > F.col("runmax_excl"))
+        )
+        .select(
+            F.round("x", 2).alias("price"), F.round("y", 2).alias("discount")
+        )
+    )

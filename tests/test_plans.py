@@ -345,6 +345,7 @@ _SINGLE_PARTITION_OK = {
     "event_decay_engagement",     # 1-row max-ts anchor combine broadcast into the decay expr
     "maintenance_stats_sampled",  # 1-row calibration-report combine
     "agg_percentile_exact_scaffold",  # global_rank P-row offset table + 3-row target combine
+    "win_skyline_pareto_2d",      # runmax_excl P-row offset table only (scan is pid-parallel)
     "dq_referential_orphans",  # seven 1-row per-edge count combines unioned
     "cumulative_distinct_users",  # cumulative window over the ~#days spine (calendar-bounded)
     "funnel_time_to_convert",  # 1-row delay-percentile combine over the users-sized delays
