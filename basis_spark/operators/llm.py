@@ -3647,3 +3647,176 @@ def embeddings_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("t_vid") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "embeddings_pq_recall",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, s.range AS s,
+             [CAST(embedding[s.range * 8 + j + 1] AS DOUBLE)
+              for j in range(8)] AS v
+      FROM embeddings, range(8) s),
+    anchors AS (
+      SELECT vec_id AS code, s, v AS av FROM sub WHERE vec_id < 16),
+    d AS (
+      SELECT sub.vec_id, sub.s, a.code,
+             round(list_sum(list_transform(range(8),
+                 j -> (sub.v[j + 1] - a.av[j + 1])
+                    * (sub.v[j + 1] - a.av[j + 1]))), 6) AS d2
+      FROM sub JOIN anchors a ON sub.s = a.s),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rnk
+        FROM d) t WHERE rnk = 1),
+    queries AS (SELECT vec_id AS q_id, s, v AS qv FROM sub
+                WHERE vec_id % 400 = 0),
+    lut AS (
+      SELECT q.q_id, q.s, a.code,
+             round(list_sum(list_transform(range(8),
+                 j -> (q.qv[j + 1] - a.av[j + 1])
+                    * (q.qv[j + 1] - a.av[j + 1]))), 6) AS d2
+      FROM queries q JOIN anchors a ON q.s = a.s),
+    adc AS (
+      SELECT l.q_id, c.vec_id, round(sum(l.d2), 6) AS dist
+      FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id),
+    exact AS (
+      SELECT q.q_id, e.vec_id,
+             round(sum(round(list_sum(list_transform(range(8),
+                 j -> (e.v[j + 1] - q.qv[j + 1])
+                    * (e.v[j + 1] - q.qv[j + 1]))), 6)), 6) AS dist
+      FROM sub e JOIN queries q ON e.s = q.s
+      WHERE e.vec_id <> q.q_id
+      GROUP BY q.q_id, e.vec_id),
+    adc_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist, vec_id) AS r FROM adc) t
+      WHERE r <= 10),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist, vec_id) AS r FROM exact) t
+      WHERE r <= 10)
+    SELECT e.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+           round(count(a.vec_id) / 10.0, 2) AS recall_at_10
+    FROM exact_top e LEFT JOIN adc_top a
+      ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY e.q_id
+    """,
+)
+def embeddings_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ACCEPTANCE eval: recall@10 of asymmetric-distance (ADC)
+    ranking against exact L2, per query — the companion of
+    embeddings_mrl_recall one rung down the compression ladder, and
+    the number that decides whether 8-byte PQ codes may serve as the
+    first-stage ranker for this corpus. ADC is the real serving
+    computation: the query builds a (subspace x anchor) distance
+    LOOKUP TABLE (8x16 = 128 floats — broadcast), and a candidate's
+    distance is just 8 table lookups summed, never a vector op per
+    pair. Deterministic anchors keep the whole eval value-hash exact —
+    and on THIS fixture (random embeddings, untrained first-16
+    anchors) the readout correctly says recall ~0.1-0.2: don't serve —
+    which is exactly the failure an acceptance gate exists to catch
+    before the index build (learned k-means codebooks are the fix;
+    the eval is codebook-agnostic).
+
+    Shapes: codes come from the pq_quantize assignment (broadcast
+    codebook, map-side argmin); the LUT join is (s, code)-keyed
+    against a 128-row broadcast; both top-10s are WindowGroupLimit;
+    the overlap join runs on 10-row-per-query relations."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s ->"
+                " struct(s AS s, slice(ve, s * 8 + 1, 8) AS v))"
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.s").alias("s"), F.col("sv.v").alias("v"))
+    anchors = sub.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), "s", F.col("v").alias("av")
+    )
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(v, av, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        ),
+        6,
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (
+        sub.join(F.broadcast(anchors), "s")
+        .select("vec_id", "s", "code", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w_code))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "s", "code")
+    )
+    queries = sub.filter(F.col("vec_id") % 400 == 0).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("v").alias("qv")
+    )
+    lut_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(qv, av, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        ),
+        6,
+    )
+    lut = queries.join(F.broadcast(anchors), "s").select(
+        "q_id", "s", "code", lut_d2.alias("d2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("dist"))
+    )
+    exact_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        ),
+        6,
+    )
+    exact = (
+        sub.join(F.broadcast(queries), "s")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", exact_d2.alias("sd2"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("sd2"), 6).alias("dist"))
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+        return (
+            df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 10)
+            .select("q_id", "vec_id")
+        )
+
+    a = topk(adc).select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    return (
+        topk(exact)
+        .join(
+            a,
+            (F.col("q_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("a_vid").alias("n_overlap"),
+            F.round(F.count("a_vid") / 10.0, 2).alias("recall_at_10"),
+        )
+    )
