@@ -75,71 +75,72 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 )
 
 # ---------------------------------------------------------------------
-# ROUND-6 DRIVER WINDOW (the first 50 keys the driver verifies).
+# ROUND-8 DRIVER WINDOW (the first 50 keys the driver verifies).
 # All 50 are strict-oracle keys that tools/driver_verified_keys.json
 # records as never driver-verified under any round's accounting
-# (rounds r1-r4 reconstruction + CORRECTNESS_r05.json fold-in = 249
-# verified; this window fronts 50 of the 106 never-verified strict
-# keys, prioritized per the r5 verdict: table_log_* lakehouse life
-# cycle, privacy ladder, classical stats, Holt/Holt-Winters + ts tail,
-# SQL analyzer surfaces, k-core/graph, the real JPEG/PNG codecs, the
-# UDTF/Arrow-UDF surfaces, corpus evals, the retail trio, and the
-# three percentile-combine keys whose approx swap-ins land this round.
-# 56 strict + 12 rows-only never-verified keys remain for r7/r8 -
-# recompute from driver_verified_keys.json ∪ CORRECTNESS_r06.
-# tests/test_survey_contract.py ratchets this window: len==50, every
-# key registered, every key strict-oracle, none already verified.
+# (rounds r1-r4 reconstruction + CORRECTNESS_r05.json and
+# CORRECTNESS_r07.json fold-ins = 299 cumulative verified; this window
+# fronts 50 of the 152 never-verified strict keys, prioritized per the
+# r7 verdict: the table_log second wave, SQL analyzer surfaces, the
+# classical-stats tail, the graph second wave, multimodal codecs and
+# shard plumbing, the r7 late adds (skyline/percentile-scaffold/PQ/BPE),
+# the dq_* data-quality family, the streaming second wave, and the
+# window/interval tail). 102 strict + 12 rows-only never-verified keys
+# remain for r9+ — recompute from driver_verified_keys.json ∪
+# CORRECTNESS_r08. tests/test_survey_contract.py ratchets this window:
+# len==50, every key registered, every key strict-oracle, none already
+# verified, and it must equal driver_verified_keys.json's "front".
 _ROTATION_FRONT = [
-    "table_log_snapshot",
-    "table_log_time_travel",
-    "table_log_history",
-    "table_log_merge_cow",
-    "table_log_checkpoint",
-    "table_log_schema_evolution",
-    "table_log_vacuum",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "stat_chi_square",
-    "stat_ks_two_sample",
-    "stat_mann_whitney_u",
-    "stat_anova_oneway",
-    "stat_ttest_welch",
-    "ts_holt_linear",
-    "ts_holt_winters",
-    "ts_decompose_trend_seasonal",
-    "ts_max_drawdown",
-    "ts_autocorrelation",
-    "ts_forecast_snaive",
-    "ts_hampel_outliers",
-    "ts_var_cvar",
-    "ts_seasonality_strength",
-    "sql_lateral_column_alias",
-    "sql_group_by_all",
-    "sql_identifier_binding",
-    "graph_kcore",
-    "graph_degree_distribution",
-    "graph_jaccard_neighbors",
-    "multimodal_jpeg_decode",
-    "multimodal_png_decode",
-    "text_dedup_paragraph",
-    "embeddings_binary_hamming_topk",
-    "udtf_table_arg_partitioned",
-    "udf_python_arrow",
-    "source_text_lines",
-    "source_csv_multiline",
-    "eval_retrieval_precision_at_k",
-    "eval_retrieval_ndcg_at_k",
-    "corpus_mixture_balance",
-    "corpus_temperature_mixture",
-    "tokenizer_vocab_coverage",
-    "event_ab_test_lift",
-    "retail_rollup_margin_rank",
-    "retail_multi_timeband_counts",
-    "retail_channel_cumulative_compare",
-    "funnel_time_to_convert",
-    "latency_ship_percentiles",
-    "event_interarrival_stats",
+    "table_log_optimize",
+    "table_log_branch",
+    "table_log_change_feed",
+    "table_log_concurrent_commit",
+    "table_log_delete_where",
+    "sql_window_clause",
+    "sql_pivot_syntax",
+    "sql_unpivot_syntax",
+    "sql_subquery_surfaces",
+    "sql_execute_immediate",
+    "sql_filter_clause",
+    "stat_spearman_rho",
+    "stat_kendall_tau_b",
+    "stat_levene_variance",
+    "stat_fisher_hypergeom",
+    "stat_effect_size_cohens_d",
+    "stat_bootstrap_poisson_ci",
+    "graph_bfs_distance",
+    "graph_label_propagation",
+    "graph_local_clustering",
+    "graph_sssp_weighted_bounded",
+    "graph_assortativity",
+    "multimodal_bmp_decode",
+    "multimodal_gif_decode",
+    "multimodal_image_histogram",
+    "multimodal_audio_rms_frames",
+    "multimodal_tar_shard_read",
+    "win_skyline_pareto_2d",
+    "agg_percentile_exact_scaffold",
+    "scan_nested_struct_pruning",
+    "ts_croston_intermittent",
+    "embeddings_pq_quantize",
+    "embeddings_pq_recall",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_apply",
+    "dq_drift_psi",
+    "dq_expectations_report",
+    "dq_fk_discovery",
+    "dq_outlier_iqr_report",
+    "dq_referential_orphans",
+    "dq_alert_rules",
+    "stream_join_left_outer",
+    "stream_lateness_profile",
+    "stream_static_enrich",
+    "stream_session_dynamic_gap",
+    "win_gaps_islands_ranges",
+    "win_match_recognize_funnel",
+    "win_topk_with_ties",
+    "interval_merge_overlaps",
+    "incremental_scd2",
 ]
 assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
 

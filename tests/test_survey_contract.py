@@ -73,5 +73,5 @@ def test_rotation_front_budget():
     dv = json.load(open(dv_path))
     already = set(_ROTATION_FRONT) & set(dv["rounds"])
     assert already == set(), f"window wastes slots on verified keys: {sorted(already)}"
-    assert dv.get("r6_front") == _ROTATION_FRONT, "driver_verified_keys.json r6_front out of sync"
+    assert dv.get("front") == _ROTATION_FRONT, "driver_verified_keys.json front out of sync"
     assert list(QUERIES)[:50] == _ROTATION_FRONT, "window does not lead queries() order"
