@@ -24,6 +24,53 @@ def spark():
     yield s
 
 
+# ---------------------------------------------------------------------
+# TOLERANCE.json sidecar (r7 verdict #5): the 16 rows-only keys get the
+# driver's weaker rows-only gate, so their real evidence is the
+# bounded-error pytests. Each such test records (key, metric, bound,
+# measured) here; pytest_sessionfinish merge-writes TOLERANCE.json at
+# the repo root so the driver/judge gets a machine-readable bounds
+# table without re-deriving it from assert expressions. Merge (not
+# overwrite) so running a test subset never drops other keys' rows.
+_TOLERANCE_RECORDS: dict[str, list] = {}
+
+
+def record_tolerance(key: str, metric: str, bound, measured, direction: str = "le") -> None:
+    """direction: 'le' = measured must be <= bound (error bounds),
+    'ge' = measured must be >= bound (recall/agreement floors)."""
+    within = measured <= bound if direction == "le" else measured >= bound
+    _TOLERANCE_RECORDS.setdefault(key, []).append(
+        {
+            "metric": metric,
+            "bound": bound,
+            "direction": direction,
+            "measured": measured,
+            "within": bool(within),
+        }
+    )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _TOLERANCE_RECORDS:
+        return
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TOLERANCE.json"
+    )
+    existing = {}
+    if os.path.exists(path):
+        try:
+            existing = json.load(open(path))
+        except Exception:
+            existing = {}
+    existing.update(
+        {k: _TOLERANCE_RECORDS[k] for k in sorted(_TOLERANCE_RECORDS)}
+    )
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1, sort_keys=True)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

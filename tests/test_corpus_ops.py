@@ -122,6 +122,9 @@ def test_histogram_numeric_invariants(spark):
     ).collect()[0]
     bins = QUERIES["agg_histogram_numeric"](spark, SF_ORACLE).collect()
     assert len(bins) == 10
+    from tests.conftest import record_tolerance
+
+    record_tolerance("agg_histogram_numeric", "abs(sum of bin heights - row count); all bin centers asserted within [min,max]", 1e-6, abs(sum(r["height"] for r in bins) - n))
     assert abs(sum(r["height"] for r in bins) - n) < 1e-6
     for r in bins:
         assert lo <= r["bin_center"] <= hi

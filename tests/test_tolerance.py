@@ -11,7 +11,7 @@ from basis_spark.io import load
 from basis_spark.operators import llm, multimodal, scalars
 from basis_spark.operators.aggregates import agg_approx_distinct
 from basis_spark.operators.llm import similarity_ann_ivf, similarity_topk
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, record_tolerance
 
 
 def test_approx_distinct_within_5pct(spark):
@@ -26,6 +26,8 @@ def test_approx_distinct_within_5pct(spark):
         .agg(F.countDistinct("user_id").alias("u"))
         .collect()
     }
+    worst = max(abs(approx[et] - ex) / ex for et, ex in exact.items())
+    record_tolerance("agg_approx_distinct", "max relative error vs exact countDistinct", 0.05, round(worst, 6))
     for et, ex in exact.items():
         assert abs(approx[et] - ex) / ex <= 0.05, (et, approx[et], ex)
 
@@ -36,6 +38,7 @@ def test_sample_fraction_binomial_bounds(spark):
     p = 0.1
     mean = n_total * p
     sd = math.sqrt(n_total * p * (1 - p))
+    record_tolerance("sample_fraction", "sample-size deviation in binomial sigmas", 6.0, round(abs(n_sample - mean) / sd, 4))
     assert abs(n_sample - mean) <= 6 * sd, (n_sample, mean, sd)
 
 
@@ -49,6 +52,11 @@ def test_approx_quantile_tolerance(spark):
         )
         .collect()[0]
     )
+    worst = max(
+        abs(row["ap50"] - exact["p50"]) / exact["p50"],
+        abs(row["ap90"] - exact["p90"]) / exact["p90"],
+    )
+    record_tolerance("approx_quantile", "max relative error vs exact percentile (p50,p90)", 0.02, round(worst, 6))
     assert abs(row["ap50"] - exact["p50"]) / exact["p50"] <= 0.02
     assert abs(row["ap90"] - exact["p90"]) / exact["p90"] <= 0.02
 
@@ -77,6 +85,13 @@ def test_ann_ivf_exact_within_probed_partitions(spark):
         .limit(10)
         .collect()
     )
+    n_agree = sum(
+        a == b
+        for a, b in zip(
+            [r["vec_id"] for r in ivf_rows], [r["vec_id"] for r in exact_in_probed]
+        )
+    )
+    record_tolerance("similarity_ann_ivf", "top-10 positions agreeing with exact-within-probed-cells", 10, n_agree, direction="ge")
     assert [r["vec_id"] for r in ivf_rows] == [r["vec_id"] for r in exact_in_probed]
 
     brute = {r["vec_id"] for r in similarity_topk(spark, SF_ORACLE).collect()}
@@ -228,6 +243,7 @@ def test_sign_lsh_recall(spark):
     bf = {r["vec_id"] for r in similarity_topk(spark, SF_ORACLE).collect()}
     ls = {r["vec_id"] for r in similarity_topk_lsh(spark, SF_ORACLE).collect()}
     assert len(ls) == 10
+    record_tolerance("similarity_topk_lsh", "recall of brute-force top-10", 0.8, len(bf & ls) / len(bf), direction="ge")
     assert len(bf & ls) / len(bf) >= 0.8
 
 
@@ -244,6 +260,7 @@ def test_hll_sketch_estimates_within_5pct(spark):
     }
     exact[None] = ev.select("user_id").distinct().count()
     assert set(est) == set(exact)
+    record_tolerance("sketch_hll_distinct", "max relative error vs exact countDistinct", 0.05, round(max(abs(e - exact[k]) / exact[k] for k, e in est.items()), 6))
     for k, e in est.items():
         assert abs(e - exact[k]) / exact[k] < 0.05, (k, e, exact[k])
 
@@ -270,13 +287,16 @@ def test_stratified_sample_per_stratum_bounds(spark):
         .collect()
     }
     fractions = {"click": 0.5, "view": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    worst_sigmas = 0.0
     for et, frac in fractions.items():
         n, mean = totals[et], totals[et] * frac
         if frac == 1.0:
             assert got[et] == n, (et, got[et], n)
         else:
             sigma = (n * frac * (1 - frac)) ** 0.5
+            worst_sigmas = max(worst_sigmas, abs(got[et] - mean) / sigma)
             assert abs(got[et] - mean) <= 5 * sigma, (et, got[et], mean, sigma)
+    record_tolerance("sample_stratified", "max per-stratum deviation in binomial sigmas (rare strata kept whole, asserted exact)", 5.0, round(worst_sigmas, 4))
 
 
 def test_kll_quantiles_within_rank_error(spark):
@@ -287,12 +307,15 @@ def test_kll_quantiles_within_rank_error(spark):
 
     got = {r.event_type: r for r in sketch_kll_quantiles(spark, SF_ORACLE).collect()}
     ev = load(spark, SF_ORACLE, "events").select("event_type", "value").toPandas()
+    worst_rank_err = []
     for etype, row in got.items():
         vals = ev.value if etype is None else ev[ev.event_type == etype].value
         n = len(vals)
         for q, est in [(0.5, row.p50), (0.95, row.p95), (0.99, row.p99)]:
             true_rank = (vals <= est).sum() / n
+            worst_rank_err.append(abs(true_rank - q))
             assert abs(true_rank - q) <= 0.025, (etype, q, est, true_rank)
+    record_tolerance("sketch_kll_quantiles", "max rank error across groups x {p50,p95,p99}", 0.025, round(max(worst_rank_err), 6))
 
 
 def test_theta_set_ops_within_5pct(spark):
@@ -309,6 +332,8 @@ def test_theta_set_ops_within_5pct(spark):
         "n_union": len(click | buy), "n_intersect": len(click & buy),
         "n_click_only": len(click - buy),
     }
+    worst = max(abs(getattr(r, k) - e) / max(e, 1) for k, e in exact.items())
+    record_tolerance("sketch_theta_set_ops", "max relative error across union/intersect/difference estimates", 0.05, round(worst, 6))
     for k, e in exact.items():
         got = getattr(r, k)
         assert abs(got - e) <= max(2, 0.05 * e), (k, got, e)
@@ -323,10 +348,13 @@ def test_compression_ratio_matches_local_zlib(spark):
 
     got = {r.doc_id: r.ratio for r in text_compression_ratio(spark, SF_ORACLE).collect()}
     docs = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(50).collect()
+    worst = 0.0
     for row in docs:
         b = row.text.encode("utf-8")
         want = round(len(zlib.compress(b, 6)) / max(1, len(b)), 6)
+        worst = max(worst, abs(got[row.doc_id] - want))
         assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+    record_tolerance("text_compression_ratio", "max abs diff vs local zlib level-6 recompute (deterministic -> 0)", 0.0, worst)
 
 
 def test_pca_gramian_matches_numpy(spark):
@@ -347,6 +375,8 @@ def test_pca_gramian_matches_numpy(spark):
     _, V = np.linalg.eigh(X.T @ X)
     top = V[:, -1]
     assert len(out) == X.shape[1]
+    cos = float(abs(v @ top) / np.linalg.norm(v))
+    record_tolerance("embeddings_pca_power", "|cos| alignment of principal direction vs numpy eigh", 0.9999, round(cos, 8), direction="ge")
     assert abs(v @ top) / np.linalg.norm(v) >= 0.9999
 
 
@@ -366,6 +396,7 @@ def test_cosine_neardup_lsh_recall(spark):
     }
     assert brute, "brute pair set is empty; recall vacuous"
     assert lsh <= brute, "exact re-rank must not admit false positives"
+    record_tolerance("dedup_cosine_neardup_lsh", "recall of brute-force near-dup pairs (0 false positives asserted)", 0.8, round(len(lsh & brute) / len(brute), 6), direction="ge")
     assert len(lsh & brute) / len(brute) >= 0.8
 
 
@@ -415,6 +446,7 @@ def test_ann_ivf_kmeans_exact_within_probed_cells(spark):
     cids = ids[cand]
     orderidx = sorted(range(len(cids)), key=lambda i: (-round(dots[i], 6), cids[i]))[:10]
     expect = [(int(cids[i]), float(round(dots[i], 6))) for i in orderidx]
+    record_tolerance("similarity_ann_ivf_kmeans", "top-10 (id,cos) positions agreeing with exact-within-probed learned cells", 10, sum(a == b for a, b in zip(got, expect)), direction="ge")
     assert got == expect, (got, expect)
 
 
@@ -435,6 +467,7 @@ def test_count_min_sketch_bounds(spark):
     }
     assert set(est) == set(exact)
     bound = 4 * n_total / 256
+    record_tolerance("sketch_count_min", "max overcount (CMS never undercounts, asserted) vs t*N/w bound", bound, max(est[k] - ex for k, ex in exact.items()))
     for k, ex in exact.items():
         assert est[k] >= ex, (k, est[k], ex)
         assert est[k] - ex <= bound, (k, est[k], ex, bound)
@@ -463,6 +496,8 @@ def test_hll_rollup_merge_equals_direct(spark):
         .agg(F.countDistinct("user_id").alias("u"))
         .collect()
     }
+    record_tolerance("sketch_hll_rollup", "max abs diff: merged per-day sketches vs direct whole-range sketch (register-max algebra -> 0)", 0, max(abs(rolled[et] - direct[et]) for et in rolled))
+    record_tolerance("sketch_hll_rollup", "max relative error vs exact countDistinct", 0.05, round(max(abs(rolled[et] - ex) / ex for et, ex in exact.items()), 6))
     assert rolled == direct, (rolled, direct)
     for et, ex in exact.items():
         assert abs(rolled[et] - ex) / ex <= 0.05, (et, rolled[et], ex)
