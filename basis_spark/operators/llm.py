@@ -570,13 +570,43 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_ivf")
+@register(
+    "similarity_ann_ivf",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, label, g.i, embedding[g.i]::DOUBLE AS x
+        FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    q AS (SELECT i, x AS qx FROM ev WHERE vec_id = 0),
+    cent AS (SELECT label, i, avg(x) AS v FROM ev GROUP BY 1, 2),
+    cscore AS (
+        SELECT label, round(sum(v * qx), 6) AS cs
+        FROM cent JOIN q USING (i) GROUP BY 1
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 2),
+    dots AS (
+        SELECT ev.vec_id, ev.label, round(sum(ev.x * q.qx), 6) AS cos
+        FROM ev JOIN q USING (i)
+        WHERE ev.label IN (SELECT label FROM probe) AND ev.vec_id != 0
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label, cos FROM dots ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label-partitioned inverted file, probe top-2 centroids.
 
     Coarse quantizer = per-label centroid; the query scans only probed
-    partitions (2/10 of the data at scale). Approximate → rows-only check;
-    tests/test_tolerance.py asserts ≥80% recall vs brute force.
+    partitions (2/10 of the data at scale). Although the ANN FAMILY is
+    approximate, this member is a deterministic function of the data
+    (centroid average -> argmax-2 probe -> exact re-rank within probed
+    cells), so it carries a strict oracle (promoted r8 from the
+    rows-only tier): both engines round the probe score AND the final
+    cosine at 6dp BEFORE ordering so float summation order can't flip
+    a near-tie differently per engine — the same guard
+    similarity_centroid_classify (strict, driver-verified r5) uses.
+    tests/test_tolerance.py additionally asserts the result equals the
+    exact brute-force top-10 within the probed cells.
     """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
@@ -598,7 +628,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         cent.join(F.broadcast(q))
-        .select("label", cdot.alias("cscore"))
+        .select("label", F.round(cdot, 6).alias("cscore"))
         .orderBy(F.desc("cscore"), F.asc("label"))
         .limit(2)
         .select("label")

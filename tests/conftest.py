@@ -25,7 +25,7 @@ def spark():
 
 
 # ---------------------------------------------------------------------
-# TOLERANCE.json sidecar (r7 verdict #5): the 16 rows-only keys get the
+# TOLERANCE.json sidecar (r7 verdict #5): the rows-only keys get the
 # driver's weaker rows-only gate, so their real evidence is the
 # bounded-error pytests. Each such test records (key, metric, bound,
 # measured) here; pytest_sessionfinish merge-writes TOLERANCE.json at
