@@ -833,6 +833,15 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
+    return bpe_train_on_words(words)
+
+
+def bpe_train_on_words(words: DataFrame) -> DataFrame:
+    """The BPE merge-training loop over a word-frequency table
+    (columns w, wc) — shared by tokenizer_bpe_train and
+    pipeline_tokenizer_release so the two keys train literally the
+    same way. Returns one row per learned rule:
+    (round, left_sym, right_sym, pair_count, merged)."""
     s2 = _BPE_SEP * 2
     rep = words.select(
         "w",

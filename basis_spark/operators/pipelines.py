@@ -1424,3 +1424,250 @@ def pipeline_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tables[t] = tables.get(t, 0) + 1
     rows = [(t, 1) for t in sorted(tables)]
     return spark.createDataFrame(rows, "input_table string, n_inputs long")
+
+
+def _tokenizer_release_oracle() -> str:
+    """The full tokenizer-release chain as one DuckDB CTE plan:
+    curate (normalize -> quality floor -> exact dedup) -> BPE train on
+    the curated sample (the same unrolled merge rounds as
+    corpus._bpe_oracle, retargeted at the curated word table) ->
+    encode EVERY curated doc with the learned rules -> corpus-level
+    release metrics -> recursive next-fit shard packing on BPE token
+    counts (the same scan pack_tokens_nextfit pins)."""
+    from basis_spark.operators.corpus import PACK_BUDGET, _BPE_ROUNDS
+
+    s2 = "chr(31) || chr(31)"
+    parts = [f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS text
+      FROM documents),
+    q AS (SELECT * FROM norm WHERE len(string_split(text, ' ')) >= 8),
+    cur AS (
+      SELECT doc_id, source, text FROM (
+        SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn
+        FROM q) t WHERE rn = 1),
+    words AS (
+      SELECT w, count(*) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM cur WHERE doc_id < 50) t
+      WHERE length(w) >= 2 GROUP BY w),
+    rep0 AS (
+      SELECT w, wc,
+             {s2} || list_aggregate(
+                 [substring(w, i, 1) for i in range(1, length(w) + 1)],
+                 'string_agg', {s2}) || {s2} AS r
+      FROM words)"""]
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT syms[j] AS a, syms[j + 1] AS b, sum(wc) AS c
+      FROM (SELECT wc, list_filter(string_split(r, {s2}), x -> x <> '')
+                       AS syms
+            FROM rep{i - 1}),
+           range(1, 64) t(j)
+      WHERE j < len(syms)
+      GROUP BY 1, 2),
+    b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    rep{i} AS (
+      SELECT w, wc,
+             replace(r, chr(31) || b{i}.a || {s2} || b{i}.b || chr(31),
+                     chr(31) || b{i}.a || b{i}.b || chr(31)) AS r
+      FROM rep{i - 1}, b{i})""")
+    enc_chain = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        enc_chain.append(f"""
+    enc{i} AS (
+      SELECT w, replace(r, chr(31) || b{i}.a || {s2} || b{i}.b || chr(31),
+                        chr(31) || b{i}.a || b{i}.b || chr(31)) AS r
+      FROM enc{i - 1}, b{i})""")
+    return (
+        ",".join(parts)
+        + f""",
+    dw AS (
+      SELECT doc_id, source, w, count(*) AS c FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM cur) t
+      GROUP BY 1, 2, 3),
+    enc0 AS (
+      SELECT w,
+             {s2} || list_aggregate(
+                 [substring(w, i, 1) for i in range(1, length(w) + 1)],
+                 'string_agg', {s2}) || {s2} AS r
+      FROM (SELECT DISTINCT w FROM dw))"""
+        + ","
+        + ",".join(enc_chain)
+        + f""",
+    wenc AS (
+      SELECT w,
+             len(list_filter(string_split(r, {s2}), x -> x <> ''))
+                 AS n_syms,
+             len(list_filter(list_filter(string_split(r, {s2}),
+                                         x -> x <> ''),
+                             x -> length(x) > 1)) AS n_merged,
+             length(w) AS n_chars
+      FROM enc{_BPE_ROUNDS}),
+    metrics AS (
+      SELECT CAST({_BPE_ROUNDS} AS BIGINT) AS n_merges,
+             round(sum(c * n_chars) / CAST(sum(c * n_syms) AS DOUBLE), 6)
+                 AS chars_per_token,
+             round(sum(c * n_merged) / CAST(sum(c * n_syms) AS DOUBLE), 6)
+                 AS merged_token_share
+      FROM dw JOIN wenc USING (w)),
+    doc_tok AS (
+      SELECT dw.doc_id, dw.source, CAST(sum(c * n_syms) AS BIGINT) AS tok
+      FROM dw JOIN wenc USING (w) GROUP BY 1, 2),
+    t AS (
+      SELECT source, doc_id, tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM doc_tok),
+    packed AS (
+      SELECT source, doc_id, tok, rn, CAST(0 AS BIGINT) AS pack_id,
+             tok AS acc
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.tok, t.rn,
+             CASE WHEN p.acc + t.tok > {PACK_BUDGET} THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.acc + t.tok > {PACK_BUDGET} THEN t.tok
+                  ELSE p.acc + t.tok END
+      FROM packed p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+    SELECT source, pack_id AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           n_merges, chars_per_token, merged_token_share
+    FROM packed, metrics
+    GROUP BY source, pack_id, n_merges, chars_per_token,
+             merged_token_share
+    """
+    )
+
+
+@register("pipeline_tokenizer_release", oracle=_tokenizer_release_oracle())
+def pipeline_tokenizer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end tokenizer-release pipeline — the composition that
+    completes the tokenizer story the way pipeline_training_data
+    completed dedup:
+
+        documents -> curate   (normalize + quality floor + exact dedup,
+                               the pipeline_corpus_curation rules)
+                  -> train    (BPE merge rules on the curated sample,
+                               corpus.bpe_train_on_words - the SAME loop
+                               tokenizer_bpe_train runs)
+                  -> encode   (apply the learned rules to EVERY curated
+                               doc's word table - map-side replaces)
+                  -> metrics  (chars/token fertility + merged-token
+                               share, the release acceptance numbers)
+                  -> shard    (next-fit packing of BPE token counts per
+                               source, pack_tokens_nextfit's scan)
+
+    Output grain: one row per training shard (source, shard_id, doc
+    span, BPE token mass) carrying the release-level tokenizer metrics
+    as constant columns - the manifest a data release ships.
+
+    Scale posture: training's working set is the WORD table (vocab-
+    sized, not corpus-sized); each merge round is one pair-explode agg
+    + a 1-row broadcast argmax + a map-side replace. Encoding is
+    per-(doc,word) map-side expression work after one groupBy; the only
+    data-sized shuffles are the dedup window, the (doc,word) count, and
+    the per-source packing exchange. The 2-row merge collect is
+    metadata-sized (same class as tokenizer_bpe_apply's)."""
+    from basis_spark.operators.corpus import (
+        _BPE_SEP,
+        PACK_BUDGET,
+        _PACK_SCHEMA,
+        _pack_one_source,
+        bpe_train_on_words,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cur = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.lower(F.trim(F.regexp_replace("text", " +", " "))).alias("text"),
+        )
+        .filter(F.size(F.split("text", " ")) >= 8)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    words = (
+        cur.filter(F.col("doc_id") < 50)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_on_words(words).orderBy("round").collect()
+    ]
+
+    s2 = _BPE_SEP * 2
+    dw = (
+        cur.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = F.concat(
+        F.lit(s2), F.concat_ws(s2, F.split(F.col("w"), "(?!^)(?=.)")), F.lit(s2)
+    )
+    enc = dw.withColumn("r", r)
+    for a, b in merges:
+        enc = enc.withColumn(
+            "r",
+            F.expr(
+                f"replace(r, '{_BPE_SEP}' || '{a}' || '{_BPE_SEP}{_BPE_SEP}'"
+                f" || '{b}' || '{_BPE_SEP}',"
+                f" '{_BPE_SEP}' || '{a}{b}' || '{_BPE_SEP}')"
+            ),
+        )
+    syms = f"filter(split(r, '{_BPE_SEP}{_BPE_SEP}'), x -> x <> '')"
+    enc = enc.select(
+        "doc_id",
+        "source",
+        "c",
+        F.expr(f"size({syms})").alias("n_syms"),
+        F.expr(f"size(filter({syms}, x -> length(x) > 1))").alias("n_merged"),
+        F.length("w").alias("n_chars"),
+    )
+    metrics = enc.agg(
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.round(
+            F.sum(F.col("c") * F.col("n_chars"))
+            / F.sum(F.col("c") * F.col("n_syms")).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum(F.col("c") * F.col("n_merged"))
+            / F.sum(F.col("c") * F.col("n_syms")).cast("double"),
+            6,
+        ).alias("merged_token_share"),
+    )
+    doc_tok = enc.groupBy("doc_id", "source").agg(
+        F.sum(F.col("c") * F.col("n_syms")).cast("long").alias("tok")
+    )
+    shards = (
+        doc_tok.select("source", "doc_id", "tok")
+        .groupBy("source")
+        .applyInPandas(_pack_one_source, _PACK_SCHEMA)
+    )
+    return shards.crossJoin(F.broadcast(metrics)).select(
+        "source",
+        F.col("pack_id").alias("shard_id"),
+        "n_docs",
+        F.col("total_tokens").alias("shard_tokens"),
+        "min_doc",
+        "max_doc",
+        "n_merges",
+        "chars_per_token",
+        "merged_token_share",
+    )

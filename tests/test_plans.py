@@ -367,6 +367,7 @@ _SINGLE_PARTITION_OK = {
     "ts_rolling_corr",         # rolling corr window over the calendar-bounded daily rollup
     "text_vocab_growth",       # cumulative window over the |docs|/50-row bucket spine
     "text_zipf_slope",         # rank over the 100-row top-k relation + 1-row regr combine
+    "pipeline_tokenizer_release",  # per-round 1-row argmax combine (word-table-sized input) + 1-row metrics combine
 }
 
 
