@@ -4300,3 +4300,256 @@ def event_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("decay"), 4).alias("engagement"),
         F.round(F.max("decay"), 6).alias("freshest"),
     )
+
+
+@register(
+    "event_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1)
+    SELECT m.month, CAST(m.mau AS BIGINT) AS mau,
+           CAST(count(d.day) AS BIGINT) AS n_days,
+           round(avg(CAST(d.dau AS DOUBLE)), 6) AS avg_dau,
+           round(avg(CAST(d.dau AS DOUBLE)) / m.mau, 6) AS stickiness
+    FROM m JOIN d ON d.month = m.month
+    GROUP BY m.month, m.mau
+    """,
+)
+def event_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio product
+    teams track (what share of the monthly audience shows up on an
+    average day). Two distinct-count aggs at different grains (day,
+    month) joined at month grain; the join side is months-sized so it
+    broadcasts; averages are over OBSERVED days (the fixture has no
+    empty days, and at scale a calendar spine join would pin the
+    denominator — documented, not hidden)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    m = ev.groupBy(F.date_trunc("month", "ts").cast("date").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        d.join(F.broadcast(m), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("day").cast("long").alias("n_days"),
+            F.round(F.avg(F.col("dau").cast("double")), 6).alias("avg_dau"),
+            F.round(
+                F.avg(F.col("dau").cast("double")) / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .select(
+            "month", F.col("mau").cast("long").alias("mau"), "n_days",
+            "avg_dau", "stickiness",
+        )
+    )
+
+
+@register(
+    "event_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY 1),
+    e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ev.user_id,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE) = f.first_day
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events ev JOIN f ON ev.user_id = f.user_id)
+    SELECT day,
+           CAST(count(DISTINCT CASE WHEN is_new = 1 THEN user_id END)
+                AS BIGINT) AS new_users,
+           CAST(count(DISTINCT CASE WHEN is_new = 0 THEN user_id END)
+                AS BIGINT) AS returning_users,
+           CAST(sum(is_new) AS BIGINT) AS new_user_events,
+           CAST(sum(1 - is_new) AS BIGINT) AS returning_user_events
+    FROM e GROUP BY day
+    """,
+)
+def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition per day: a user's events on
+    their first-ever active day count as new, everything after as
+    returning — the acquisition-vs-retention split under every growth
+    dashboard. First-seen day is one groupBy(user) agg that joins back
+    on user_id (both sides partition on the same key, so AQE plans a
+    co-located join; no window over the full event stream needed)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    e = ev.join(f, "user_id").select(
+        day.alias("day"),
+        "user_id",
+        F.when(day == F.col("first_day"), 1).otherwise(0).alias("is_new"),
+    )
+    return e.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("is_new") == 1, F.col("user_id"))
+        ).cast("long").alias("new_users"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 0, F.col("user_id"))
+        ).cast("long").alias("returning_users"),
+        F.sum("is_new").cast("long").alias("new_user_events"),
+        F.sum(1 - F.col("is_new")).cast("long").alias("returning_user_events"),
+    )
+
+
+@register(
+    "ts_lag1_autoregression",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 6) AS y
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM d),
+    p AS (SELECT event_type, x, y FROM l WHERE x IS NOT NULL),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ar1_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY event_type
+    """,
+)
+def ts_lag1_autoregression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit per event type's daily-total series: regress today's
+    total on yesterday's (consecutive OBSERVED days), report slope /
+    intercept / R^2 — the one-number memory check (slope near 1 =
+    random-walk-ish, near 0 = mean-reverting) run before committing to
+    a forecasting model family.
+
+    Daily rollup first (days-sized), then a per-type lag window over
+    the calendar-bounded series and ONE sufficient-stats agg; daily
+    totals are rounded at 6dp on both engines before the regression so
+    summation-order noise can't leak into the fit."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = (
+        d.withColumn("x", F.lag("y").over(w))
+        .filter(F.col("x").isNotNull())
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        F.round(slope, 6).alias("ar1_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "interval_gaps_report",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                      PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+             s, e
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY 1, 2),
+    gaps AS (
+      SELECT user_id, me,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY island) AS next_s
+      FROM merged)
+    SELECT user_id,
+           CAST(count(next_s) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(date_diff('microsecond', me, next_s)
+                              // 60000000), 0) AS BIGINT)
+               AS total_gap_minutes,
+           CAST(coalesce(max(date_diff('microsecond', me, next_s)
+                              // 60000000), 0) AS BIGINT)
+               AS max_gap_minutes
+    FROM gaps GROUP BY user_id
+    """,
+)
+def interval_gaps_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of interval_merge_overlaps: per user, the GAPS
+    between merged busy islands (45-min event envelopes) — idle-window
+    detection, the same primitive behind maintenance-window discovery
+    and coverage-hole audits. Reuses the gaps-and-islands window shape
+    verbatim, then one lead() over the islands (per-user-islands-sized,
+    tiny) and a per-user rollup. Whole-minute gap durations stay exact
+    integers on both engines."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTE")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        iv.withColumn(
+            "new_island",
+            F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(wrun))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    wlead = Window.partitionBy("user_id").orderBy("island")
+    gaps = islands.withColumn("next_s", F.lead("ms").over(wlead))
+    gap_min = F.floor(
+        (F.unix_micros("next_s") - F.unix_micros("me")) / 60_000_000
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("next_s").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum(gap_min), F.lit(0)).cast("long").alias("total_gap_minutes"),
+        F.coalesce(F.max(gap_min), F.lit(0)).cast("long").alias("max_gap_minutes"),
+    )

@@ -974,3 +974,114 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+STOPWORD_TOP = 5  # corpus-fit stopword list size (fixture vocab: 31 words)
+
+
+@register(
+    "text_stopword_ratio",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL AND text <> ''),
+    sw AS (SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY word) t
+           ORDER BY c DESC, word LIMIT {STOPWORD_TOP})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE sw.word IS NOT NULL) AS BIGINT)
+               AS n_stop,
+           round(CAST(count(*) FILTER (WHERE sw.word IS NOT NULL) AS DOUBLE)
+                 / count(*), 6) AS stop_ratio
+    FROM w LEFT JOIN sw ON w.word = sw.word GROUP BY doc_id
+    """,
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stopword ratio against a CORPUS-FIT stopword list
+    (the top-{N} most frequent words, ties broken lexicographically —
+    the Zipf head IS the stopword list when no language resource is
+    available): the single strongest cheap feature in boilerplate /
+    gibberish quality filters (too low = keyword stuffing or tables,
+    too high = empty filler). Same broadcast-membership shape as
+    tokenizer_vocab_coverage: the fitted list is {N} rows, so the
+    token stream never shuffles against anything data-sized."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.filter(F.col("text").isNotNull() & (F.col("text") != "")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(STOPWORD_TOP)
+        .select("word", F.lit(1).alias("is_stop"))
+    )
+    n_stop = F.sum(F.when(F.col("is_stop").isNotNull(), 1).otherwise(0))
+    return (
+        w.join(F.broadcast(sw), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_stop.alias("n_stop"),
+            F.round(n_stop.cast("double") / F.count(F.lit(1)), 6).alias(
+                "stop_ratio"
+            ),
+        )
+    )
+
+
+CHUNK_TOKENS = 32  # fixed-size token chunking width
+
+
+@register(
+    "chunk_fixed_tokens",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens
+      FROM documents),
+    ks AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0,
+                 CAST(ceil(n_tokens / {CHUNK_TOKENS}.0) AS BIGINT) - 1)) AS k
+      FROM d WHERE n_tokens > 0)
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(least({CHUNK_TOKENS}, n_tokens - k * {CHUNK_TOKENS}) AS BIGINT)
+               AS chunk_tokens,
+           CAST(k * {CHUNK_TOKENS} AS BIGINT) AS token_start
+    FROM ks
+    """,
+)
+def chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width TOKEN chunking manifest (the complement of
+    chunk_docs_overlap's character/stride chunks): every doc splits
+    into ceil(n/{W}) chunks of {W} whitespace tokens with a short tail
+    — the planning table a context-window loader materializes before
+    gathering chunk text. Pure map-side sequence explode; empty/null
+    docs emit zero chunks (the pack_tokens_nextfit empty-doc
+    contract)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tokens")
+    )
+    d = docs.select("doc_id", n_tok).filter(F.col("n_tokens") > 0)
+    ks = d.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("n_tokens") / float(CHUNK_TOKENS)).cast("long") - 1,
+            )
+        ).alias("k"),
+    )
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("long"),
+            F.col("n_tokens") - F.col("k") * CHUNK_TOKENS,
+        ).cast("long").alias("chunk_tokens"),
+        (F.col("k") * CHUNK_TOKENS).cast("long").alias("token_start"),
+    )

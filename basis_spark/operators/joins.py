@@ -1847,3 +1847,69 @@ def join_null_skew_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "join_interval_overlap_fraction",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+      FROM events)
+    SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+           date_diff('microsecond',
+                     greatest(a.s, b.s), least(a.e, b.e)) AS overlap_us,
+           round(CAST(date_diff('microsecond', greatest(a.s, b.s),
+                                least(a.e, b.e)) AS DOUBLE)
+                 / date_diff('microsecond', least(a.s, b.s),
+                             greatest(a.e, b.e)), 6) AS jaccard
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s < b.e AND b.s < a.e
+    WHERE CAST(date_diff('microsecond', greatest(a.s, b.s),
+                         least(a.e, b.e)) AS DOUBLE)
+           / date_diff('microsecond', least(a.s, b.s),
+                       greatest(a.e, b.e)) >= 0.5
+    """,
+)
+def join_interval_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-Jaccard self-join: pairs of a user's 45-min activity
+    envelopes whose temporal IoU (overlap / union) is >= 0.5 — the
+    interval-similarity primitive behind duplicate-session detection
+    and meeting-conflict scoring (a boolean overlap join says two
+    windows touch; the fraction says they're the SAME window).
+
+    The equi key (user_id) carries the join — the IoU predicate
+    evaluates inside each user's hash bucket, never a cross-user
+    nested loop. For two overlapping intervals union = max(e)-min(s),
+    so no interval algebra beyond greatest/least is needed; durations
+    are exact integer microseconds on both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTE")).alias("e"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e"))
+    )
+    ov = F.unix_micros(F.least("a.e", "b.e")) - F.unix_micros(
+        F.greatest("a.s", "b.s")
+    )
+    un = F.unix_micros(F.greatest("a.e", "b.e")) - F.unix_micros(
+        F.least("a.s", "b.s")
+    )
+    jac = ov.cast("double") / un
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("i"),
+            F.col("b.event_id").alias("j"),
+            ov.alias("overlap_us"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(jac >= 0.5)
+    )

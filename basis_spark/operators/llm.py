@@ -3850,3 +3850,67 @@ def embeddings_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_vid") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "embeddings_signbit_sketch",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, g.i AS d, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    pl AS (
+      SELECT t.p, g.d,
+             (CAST(('0x' || substring(md5('pl-' || CAST(t.p AS VARCHAR)
+                  || '-' || CAST(g.d AS VARCHAR)), 1, 13)) AS BIGINT)
+              + 0.5) / 4503599627370496.0 - 0.5 AS w
+      FROM generate_series(0, 15) t(p), generate_series(1, 64) g(d)),
+    dot AS (
+      SELECT vec_id, p, sum(w * x) AS s
+      FROM ev JOIN pl USING (d) GROUP BY 1, 2),
+    bits AS (
+      SELECT vec_id, p, CASE WHEN s >= 0 THEN 1 ELSE 0 END AS b FROM dot)
+    SELECT vec_id,
+           CAST(sum(b * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS signature,
+           CAST(sum(b) AS BIGINT) AS n_positive_bits
+    FROM bits GROUP BY vec_id
+    """,
+)
+def embeddings_signbit_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit sign-projection signature per embedding — the SimHash-
+    for-vectors sketch (Charikar 2002): bit p is the sign of the dot
+    product with hyperplane p, and Hamming distance between signatures
+    estimates angular distance. Unlike similarity_topk_lsh's
+    xxhash64-seeded planes (rows-only tier), the plane weights here are
+    md5-DERIVED uniforms (the corpus_span_corruption convention), which
+    both engines can compute bit-identically — so this sketch, the
+    building block LSH banding consumes, carries a STRICT oracle.
+
+    Pure map-side work in Spark: the 16x64 plane matrix is a constant
+    expression folded into one transform/aggregate per row; no shuffle,
+    no UDF. At 100 TB this is scan-transform-write; the sketch column
+    then feeds embeddings_binary_hamming_topk-style probes."""
+    u = (
+        "(CAST(conv(substring(md5(concat('pl-', CAST(p AS STRING), '-',"
+        " CAST(d AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 0.5)"
+        " / 4503599627370496.0 - 0.5"
+    )
+    bits = F.expr(
+        f"transform(sequence(0, 15), p -> CASE WHEN"
+        f" aggregate(sequence(1, 64), 0D,"
+        f" (acc, d) -> acc + ({u}) * CAST(embedding[d-1] AS DOUBLE))"
+        f" >= 0 THEN 1 ELSE 0 END)"
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", bits.alias("bits"))
+    return b.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 15), CAST(0 AS BIGINT),"
+            " (acc, p) -> acc + CAST(bits[p] AS BIGINT)"
+            " * shiftleft(CAST(1 AS BIGINT), p))"
+        ).alias("signature"),
+        F.expr(
+            "aggregate(bits, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + CAST(x AS BIGINT))"
+        ).alias("n_positive_bits"),
+    )

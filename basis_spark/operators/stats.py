@@ -976,3 +976,278 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("value"), 6).alias("variance"),
         n_req.alias("n_per_arm_5pct_mde"),
     )
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle="""
+    WITH vt AS (
+      SELECT value AS v, count(*) AS t FROM events GROUP BY value),
+    mr AS (
+      SELECT v, t,
+             sum(t) OVER (ORDER BY v) - t + (t + 1) / 2.0 AS midrank
+      FROM vt),
+    gv AS (
+      SELECT event_type, value AS v, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    rg AS (
+      SELECT gv.event_type, sum(gv.n) AS n_g,
+             sum(gv.n * mr.midrank) AS r_g
+      FROM gv JOIN mr ON gv.v = mr.v GROUP BY 1),
+    tot AS (SELECT sum(n_g) AS n FROM rg),
+    ties AS (
+      SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS sum_t3 FROM vt),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(max(tot.n) AS BIGINT) AS n_total,
+             12.0 / (max(tot.n) * (max(tot.n) + 1.0))
+               * sum(r_g * r_g / n_g)
+               - 3.0 * (max(tot.n) + 1.0) AS h_raw
+      FROM rg, tot)
+    SELECT n_groups, n_total,
+           round(h_raw, 6) AS h_stat,
+           round(1.0 - ties.sum_t3
+                 / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total),
+                 6) AS tie_correction,
+           round(h_raw / (1.0 - ties.sum_t3
+                 / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)),
+                 6) AS h_corrected
+    FROM h, ties
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (one-way ANOVA on ranks) across ALL event
+    types with midrank tie handling and the standard tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N) — the k-group generalization of
+    Mann-Whitney, the nonparametric drift test to run when a feature's
+    per-segment distributions can't be assumed normal.
+
+    Same scale shape as the two-sample tests: one hash agg to the
+    distinct-value grain, a prefix sum over value order for midranks
+    (value-distinct-sized, here via one window — swap in the
+    global_cumsum P-row-offset scaffold when distinct values are
+    data-sized), a broadcast-joined per-group rank-sum agg, and a
+    1-row combine. Rank sums are half-integer-exact (< 2^53), so the
+    H arithmetic is deterministic cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    vt = ev.groupBy(F.col("value").alias("v")).agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    mr = vt.withColumn(
+        "midrank", F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0
+    )
+    gv = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rg = (
+        gv.join(mr.select("v", "midrank"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_g"),
+            F.sum(F.col("n") * F.col("midrank")).alias("r_g"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "sum_t3"
+        )
+    )
+    h = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("srr"),
+    )
+    n = F.col("n_total").cast("double")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("srr") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("sum_t3") / (n * n * n - n)
+    return h.crossJoin(F.broadcast(ties)).select(
+        "n_groups",
+        "n_total",
+        F.round(h_raw, 6).alias("h_stat"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(h_raw / corr, 6).alias("h_corrected"),
+    )
+
+
+@register(
+    "stat_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m1,
+             avg(value * value) AS m2r,
+             avg(value * value * value) AS m3r,
+             avg(value * value * value * value) AS m4r
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT event_type, n,
+             m2r - m1 * m1 AS m2,
+             m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1 AS m3,
+             m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                 - 3 * m1 * m1 * m1 * m1 AS m4
+      FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 6) AS jb_stat
+    FROM c ORDER BY event_type
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: skewness and excess
+    kurtosis from raw power sums, JB = n/6 (S^2 + K^2/4) — the cheap
+    screen for "is this metric even close to normal" that decides
+    whether t-test-family tooling applies to a segment.
+
+    One hash-agg pass (four power sums per group), then map-side
+    central-moment algebra written IDENTICALLY on both engines so the
+    only cross-engine divergence is summation-order noise far below
+    the 6dp rounding."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2r"),
+        F.avg(v * v * v).alias("m3r"),
+        F.avg(v * v * v * v).alias("m4r"),
+    )
+    m1, m2r, m3r, m4r = F.col("m1"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    m2 = m2r - m1 * m1
+    m3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
+    m4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
+    skew = m3 / F.pow(m2, 1.5)
+    exk = m4 / (m2 * m2) - 3.0
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(exk, 2) / 4.0), 6
+        ).alias("jb_stat"),
+    )
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(date_part('day', ts) AS BIGINT) % 7 AS dbucket,
+             count(*) AS o
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT sum(o) AS n FROM o),
+    rt AS (SELECT event_type, sum(o) AS r FROM o GROUP BY 1),
+    ct AS (SELECT dbucket, sum(o) AS c FROM o GROUP BY 1),
+    chi AS (
+      SELECT sum(pow(o.o - rt.r * ct.c / CAST(tot.n AS DOUBLE), 2)
+                 / (rt.r * ct.c / CAST(tot.n AS DOUBLE))) AS chi2,
+             max(tot.n) AS n,
+             count(DISTINCT o.event_type) AS nr,
+             count(DISTINCT o.dbucket) AS nc
+      FROM o JOIN rt USING (event_type) JOIN ct USING (dbucket), tot)
+    SELECT round(chi2, 6) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between event type and a day-of-month
+    bucket (day % 7 — computed identically on both engines, dodging
+    the Spark-vs-DuckDB dayofweek origin divergence): the normalized
+    [0,1] effect size on top of the chi-square contingency test, the
+    number that says whether a significant chi2 is also a MEANINGFUL
+    association.
+
+    One contingency hash agg (cells = |types| x 7, metadata-sized),
+    margins derived from the cells, 1-row combine."""
+    ev = load(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type",
+        (F.dayofmonth("ts").cast("long") % 7).alias("dbucket"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = o.groupBy("dbucket").agg(F.sum("o").alias("c"))
+    tot = o.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n").cast("double")
+    chi = (
+        o.join(rt, "event_type")
+        .join(ct, "dbucket")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+            F.max("n").alias("n"),
+            F.countDistinct("event_type").alias("nr"),
+            F.countDistinct("dbucket").alias("nc"),
+        )
+    )
+    return chi.select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "stat_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS rater_a,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 'high' ELSE 'low' END AS rater_b
+      FROM events),
+    cells AS (SELECT rater_a, rater_b, count(*) AS c FROM r GROUP BY 1, 2),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    po AS (SELECT sum(c) AS agree FROM cells WHERE rater_a = rater_b),
+    pe AS (
+      SELECT sum(ra.r * rb.b) AS exp_agree FROM
+        (SELECT rater_a AS k, sum(c) AS r FROM cells GROUP BY 1) ra
+        JOIN (SELECT rater_b AS k, sum(c) AS b FROM cells GROUP BY 1) rb
+          ON ra.k = rb.k)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           round(po.agree / CAST(tot.n AS DOUBLE), 6) AS p_observed,
+           round(pe.exp_agree / (CAST(tot.n AS DOUBLE) * tot.n), 6)
+               AS p_expected,
+           round((po.agree / CAST(tot.n AS DOUBLE)
+                  - pe.exp_agree / (CAST(tot.n AS DOUBLE) * tot.n))
+                 / (1.0 - pe.exp_agree / (CAST(tot.n AS DOUBLE) * tot.n)),
+                 6) AS kappa
+    FROM tot, po, pe
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two deterministic
+    binary labelers of the same events (a value threshold vs an
+    event-type rule — the shape of comparing a heuristic filter
+    against a model classifier on the same corpus): chance-corrected
+    agreement (p_o - p_e)/(1 - p_e), the standard QA number before
+    trusting a cheap labeler as a substitute for an expensive one.
+
+    One 2x2 contingency hash agg; everything after is exact integer
+    ratios in a 1-row combine."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("rater_a"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "high")
+        .otherwise("low")
+        .alias("rater_b"),
+    )
+    cells = r.groupBy("rater_a", "rater_b").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    agree = F.sum(F.when(F.col("rater_a") == F.col("rater_b"), F.col("c")).otherwise(0))
+    ra = cells.groupBy(F.col("rater_a").alias("k")).agg(F.sum("c").alias("r"))
+    rb = cells.groupBy(F.col("rater_b").alias("k")).agg(F.sum("c").alias("b"))
+    pe = ra.join(rb, "k").agg(F.sum(F.col("r") * F.col("b")).alias("exp_agree"))
+    base = cells.agg(n.alias("n"), agree.alias("agree")).crossJoin(F.broadcast(pe))
+    nd = F.col("n").cast("double")
+    p_o = F.col("agree") / nd
+    p_e = F.col("exp_agree") / (nd * F.col("n"))
+    return base.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(p_o, 6).alias("p_observed"),
+        F.round(p_e, 6).alias("p_expected"),
+        F.round((p_o - p_e) / (1.0 - p_e), 6).alias("kappa"),
+    )

@@ -841,3 +841,53 @@ def table_log_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     main = spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
     branch = spark.read.parquet(*(base_objs + branch_objs)).select(*_COLS)
     return rollup(main, "main").unionAll(rollup(branch, "exp"))
+
+
+@register(
+    "table_log_restore",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS final_version,
+           CAST(3 AS BIGINT) AS n_commits,
+           CAST(2 AS BIGINT) AS n_live_objects,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def table_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION 0 (Delta's RESTORE / Iceberg's
+    rollback): restoring is a NEW commit whose actions flip the live
+    set back to the target version's — remove every object live now
+    but not at v0, add back every object live at v0 but not now. No
+    data bytes move (v1's repriced object stays on disk, just no
+    longer referenced), history is append-only (v2 records the
+    restore, so the restore itself is time-travelable), and the
+    restored snapshot must equal the as-of-v0 read bit-for-bit.
+
+    The oracle pins all of it: the post-restore table re-aggregates to
+    the ORIGINAL prices (undoing v1's x2 repricing), the log has 3
+    commits, and the live set is v0's 2 objects. Runs on its own
+    table instance (txn_restore) so the shared 2-commit fixture table
+    other keys replay is never mutated."""
+    table_dir = _build_table(spark, sf_dir, subdir="txn_restore")
+    restore_marker = os.path.join(table_dir, "log", "00000002.json")
+    if not os.path.exists(restore_marker):
+        now = {os.path.relpath(p, table_dir) for p in _live_objects(table_dir)}
+        v0 = {os.path.relpath(p, table_dir) for p in _live_objects(table_dir, 0)}
+        actions = [{"op": "remove", "path": p} for p in sorted(now - v0)] + [
+            {"op": "add", "path": p} for p in sorted(v0 - now)
+        ]
+        try:
+            _commit(table_dir, 2, actions)
+        except CommitConflict:
+            pass  # a concurrent harness already restored — same target state
+    live = _live_objects(table_dir)
+    snap = spark.read.parquet(*live).select(*_COLS)
+    n_commits = len(_read_log(table_dir))
+    return snap.agg(
+        F.lit(n_commits - 1).cast("long").alias("final_version"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+        F.lit(len(live)).cast("long").alias("n_live_objects"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -1178,3 +1178,130 @@ def win_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("x", 2).alias("price"), F.round("y", 2).alias("discount")
         )
     )
+
+
+@register(
+    "win_bollinger_bands",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT day, rev,
+             count(*) OVER w AS n_win,
+             round(avg(rev) OVER w, 6) AS mid,
+             round(coalesce(stddev_samp(rev) OVER w, 0.0), 6) AS sd
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, rev, n_win, mid,
+           round(mid + 2 * sd, 6) AS upper_band,
+           round(mid - 2 * sd, 6) AS lower_band,
+           CASE WHEN n_win >= 7 AND rev > mid + 2 * sd THEN 1
+                WHEN n_win >= 7 AND rev < mid - 2 * sd THEN -1
+                ELSE 0 END AS breakout
+    FROM b
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily revenue series: 7-day rolling
+    mean ± 2 rolling sample-stddevs, with a breakout flag only once
+    the window is full — the volatility-envelope primitive behind
+    anomaly bands on any KPI series. Daily totals are rounded at 6dp
+    BEFORE the window on both engines (the ts_lag1 convention) so the
+    rolling moments see identical inputs. One days-sized rollup, one
+    calendar-bounded window — declared in the single-partition
+    ratchet like every global daily-series op."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    b = d.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.avg("rev").over(w), 6).alias("mid"),
+        F.round(F.coalesce(F.stddev_samp("rev").over(w), F.lit(0.0)), 6).alias("sd"),
+    )
+    full = F.col("n_win") >= 7
+    return b.select(
+        "day",
+        "rev",
+        "n_win",
+        "mid",
+        F.round(F.col("mid") + 2 * F.col("sd"), 6).alias("upper_band"),
+        F.round(F.col("mid") - 2 * F.col("sd"), 6).alias("lower_band"),
+        F.when(full & (F.col("rev") > F.col("mid") + 2 * F.col("sd")), 1)
+        .when(full & (F.col("rev") < F.col("mid") - 2 * F.col("sd")), -1)
+        .otherwise(0)
+        .alias("breakout"),
+    )
+
+
+@register(
+    "win_rsi_sma",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY 1),
+    ch AS (
+      SELECT day, rev,
+             round(rev - lag(rev) OVER (ORDER BY day), 6) AS chg
+      FROM d),
+    gl AS (
+      SELECT day, rev, chg,
+             greatest(chg, 0.0) AS gain, greatest(-chg, 0.0) AS loss
+      FROM ch WHERE chg IS NOT NULL),
+    sma AS (
+      SELECT day, rev,
+             count(*) OVER w AS n_win,
+             round(avg(gain) OVER w, 6) AS avg_gain,
+             round(avg(loss) OVER w, 6) AS avg_loss
+      FROM gl
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day, rev, avg_gain, avg_loss,
+           round(CASE WHEN avg_loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+                 END, 4) AS rsi
+    FROM sma WHERE n_win >= 14
+    """,
+)
+def win_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day SMA-form RSI (relative strength index) on daily revenue:
+    average gain vs average loss over the trailing fortnight, mapped to
+    the 0-100 oscillator — the mean-reversion signal in its simple-
+    moving-average form (Wilder's recursive smoothing is the EWMA
+    variant; the SMA form is the one that stays a pure window
+    expression). Emitted only once the 14-sample window is full; both
+    engines round the day-over-day change before averaging so the SMA
+    sees identical inputs."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    wlag = Window.orderBy("day")
+    ch = d.withColumn(
+        "chg", F.round(F.col("rev") - F.lag("rev").over(wlag), 6)
+    ).filter(F.col("chg").isNotNull())
+    gl = ch.select(
+        "day",
+        "rev",
+        F.greatest("chg", F.lit(0.0)).alias("gain"),
+        F.greatest(-F.col("chg"), F.lit(0.0)).alias("loss"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    sma = gl.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.avg("gain").over(w), 6).alias("avg_gain"),
+        F.round(F.avg("loss").over(w), 6).alias("avg_loss"),
+    ).filter(F.col("n_win") >= 14)
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss"))
+    )
+    return sma.select(
+        "day", "rev", "avg_gain", "avg_loss", F.round(rsi, 4).alias("rsi")
+    )

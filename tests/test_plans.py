@@ -368,6 +368,12 @@ _SINGLE_PARTITION_OK = {
     "text_vocab_growth",       # cumulative window over the |docs|/50-row bucket spine
     "text_zipf_slope",         # rank over the 100-row top-k relation + 1-row regr combine
     "pipeline_tokenizer_release",  # per-round 1-row argmax combine (word-table-sized input) + 1-row metrics combine
+    "stat_kruskal_wallis",    # midrank prefix window over the distinct-value grain + 1-row H combine
+    "stat_cramers_v",         # 1-row chi2/V combine over the |types|x7 contingency cells
+    "stat_cohens_kappa",      # 1-row kappa combine over the 2x2 contingency
+    "table_log_restore",      # 1-row post-restore aggregate readout
+    "win_bollinger_bands",    # calendar-bounded daily series (one global window)
+    "win_rsi_sma",            # calendar-bounded daily series (one global window)
 }
 
 
