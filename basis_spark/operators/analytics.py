@@ -4553,3 +4553,187 @@ def interval_gaps_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(gap_min), F.lit(0)).cast("long").alias("total_gap_minutes"),
         F.coalesce(F.max(gap_min), F.lit(0)).cast("long").alias("max_gap_minutes"),
     )
+
+
+@register(
+    "privacy_microaggregation",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_acctbal,
+             (row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1) // 5
+                 AS grp
+      FROM customer)
+    SELECT CAST(grp AS BIGINT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(c_acctbal), 6) AS centroid,
+           round(min(c_acctbal), 2) AS min_val,
+           round(max(c_acctbal), 2) AS max_val,
+           min(c_custkey) AS min_key
+    FROM r GROUP BY grp
+    """,
+)
+def privacy_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate microaggregation (k=5 fixed-size rank partitioning —
+    the statistical-disclosure-control method that k-anonymizes a
+    NUMERIC attribute): sort by the attribute, cut into consecutive
+    groups of k, publish each group's centroid instead of raw values.
+    Optimal univariate microaggregation is this exact rank cut; the
+    report carries per-group spread so an analyst can bound the
+    information loss.
+
+    The rank is a global window here (customer-sized); at 100 TB the
+    documented swap-in is windows.global_rank's range-partition +
+    P-row-offset scaffold — identical group ids, no single-partition
+    sort. One window + one hash agg."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor((F.row_number().over(w) - 1) / 5).alias("grp"),
+    )
+    return r.groupBy(F.col("grp").cast("long").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("c_acctbal"), 6).alias("centroid"),
+        F.round(F.min("c_acctbal"), 2).alias("min_val"),
+        F.round(F.max("c_acctbal"), 2).alias("max_val"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+@register(
+    "dq_completeness_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_null,
+           CAST(0 AS BIGINT) AS n_blank,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*),
+           count(*) FILTER (WHERE text IS NULL),
+           count(*) FILTER (WHERE text = ''),
+           count(DISTINCT text) FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           count(*) FILTER (WHERE lang IS NULL),
+           count(*) FILTER (WHERE lang = ''),
+           count(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           count(*) FILTER (WHERE source IS NULL),
+           count(*) FILTER (WHERE source = ''),
+           count(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           count(*) FILTER (WHERE n_chars IS NULL),
+           CAST(0 AS BIGINT),
+           count(DISTINCT n_chars) FROM documents
+    """,
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness profile of the documents table — null
+    count, blank count (string columns), distinct count — the
+    first-contact data-quality report every ingestion pipeline emits
+    before anything downstream trusts a new feed.
+
+    ONE aggregation pass computes every column's metrics side by side
+    (count/count-if/approx-free distincts share the scan), then the
+    wide 1-row result unpivots to the per-column report shape —
+    5 columns never means 5 scans."""
+    d = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    strings = {"text", "lang", "source"}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"))
+        blank = (
+            F.sum(F.when(F.col(c) == "", 1).otherwise(0))
+            if c in strings
+            else F.lit(0)
+        )
+        aggs.append(blank.cast("long").alias(f"blank_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, blank_{c}, dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack})"
+        " AS (column_name, n_null, n_blank, n_distinct)",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_blank").cast("long").alias("n_blank"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "session_entry_exit_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x),
+    fe AS (
+      SELECT user_id, sid,
+             first(event_type ORDER BY ts, event_id) AS entry_type,
+             last(event_type ORDER BY ts, event_id) AS exit_type,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2)
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_session_len
+    FROM fe GROUP BY 1, 2
+    """,
+)
+def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit matrix over 30-minute-gap sessions: which event type
+    OPENS a session crossed with which type CLOSES it (+ session count
+    and mean length per cell) — the landing-page/exit-page analysis in
+    its event-stream form, and the first thing a funnel owner asks of
+    sessionized data.
+
+    Everything rides ONE user_id exchange: the gap flag, the session id
+    running sum, and the per-session first/last reduction (min_by /
+    max_by on the (ts, event_id) tuple — no second window needed); the
+    final matrix groupBy is |types|^2-sized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        ).otherwise(0).alias("brk"),
+    )
+    s = x.withColumn("sid", F.sum("brk").over(wrun))
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    fe = s.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return fe.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_session_len"
+        ),
+    )

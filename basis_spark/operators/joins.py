@@ -1913,3 +1913,69 @@ def join_interval_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(jac >= 0.5)
     )
+
+
+@register(
+    "graph_2hop_reach",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer),
+    e AS (SELECT a.k AS u, b.k AS v FROM pts a JOIN pts b
+          ON a.k < b.k
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225.0),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    hop2 AS (
+      SELECT s1.u AS u, s2.v AS w FROM sym s1 JOIN sym s2
+        ON s1.v = s2.u AND s1.u <> s2.v),
+    reach AS (
+      SELECT u, v AS w FROM sym UNION SELECT u, w FROM hop2),
+    d1 AS (SELECT u, count(*) AS n1 FROM sym GROUP BY u)
+    SELECT reach.u AS node,
+           CAST(max(d1.n1) AS BIGINT) AS n_1hop,
+           CAST(count(*) AS BIGINT) AS n_reach2
+    FROM reach JOIN d1 ON d1.u = reach.u
+    GROUP BY reach.u
+    """,
+)
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reach per node of the proximity graph: how many distinct
+    nodes sit within distance <= 2 — the friend-of-friend audience size
+    under every 'people you may know' and influence-estimate feature.
+
+    Physical shape: symmetrize the edge list, ONE self-join on the
+    middle vertex (fan-out = sum of deg^2 — the wedge relation triangle
+    counting already walks), then a distinct-union and a per-node
+    count. At 100 TB the documented mitigations are the same as the
+    triangle kernel's: degree-ordered wedges and hot-vertex salting;
+    the fixture graph's max degree is single-digit so the wedge
+    relation stays edge-scale here."""
+    e = proximity_edges(spark, sf_dir)
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    hop2 = s1.join(
+        s2,
+        (F.col("s1.v") == F.col("s2.u")) & (F.col("s1.u") != F.col("s2.v")),
+    ).select(F.col("s1.u").alias("u"), F.col("s2.v").alias("w"))
+    reach = sym.select("u", F.col("v").alias("w")).union(hop2).distinct()
+    d1 = sym.groupBy("u").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        reach.join(d1, "u")
+        .groupBy(F.col("u").alias("node"))
+        .agg(
+            F.max("n1").cast("long").alias("n_1hop"),
+            F.count(F.lit(1)).cast("long").alias("n_reach2"),
+        )
+    )

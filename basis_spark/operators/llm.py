@@ -3914,3 +3914,112 @@ def embeddings_signbit_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc + CAST(x AS BIGINT))"
         ).alias("n_positive_bits"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM tok),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE first_seen.first_doc = grams.doc_id)
+                AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (WHERE first_seen.first_doc = grams.doc_id)
+                      AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM grams JOIN first_seen ON grams.g = first_seen.g
+    GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty in doc_id (ingestion) order: the
+    share of a document's distinct trigrams never seen in any EARLIER
+    document — the running-freshness curve a crawl monitors to decide
+    when a source is exhausted (novelty decaying to ~0 means you are
+    re-crawling boilerplate). first-occurrence attribution via one
+    gram-keyed min() agg joined back — no cumulative distinct state,
+    no window over the corpus; the trigram explode is map-side and the
+    two shuffles are both keyed on the gram hash."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 3)
+    ).select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "embeddings_centroid_shift",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, label, g.i, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    lc AS (SELECT label, i, avg(x) AS c FROM ev GROUP BY 1, 2),
+    gc AS (SELECT i, avg(x) AS g FROM ev GROUP BY 1),
+    n AS (SELECT label, count(DISTINCT vec_id) AS n_vecs FROM ev GROUP BY 1)
+    SELECT lc.label, CAST(max(n.n_vecs) AS BIGINT) AS n_vecs,
+           round(sqrt(sum((lc.c - gc.g) * (lc.c - gc.g))), 6) AS l2_shift,
+           round(sum(lc.c * gc.g)
+                 / (sqrt(sum(lc.c * lc.c)) * sqrt(sum(gc.g * gc.g))), 6)
+               AS cos_to_global
+    FROM lc JOIN gc USING (i) JOIN n ON n.label = lc.label
+    GROUP BY lc.label
+    """,
+)
+def embeddings_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift from the global centroid (L2 shift +
+    cosine): the embedding-space segmentation diagnostic — labels whose
+    centroid barely shifts from global carry no cluster signal, and a
+    sudden shift after a model/data change is the embedding version of
+    feature drift. Two dim-keyed hash aggs (label x dim and dim) joined
+    on the 64-row dim key, then a label-sized combine — the vectors
+    themselves shuffle once into the posexplode agg and never pairwise."""
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "xr")
+    ).select("vec_id", "label", "i", F.col("xr").cast("double").alias("x"))
+    lc = ev.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    gc = ev.groupBy("i").agg(F.avg("x").alias("g"))
+    n = ev.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vecs"))
+    j = lc.join(F.broadcast(gc), "i").join(F.broadcast(n), "label")
+    return j.groupBy("label").agg(
+        F.max("n_vecs").cast("long").alias("n_vecs"),
+        F.round(
+            F.sqrt(F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))), 6
+        ).alias("l2_shift"),
+        F.round(
+            F.sum(F.col("c") * F.col("g"))
+            / (
+                F.sqrt(F.sum(F.col("c") * F.col("c")))
+                * F.sqrt(F.sum(F.col("g") * F.col("g")))
+            ),
+            6,
+        ).alias("cos_to_global"),
+    )

@@ -752,9 +752,11 @@ def udtf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             tbl = pa.Table.from_batches([batch])
             price = pc.cast(tbl.column("o_totalprice"), pa.float64())
             band = pc.floor(pc.divide(price, 100000.0))
-            rem = pc.round(
-                pc.subtract(price, pc.multiply(band, 100000.0)), 2
-            )
+            # rounding happens OUTSIDE the UDTF with F.round: pyarrow's
+            # pc.round can land 1 ULP off DuckDB/Spark's BigDecimal
+            # rounding (22565.309999999998 vs 22565.31), which passes
+            # the driver's 6dp hash but fails an exact binary compare
+            rem = pc.subtract(price, pc.multiply(band, 100000.0))
             yield pa.Table.from_arrays(
                 [
                     tbl.column("o_orderkey"),
@@ -771,4 +773,4 @@ def udtf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView(view)
     out = spark.sql(f"SELECT * FROM basis_arrow_bander(TABLE({view}))")
     spark.catalog.dropTempView(view)
-    return out
+    return out.withColumn("remainder", F.round("remainder", 2))

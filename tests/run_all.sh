@@ -1,20 +1,30 @@
 #!/bin/sh
-# Full-suite runner that survives sandbox teardown: the final pytest
-# summary line ("N passed in Ss") is routinely lost when the harness
-# tears the terminal down mid-flush (r5 + r7 verdicts), so tee the
-# whole run to a log and duplicate the summary into PYTEST_SUMMARY.txt
-# at the repo root. Usage: sh tests/run_all.sh [extra pytest args]
+# Full-suite runner that survives sandbox teardown: pytest's final
+# "N passed in Ss" line is routinely lost when the harness tears the
+# terminal down mid-flush (r5 + r7 verdicts) — it even goes missing
+# from a tee'd log. So the counts come from --junitxml, which pytest
+# writes directly to disk, and PYTEST_SUMMARY.txt at the repo root
+# carries them durably. Usage: sh tests/run_all.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
 LOG=.scratch/pytest_full.log
+XML=.scratch/pytest_junit.xml
 mkdir -p .scratch
-python -m pytest tests/ -q -p no:cacheprovider "$@" 2>&1 | tee "$LOG"
-status=$?
+# capture pytest's own exit status, not tee's (a plain pipe reports the
+# LAST command's status, which hid a red suite behind tee's 0)
+{ python -m pytest tests/ -q -p no:cacheprovider --junitxml="$XML" "$@" 2>&1; \
+  echo $? > .scratch/pytest_exit; } | tee "$LOG"
+status=$(cat .scratch/pytest_exit)
 {
   date -u +"%Y-%m-%dT%H:%M:%SZ"
-  # the summary is the last "passed"/"failed"/"error" line pytest printed
-  grep -E "(passed|failed|error)" "$LOG" | tail -3
+  python - "$XML" <<'PYEOF'
+import sys, xml.etree.ElementTree as ET
+s = ET.parse(sys.argv[1]).getroot().find("testsuite").attrib
+t, e, f, sk = (int(s.get(k, 0)) for k in ("tests", "errors", "failures", "skipped"))
+print(f"{t} collected: {t - e - f - sk} passed, {f} failed, {e} errors, {sk} skipped")
+PYEOF
+  grep "^FAILED" "$LOG" | head -20
   echo "exit_status=$status"
 } > PYTEST_SUMMARY.txt
 cat PYTEST_SUMMARY.txt
-exit $status
+exit "$status"

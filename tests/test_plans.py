@@ -374,6 +374,8 @@ _SINGLE_PARTITION_OK = {
     "table_log_restore",      # 1-row post-restore aggregate readout
     "win_bollinger_bands",    # calendar-bounded daily series (one global window)
     "win_rsi_sma",            # calendar-bounded daily series (one global window)
+    "privacy_microaggregation",  # global rank window (global_rank scaffold swap-in documented)
+    "dq_completeness_profile",   # 1-row wide-agg combine unpivoted to the per-column report
 }
 
 
