@@ -4737,3 +4737,115 @@ def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_session_len"
         ),
     )
+
+
+@register(
+    "ts_control_chart",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(avg(value), 6) AS xbar, count(*) AS n
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY day) AS rn FROM d),
+    base AS (
+      SELECT avg(xbar) AS center, stddev_samp(xbar) AS sigma
+      FROM ranked WHERE rn <= 20)
+    SELECT day, xbar,
+           round(center, 6) AS center,
+           round(center + 3 * sigma, 6) AS ucl,
+           round(center - 3 * sigma, 6) AS lcl,
+           CASE WHEN xbar > center + 3 * sigma THEN 1
+                WHEN xbar < center - 3 * sigma THEN -1
+                ELSE 0 END AS violation
+    FROM ranked, base
+    """,
+)
+def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-bar control chart (SPC): fit center line and 3-sigma control
+    limits on the FIRST 20 days (the in-control baseline period), then
+    flag every day whose mean breaches a limit — Western Electric
+    rule 1, the shop-floor ancestor of every metric-alerting system,
+    and still the right first alert because the limits are fixed by
+    the baseline rather than re-fit on the data being judged (an
+    creeping drift can't widen its own limits).
+
+    Days-sized rollup, a rank over the day spine to select the
+    baseline, a 1-row center/sigma combine broadcast back as constant
+    columns. Daily means rounded at 6dp pre-fit on both engines."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("xbar"), F.count(F.lit(1)).alias("n"))
+    ranked = d.withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    base = ranked.filter(F.col("rn") <= 20).agg(
+        F.avg("xbar").alias("center"), F.stddev_samp("xbar").alias("sigma")
+    )
+    j = ranked.crossJoin(F.broadcast(base))
+    ucl = F.col("center") + 3 * F.col("sigma")
+    lcl = F.col("center") - 3 * F.col("sigma")
+    return j.select(
+        "day",
+        "xbar",
+        F.round("center", 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when(F.col("xbar") > ucl, 1)
+        .when(F.col("xbar") < lcl, -1)
+        .otherwise(0)
+        .alias("violation"),
+    )
+
+
+@register(
+    "ts_return_stats",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT day,
+             round(ln(rev / lag(rev) OVER (ORDER BY day)), 6) AS ret
+      FROM d),
+    s AS (
+      SELECT count(ret) AS n, avg(ret) AS mu, stddev_samp(ret) AS sd
+      FROM r WHERE ret IS NOT NULL)
+    SELECT CAST(n AS BIGINT) AS n_returns,
+           round(mu, 6) AS mean_daily_return,
+           round(sd, 6) AS daily_volatility,
+           round(mu / sd * sqrt(252.0), 6) AS sharpe_annualized,
+           round(mu * 252.0, 6) AS drift_annualized
+    FROM s
+    """,
+)
+def ts_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log-return statistics of the revenue series: mean return,
+    volatility, and the annualized Sharpe ratio (sqrt-252 scaling) —
+    the risk-adjusted summary every financial time series gets first,
+    applied to a KPI series where it reads as signal-to-noise of the
+    growth trend. Days-sized rollup, one lag window, one 1-row
+    sufficient-stats combine; returns rounded at 6dp on both engines
+    before the moments."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    w = Window.orderBy("day")
+    r = d.select(
+        F.round(F.log(F.col("rev") / F.lag("rev").over(w)), 6).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    s = r.agg(
+        F.count("ret").alias("n"),
+        F.avg("ret").alias("mu"),
+        F.stddev_samp("ret").alias("sd"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_returns"),
+        F.round("mu", 6).alias("mean_daily_return"),
+        F.round("sd", 6).alias("daily_volatility"),
+        F.round(F.col("mu") / F.col("sd") * F.sqrt(F.lit(252.0)), 6).alias(
+            "sharpe_annualized"
+        ),
+        F.round(F.col("mu") * 252.0, 6).alias("drift_annualized"),
+    )

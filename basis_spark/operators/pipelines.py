@@ -1671,3 +1671,128 @@ def pipeline_tokenizer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_per_token",
         "merged_token_share",
     )
+
+
+@register(
+    "pipeline_data_contract",
+    oracle="""
+    SELECT 'docs_min_rows' AS check_name,
+           CAST(count(*) AS DOUBLE) AS observed,
+           CAST(100.0 AS DOUBLE) AS threshold,
+           CASE WHEN count(*) >= 100 THEN 1 ELSE 0 END AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'docs_text_null_rate',
+           round(CAST(count(*) FILTER (WHERE text IS NULL) AS DOUBLE)
+                 / count(*), 6),
+           CAST(0.05 AS DOUBLE),
+           CASE WHEN CAST(count(*) FILTER (WHERE text IS NULL) AS DOUBLE)
+                     / count(*) <= 0.05 THEN 1 ELSE 0 END
+    FROM documents
+    UNION ALL
+    SELECT 'docs_id_duplicates',
+           CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE),
+           CAST(0.0 AS DOUBLE),
+           CASE WHEN count(*) = count(DISTINCT doc_id) THEN 1 ELSE 0 END
+    FROM documents
+    UNION ALL
+    SELECT 'orders_fk_orphans',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS DOUBLE),
+           CAST(0.0 AS DOUBLE),
+           CASE WHEN (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)) = 0
+                THEN 1 ELSE 0 END
+    UNION ALL
+    SELECT 'events_value_in_range',
+           CAST(count(*) FILTER (WHERE value < 0 OR value > 1000)
+                AS DOUBLE),
+           CAST(0.0 AS DOUBLE),
+           CASE WHEN count(*) FILTER (WHERE value < 0 OR value > 1000) = 0
+                THEN 1 ELSE 0 END
+    FROM events
+    UNION ALL
+    SELECT 'events_span_days',
+           CAST(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) AS DOUBLE),
+           CAST(30.0 AS DOUBLE),
+           CASE WHEN date_diff('day', CAST(min(ts) AS DATE),
+                               CAST(max(ts) AS DATE)) >= 30
+                THEN 1 ELSE 0 END
+    FROM events
+    """,
+)
+def pipeline_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate: the release check a pipeline runs before
+    publishing a dataset version — six contract clauses (volume floor,
+    null-rate ceiling, key uniqueness, referential integrity, value
+    range, time coverage) evaluated across three tables and emitted as
+    one pass/fail report row per clause. This is the dq_* family
+    composed into the artifact CI actually consumes: a table where
+    `min(passed) = 0` blocks the release.
+
+    Each clause is a metadata-sized aggregate (the FK clause is a
+    broadcast anti-join count); the report union is six 1-row plans —
+    nothing data-sized ever leaves its own scan."""
+    docs = load(spark, sf_dir, "documents")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+
+    def row(name, observed, threshold, passed):
+        return (
+            F.lit(name).alias("check_name"),
+            observed.cast("double").alias("observed"),
+            F.lit(threshold).cast("double").alias("threshold"),
+            passed.cast("int").alias("passed"),
+        )
+
+    n_docs = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("nn"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    c1 = n_docs.select(*row(
+        "docs_min_rows", F.col("n"), 100.0,
+        F.when(F.col("n") >= 100, 1).otherwise(0),
+    ))
+    null_rate = F.col("nn").cast("double") / F.col("n")
+    c2 = n_docs.select(*row(
+        "docs_text_null_rate", F.round(null_rate, 6), 0.05,
+        F.when(null_rate <= 0.05, 1).otherwise(0),
+    ))
+    c3 = n_docs.select(*row(
+        "docs_id_duplicates", F.col("n") - F.col("nd"), 0.0,
+        F.when(F.col("n") == F.col("nd"), 1).otherwise(0),
+    ))
+    orphans = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("o"))
+    )
+    c4 = orphans.select(*row(
+        "orders_fk_orphans", F.col("o"), 0.0,
+        F.when(F.col("o") == 0, 1).otherwise(0),
+    ))
+    ev = events.agg(
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
+        ).alias("oor"),
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "span"
+        ),
+    )
+    c5 = ev.select(*row(
+        "events_value_in_range", F.col("oor"), 0.0,
+        F.when(F.col("oor") == 0, 1).otherwise(0),
+    ))
+    c6 = ev.select(*row(
+        "events_span_days", F.col("span"), 30.0,
+        F.when(F.col("span") >= 30, 1).otherwise(0),
+    ))
+    return c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5).unionAll(c6)

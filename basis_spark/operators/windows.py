@@ -1305,3 +1305,44 @@ def win_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sma.select(
         "day", "rev", "avg_gain", "avg_loss", F.round(rsi, 4).alias("rsi")
     )
+
+
+@register(
+    "win_moving_distinct",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             list(DISTINCT user_id) AS us
+      FROM events GROUP BY 1)
+    SELECT day,
+           CAST(len(us) AS BIGINT) AS dau,
+           CAST(len(list_distinct(flatten(
+               list(us) OVER (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+                AS BIGINT) AS wau_7d
+    FROM d
+    """,
+)
+def win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-day DISTINCT user count per day (rolling WAU) — the
+    window nobody can write directly because COUNT(DISTINCT) OVER a
+    frame is unsupported on every engine: the standard rewrite
+    aggregates each day's distinct-user SET first, then unions the
+    sets across the moving frame and measures the union. The per-day
+    set is DAU-sized (bounded by the population), so the window slides
+    over days-sized rows carrying set payloads — never over raw
+    events; at 100 TB the same rewrite swaps the exact sets for HLL
+    sketches (sketch_hll_rollup's register-max merge) with the window
+    body unchanged."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.collect_set("user_id").alias("us"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "day",
+        F.size("us").cast("long").alias("dau"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+        ).cast("long").alias("wau_7d"),
+    )

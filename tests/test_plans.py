@@ -376,6 +376,10 @@ _SINGLE_PARTITION_OK = {
     "win_rsi_sma",            # calendar-bounded daily series (one global window)
     "privacy_microaggregation",  # global rank window (global_rank scaffold swap-in documented)
     "dq_completeness_profile",   # 1-row wide-agg combine unpivoted to the per-column report
+    "win_moving_distinct",    # calendar-bounded day spine carrying DAU-sized set payloads
+    "ts_return_stats",        # calendar-bounded lag window + 1-row moments combine
+    "pipeline_data_contract", # six metadata-sized 1-row clause combines unioned
+    "ts_control_chart",       # day-spine rank + 1-row baseline center/sigma combine
 }
 
 
