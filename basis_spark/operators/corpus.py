@@ -1085,3 +1085,41 @@ def chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("chunk_tokens"),
         (F.col("k") * CHUNK_TOKENS).cast("long").alias("token_start"),
     )
+
+
+@register(
+    "corpus_interleave_roundrobin",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
+           CAST(row_number() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
+               AS global_idx
+    FROM r
+    """,
+)
+def corpus_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin interleave schedule across sources: position k of
+    the training stream takes the rn-th unread doc of each source in
+    source order before any source's rn+1-th — the deterministic
+    mixture schedule that keeps a multi-source corpus from feeding the
+    trainer long single-source runs (which bias early training and
+    wreck loss curves). Emits each doc's within-source rank and its
+    global stream index.
+
+    One per-source rank window (source-partitioned, parallel) and one
+    global rank over (rn, source) — the global window is docs-sized
+    here; windows.global_rank's range-partition + P-row-offset
+    scaffold is the documented swap-in at corpus scale, keyed on the
+    same (rn, source) tuple."""
+    docs = load(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    r = docs.select(
+        "doc_id", "source", F.row_number().over(wsrc).cast("long").alias("rn")
+    )
+    wglob = Window.orderBy("rn", "source", "doc_id")
+    return r.withColumn(
+        "global_idx", F.row_number().over(wglob).cast("long")
+    )

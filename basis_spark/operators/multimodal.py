@@ -1348,3 +1348,63 @@ def multimodal_tar_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tar_bytes").alias("tar_bytes"),
         F.sum("payload_bytes").alias("payload_bytes"),
     )
+
+
+def _wav_downsample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode -> decimate-by-2 (floor pair mean) -> RE-ENCODE -> decode
+    again: the re-encode round-trip is asserted inside the batch so a
+    codec regression fails the job, not just a statistic."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "sample_rate": [], "n_samples": [],
+            "mean_amp": [], "sum_abs": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            _, _, s = decode_wav(make_wav(synth_wav_samples(int(doc_id))))
+            down = [(s[2 * k] + s[2 * k + 1]) // 2 for k in range(len(s) // 2)]
+            rate2, n2, got = decode_wav(make_wav(down, rate=4000))
+            if got != down or (rate2, n2) != (4000, len(down)):
+                raise ValueError(f"downsample round-trip failed for doc {doc_id}")
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate2)
+            out["n_samples"].append(n2)
+            out["mean_amp"].append(round(sum(down) / n2, 6))
+            out["sum_abs"].append(int(sum(abs(x) for x in down)))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_wav_downsample",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, i.range AS k,
+             ((d.doc_id * 37 + (2 * i.range) * 11) % 2001) - 1000 AS a,
+             ((d.doc_id * 37 + (2 * i.range + 1) * 11) % 2001) - 1000 AS b
+      FROM documents d, range(32) i)
+    SELECT doc_id,
+           CAST(4000 AS BIGINT) AS sample_rate,
+           CAST(32 AS BIGINT) AS n_samples,
+           round(avg(CAST(floor((a + b) / 2.0) AS BIGINT)), 6) AS mean_amp,
+           CAST(sum(abs(CAST(floor((a + b) / 2.0) AS BIGINT))) AS BIGINT)
+               AS sum_abs
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation through the REAL codec path: decode each doc's
+    synthesized PCM WAV, halve the sample rate by floor-averaging
+    adjacent sample pairs (the boxcar anti-alias decimator), re-encode
+    to a 4 kHz WAV, decode THAT, and report the downsampled stats —
+    so the oracle-checked numbers have passed through two encodes and
+    two decodes of the real byte-level codec, not a shortcut list.
+
+    Arrow-batched mapInPandas over doc ids (the multimodal_audio_decode
+    shape); the oracle recomputes the decimated signal from the synth
+    arithmetic. floor((a+b)/2) is pinned explicitly on both engines
+    (Python // is floor; SQL floor() over the exact 2.0 division)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _wav_downsample_batches,
+        "doc_id long, sample_rate long, n_samples long,"
+        " mean_amp double, sum_abs long",
+    )

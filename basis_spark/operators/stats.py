@@ -1251,3 +1251,138 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_expected"),
         F.round((p_o - p_e) / (1.0 - p_e), 6).alias("kappa"),
     )
+
+
+@register(
+    "stat_proportions_ztest",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 2 AS segment, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT max(CASE WHEN segment = 0 THEN n END) AS n0,
+             max(CASE WHEN segment = 0 THEN x END) AS x0,
+             max(CASE WHEN segment = 1 THEN n END) AS n1,
+             max(CASE WHEN segment = 1 THEN x END) AS x1
+      FROM s)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           round(x0 / CAST(n0 AS DOUBLE), 6) AS p_0,
+           round(x1 / CAST(n1 AS DOUBLE), 6) AS p_1,
+           round((x0 / CAST(n0 AS DOUBLE) - x1 / CAST(n1 AS DOUBLE))
+                 / sqrt(((x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+    FROM w
+    """,
+)
+def stat_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on the purchase share of EVENTS
+    between the two user_id-parity segments — the test behind every
+    conversion-rate A/B readout, pooled-variance form. (Event-level
+    proportion deliberately: the fixture's every user purchases at
+    least once, so a user-level "ever converted" rate is degenerately
+    1.0 in both arms and the pooled variance collapses to zero.)
+    One 2-row segment agg, one 1-row pivot+combine; exact integer
+    counts feed a closed form written identically on both engines."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy((F.col("user_id") % 2).alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("segment") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("segment") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("segment") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("segment") == 1, F.col("x"))).alias("x1"),
+    )
+    n0, x0 = F.col("n0").cast("double"), F.col("x0").cast("double")
+    n1, x1 = F.col("n1").cast("double"), F.col("x1").cast("double")
+    pp = (x0 + x1) / (n0 + n1)
+    z = (x0 / n0 - x1 / n1) / F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    return w.select(
+        F.col("n0").cast("long").alias("n_0"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.round(x0 / n0, 6).alias("p_0"),
+        F.round(x1 / n1, 6).alias("p_1"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "eval_pr_curve_points",
+    oracle="""
+    WITH t AS (SELECT (i.range + 1) / 10.0 AS thr FROM range(9) i),
+    lab AS (
+      SELECT value / 100.0 AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    cm AS (
+      SELECT thr,
+             sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM lab, t GROUP BY thr)
+    SELECT round(thr, 1) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+           round(CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                      ELSE 2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE)
+                 END, 6) AS f1
+    FROM cm
+    """,
+)
+def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at nine thresholds (0.1..0.9) treating the
+    scaled event value as a purchase-propensity score — the PR-curve
+    table a classifier eval materializes next to eval_auc_rank's
+    single-number summary (AUC says 'rankable'; this table says WHERE
+    to cut). The 9-row threshold relation broadcasts into one pass
+    over the events (9x row multiplier inside a map-side join, then
+    one 9-group agg) — never 9 separate scans."""
+    ev = load(spark, sf_dir, "events")
+    thr = spark.range(9).select(((F.col("id") + 1) / 10.0).alias("thr"))
+    lab = ev.select(
+        (F.col("value") / 100.0).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cm = (
+        lab.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    return cm.select(
+        F.round("thr", 1).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(
+            F.when(tp + fp == 0, 0.0).otherwise(tp / (tp + fp)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(tp + fn == 0, 0.0).otherwise(tp / (tp + fn)), 6
+        ).alias("recall"),
+        F.round(
+            F.when(2 * tp + fp + fn == 0, 0.0).otherwise(
+                2.0 * tp / (2 * tp + fp + fn)
+            ),
+            6,
+        ).alias("f1"),
+    )

@@ -380,6 +380,8 @@ _SINGLE_PARTITION_OK = {
     "ts_return_stats",        # calendar-bounded lag window + 1-row moments combine
     "pipeline_data_contract", # six metadata-sized 1-row clause combines unioned
     "ts_control_chart",       # day-spine rank + 1-row baseline center/sigma combine
+    "corpus_interleave_roundrobin",  # global stream-index rank (global_rank scaffold swap-in documented)
+    "stat_proportions_ztest", # 2-row segment table -> 1-row pivot/z combine
 }
 
 
