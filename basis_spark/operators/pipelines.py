@@ -1718,9 +1718,9 @@ def pipeline_tokenizer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'events_span_days',
            CAST(date_diff('day', CAST(min(ts) AS DATE),
                           CAST(max(ts) AS DATE)) AS DOUBLE),
-           CAST(30.0 AS DOUBLE),
+           CAST(28.0 AS DOUBLE),
            CASE WHEN date_diff('day', CAST(min(ts) AS DATE),
-                               CAST(max(ts) AS DATE)) >= 30
+                               CAST(max(ts) AS DATE)) >= 28
                 THEN 1 ELSE 0 END
     FROM events
     """,
@@ -1792,7 +1792,7 @@ def pipeline_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("oor") == 0, 1).otherwise(0),
     ))
     c6 = ev.select(*row(
-        "events_span_days", F.col("span"), 30.0,
-        F.when(F.col("span") >= 30, 1).otherwise(0),
+        "events_span_days", F.col("span"), 28.0,
+        F.when(F.col("span") >= 28, 1).otherwise(0),
     ))
     return c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5).unionAll(c6)

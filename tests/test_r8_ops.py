@@ -1,0 +1,202 @@
+"""Contract tests for the round-8 operator families — invariants the
+DuckDB oracle can't see or states only implicitly: packing respects its
+budget, the restored table equals the time-traveled one, control-chart
+limits come from the baseline alone, the moving-distinct union brackets
+its inputs, and the z/H statistics match pure-Python references."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import basis_spark.operators  # noqa: F401  (registers every operator)
+from basis_spark.io import load
+from basis_spark.registry import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def test_tokenizer_release_shards_respect_budget(spark):
+    """Every shard stays within PACK_BUDGET BPE tokens unless it is a
+    single oversized doc (next-fit's only legal overflow), shard ids
+    are dense per source, and the release metrics are sane fertility
+    numbers (>= 1 char/token; merged share in [0, 1])."""
+    from basis_spark.operators.corpus import PACK_BUDGET
+
+    rows = QUERIES["pipeline_tokenizer_release"](spark, SF_ORACLE).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r["shard_tokens"] <= PACK_BUDGET or r["n_docs"] == 1, r
+        assert r["min_doc"] <= r["max_doc"]
+        assert r["chars_per_token"] >= 1.0
+        assert 0.0 <= r["merged_token_share"] <= 1.0
+        assert r["n_merges"] == 2
+        by_source.setdefault(r["source"], []).append(r["shard_id"])
+    for src, ids in by_source.items():
+        assert sorted(ids) == list(range(len(ids))), (src, sorted(ids))
+
+
+def test_table_log_restore_equals_time_travel(spark):
+    """The restored snapshot must be row-identical to the as-of-v0
+    read — restore is time travel made current, not a recompute."""
+    QUERIES["table_log_restore"](spark, SF_ORACLE).collect()  # builds+restores
+    from basis_spark.operators.table_log import (
+        _COLS,
+        _build_table,
+        _live_objects,
+    )
+
+    restored_dir = _build_table(spark, SF_ORACLE, subdir="txn_restore")
+    restored = sorted(
+        tuple(r)
+        for r in spark.read.parquet(*_live_objects(restored_dir))
+        .select(*_COLS)
+        .collect()
+    )
+    v0 = sorted(
+        tuple(r)
+        for r in QUERIES["table_log_time_travel"](spark, SF_ORACLE).collect()
+    )
+    assert restored == v0
+
+
+def test_control_chart_limits_are_baseline_only(spark):
+    """Every row carries the SAME center/ucl/lcl (fit once on the first
+    20 days, never re-fit), and each violation flag is consistent with
+    those limits."""
+    rows = QUERIES["ts_control_chart"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 20
+    centers = {r["center"] for r in rows}
+    ucls = {r["ucl"] for r in rows}
+    assert len(centers) == 1 and len(ucls) == 1
+    for r in rows:
+        if r["violation"] == 1:
+            assert r["xbar"] > r["ucl"]
+        elif r["violation"] == -1:
+            assert r["xbar"] < r["lcl"]
+        else:
+            assert r["lcl"] <= r["xbar"] <= r["ucl"]
+
+
+def test_moving_distinct_brackets_dau(spark):
+    """wau_7d is sandwiched: max(window DAU) <= WAU <= sum(window DAU),
+    and equals DAU exactly on the first day (window of one)."""
+    rows = sorted(
+        QUERIES["win_moving_distinct"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[0]["wau_7d"] == rows[0]["dau"]
+    daus = [r["dau"] for r in rows]
+    for i, r in enumerate(rows):
+        window = daus[max(0, i - 6) : i + 1]
+        assert max(window) <= r["wau_7d"] <= sum(window), (i, r)
+
+
+def test_microaggregation_group_sizes_and_order(spark):
+    """All groups have exactly k=5 members except possibly the last
+    (the rank-cut remainder), and group centroids are nondecreasing in
+    group_id (rank cut preserves value order)."""
+    rows = sorted(
+        QUERIES["privacy_microaggregation"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["group_id"],
+    )
+    n_total = load(spark, SF_ORACLE, "customer").count()
+    assert sum(r["n_members"] for r in rows) == n_total
+    for r in rows[:-1]:
+        assert r["n_members"] == 5, r
+    cents = [r["centroid"] for r in rows]
+    assert cents == sorted(cents)
+    for r in rows:
+        assert r["min_val"] <= r["centroid"] <= r["max_val"]
+
+
+def test_proportions_ztest_matches_reference(spark):
+    """z matches a pure-Python recompute from the raw counts."""
+    ev = load(spark, SF_ORACLE, "events").select("user_id", "event_type").collect()
+    n = {0: 0, 1: 0}
+    x = {0: 0, 1: 0}
+    for r in ev:
+        seg = r["user_id"] % 2
+        n[seg] += 1
+        x[seg] += 1 if r["event_type"] == "purchase" else 0
+    p0, p1 = x[0] / n[0], x[1] / n[1]
+    pp = (x[0] + x[1]) / (n[0] + n[1])
+    z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+    row = QUERIES["stat_proportions_ztest"](spark, SF_ORACLE).collect()[0]
+    assert (row["n_0"], row["n_1"]) == (n[0], n[1])
+    assert abs(row["z_stat"] - round(z, 6)) <= 1e-6
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    """H (tie-corrected) matches a pure-Python midrank recompute."""
+    vals = load(spark, SF_ORACLE, "events").select("event_type", "value").collect()
+    allv = sorted(v["value"] for v in vals)
+    # midrank per value
+    from collections import Counter, defaultdict
+
+    cnt = Counter(allv)
+    mid = {}
+    c = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        mid[v] = c + (t + 1) / 2.0
+        c += t
+    rsum = defaultdict(float)
+    ng = defaultdict(int)
+    for r in vals:
+        rsum[r["event_type"]] += mid[r["value"]]
+        ng[r["event_type"]] += 1
+    n = len(vals)
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / ng[g] for g in ng
+    ) - 3.0 * (n + 1)
+    corr = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    row = QUERIES["stat_kruskal_wallis"](spark, SF_ORACLE).collect()[0]
+    assert row["n_total"] == n and row["n_groups"] == len(ng)
+    assert abs(row["h_stat"] - round(h, 6)) <= 1e-5
+    assert abs(row["h_corrected"] - round(h / corr, 6)) <= 1e-5
+
+
+def test_data_contract_all_green_on_fixture(spark):
+    """The fixture satisfies the whole contract (six clauses, all
+    passed) — the gate's 'release allowed' state."""
+    rows = QUERIES["pipeline_data_contract"](spark, SF_ORACLE).collect()
+    assert len(rows) == 6
+    assert {r["check_name"] for r in rows} == {
+        "docs_min_rows", "docs_text_null_rate", "docs_id_duplicates",
+        "orders_fk_orphans", "events_value_in_range", "events_span_days",
+    }
+    assert all(r["passed"] == 1 for r in rows), rows
+
+
+def test_signbit_sketch_hamming_tracks_cosine(spark):
+    """SimHash property on the fixture: P[bit collision] = 1 - theta/pi,
+    so across many pairs the 16-bit Hamming distance must CORRELATE
+    positively with angular distance (not a per-pair guarantee; checked
+    as a rank correlation over a deterministic pair sample)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sig = {
+        r["vec_id"]: r["signature"]
+        for r in QUERIES["embeddings_signbit_sketch"](spark, SF_ORACLE).collect()
+    }
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    hams, angs = [], []
+    for i in range(len(ids) - 1):
+        a, b = int(ids[i]), int(ids[i + 1])
+        hams.append(bin(sig[a] ^ sig[b]).count("1"))
+        angs.append(np.arccos(np.clip(Xn[i] @ Xn[i + 1], -1, 1)))
+    hams, angs = np.array(hams), np.array(angs)
+    # Spearman-ish: correlate ranks to dodge scale. The fixture
+    # embeddings are near-uniform random, so true angles concentrate
+    # in a narrow band and a 16-bit sketch can only weakly rank them
+    # (measured ~0.17); the floor pins "positive signal", not power.
+    rh = hams.argsort().argsort().astype(float)
+    ra = angs.argsort().argsort().astype(float)
+    corr = np.corrcoef(rh, ra)[0, 1]
+    assert corr > 0.1, corr
