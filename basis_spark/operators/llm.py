@@ -1057,15 +1057,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sign_lsh_tagged(emb: DataFrame) -> DataFrame:
-    """48 deterministic pseudo-random hyperplanes (components derived
-    from xxhash64 — no RNG state, identical plans across runs) give
-    each vector a 48-bit sign signature, banded 12x4; returns the input
-    exploded to one row per (vector, band key). Shared by
-    similarity_topk_lsh (query probe) and dedup_cosine_neardup_lsh
-    (pair generation)."""
+    """48 deterministic pseudo-random hyperplanes give each vector a
+    48-bit sign signature, banded 12x4; returns the input exploded to
+    one row per (vector, band key). Shared by similarity_topk_lsh
+    (query probe) and dedup_cosine_neardup_lsh (pair generation).
+
+    Plane components are md5-DERIVED uniforms in [-1, 1) (the
+    corpus_span_corruption / embeddings_signbit_sketch convention,
+    switched from xxhash64 in r8): DuckDB can recompute md5 hex
+    bit-identically, which is what lets both LSH consumers carry STRICT
+    oracles — the banding itself, not just the re-ranked output, is
+    cross-engine reproducible. The plane expression has no column
+    references, so Catalyst constant-folds the whole 48x64 matrix once
+    per plan."""
     planes = F.expr(
         "transform(sequence(0, 47), r -> transform(sequence(0, 63),"
-        " d -> CAST(pmod(xxhash64(r * 64 + d), 1000) AS DOUBLE) / 500.0 - 1.0))"
+        " d -> (CAST(conv(substring(md5(concat('lsh-', CAST(r AS STRING),"
+        " '-', CAST(d AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 0.5)"
+        " / 4503599627370496.0 * 2.0 - 1.0))"
     )
     sig = F.expr(
         "transform(planes, p -> CASE WHEN aggregate(zip_with(embedding, p,"
@@ -1084,7 +1093,45 @@ def _sign_lsh_tagged(emb: DataFrame) -> DataFrame:
     )
 
 
-@register("similarity_topk_lsh")
+@register(
+    "similarity_topk_lsh",
+    oracle="""
+WITH
+    ev AS (
+      SELECT vec_id, label, g.i AS d, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    pl AS (
+      SELECT t.r, g.d,
+             (CAST(('0x' || substring(md5('lsh-' || CAST(t.r AS VARCHAR)
+                  || '-' || CAST(g.d - 1 AS VARCHAR)), 1, 13)) AS BIGINT)
+              + 0.5) / 4503599627370496.0 * 2.0 - 1.0 AS w
+      FROM generate_series(0, 47) t(r), generate_series(1, 64) g(d)),
+    dots AS (
+      SELECT vec_id, r, sum(w * x) AS s FROM ev JOIN pl USING (d)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY r) AS s48
+      FROM dots GROUP BY vec_id),
+    keys AS (
+      SELECT vec_id, CAST(t.b AS VARCHAR) || ':'
+             || substring(s48, t.b * 4 + 1, 4) AS key
+      FROM sig, generate_series(0, 11) t(b)),
+    qk AS (SELECT DISTINCT key FROM keys WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT keys.vec_id FROM keys JOIN qk USING (key)
+      WHERE keys.vec_id <> 0),
+    qv AS (SELECT d, x AS qx FROM ev WHERE vec_id = 0),
+    scored AS (
+      SELECT ev.vec_id, round(sum(ev.x * qv.qx), 6) AS cos
+      FROM ev JOIN cand USING (vec_id) JOIN qv USING (d)
+      GROUP BY ev.vec_id)
+    SELECT s.vec_id, e.label, s.cos
+    FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY s.cos DESC, s.vec_id LIMIT 10
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH (random hyperplane) top-k: the LSH-bucketed scale path
     next to similarity_topk (brute force) and similarity_ann_ivf.
@@ -1095,9 +1142,12 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key with the query are scored exactly. Band count is calibrated
     to the fixture's geometry: top-10 cosines are ~0.5-0.6 (p = 1-theta/pi
     ~ 0.67), so 12 bands of 4 bits give expected recall ~0.93 while a
-    4-band signature measured only 0.6. Approximate (recall is
-    asserted >= 0.8 vs brute force in tests/test_tolerance.py), so
-    rows-only check — same contract as similarity_ann_ivf.
+    4-band signature measured only 0.6. The ANN answer is approximate
+    vs brute force (recall asserted >= 0.8 in tests/test_tolerance.py),
+    but the OPERATOR is a deterministic function of the data — md5-
+    derived planes (r8) let the DuckDB oracle recompute the exact same
+    banding, candidates, and re-rank, so the key is STRICT hash-checked
+    like similarity_ann_ivf.
 
     At 100 TB the band keys become the partition column of the vector
     table and a query probes only matching partitions.
@@ -1987,7 +2037,43 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cosine_neardup_lsh")  # rows-only: approximate (recall pytest)
+@register(
+    "dedup_cosine_neardup_lsh",
+    oracle="""
+WITH
+    ev AS (
+      SELECT vec_id, label, g.i AS d, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    pl AS (
+      SELECT t.r, g.d,
+             (CAST(('0x' || substring(md5('lsh-' || CAST(t.r AS VARCHAR)
+                  || '-' || CAST(g.d - 1 AS VARCHAR)), 1, 13)) AS BIGINT)
+              + 0.5) / 4503599627370496.0 * 2.0 - 1.0 AS w
+      FROM generate_series(0, 47) t(r), generate_series(1, 64) g(d)),
+    dots AS (
+      SELECT vec_id, r, sum(w * x) AS s FROM ev JOIN pl USING (d)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY r) AS s48
+      FROM dots GROUP BY vec_id),
+    keys AS (
+      SELECT vec_id, CAST(t.b AS VARCHAR) || ':'
+             || substring(s48, t.b * 4 + 1, 4) AS key
+      FROM sig, generate_series(0, 11) t(b)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM keys a JOIN keys b ON a.key = b.key AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.i, c.j, round(sum(ea.x * eb.x), 6) AS cos
+      FROM cand c
+      JOIN ev ea ON ea.vec_id = c.i
+      JOIN ev eb ON eb.vec_id = c.j AND eb.d = ea.d
+      GROUP BY c.i, c.j)
+    SELECT i, j, cos FROM scored WHERE cos > 0.4 ORDER BY i, j LIMIT 200
+    """,
+)
 def dedup_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for dedup_cosine_neardup, as its own checked key
     (the round-3 verdict graded the brute key 'weak as-is' because its
@@ -1998,7 +2084,9 @@ def dedup_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema; pair width is band-bucket occupancy, never |V|^2. For the
     fixture geometry (kept pairs cos 0.4-0.5, p_plane ~0.65) expected
     pair recall is ~0.9 — asserted >= 0.8 vs the brute key in
-    tests/test_tolerance.py, hence rows-only driver tier."""
+    tests/test_tolerance.py. With md5-derived planes (r8) the banding
+    is cross-engine reproducible, so the key carries a STRICT oracle
+    on top of the recall floor."""
     emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     tagged = _sign_lsh_tagged(emb).select("vec_id", "embedding", "key")
     a = tagged.select(
