@@ -2108,7 +2108,74 @@ def dedup_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_ivf_kmeans")  # rows-only: approximate (recall pytest)
+def _ivf_kmeans_oracle() -> str:
+    """Unrolled 4-iteration spherical Lloyd in SQL — the full learned
+    quantizer replicated relationally: md5-ordered init, per-iteration
+    6dp-rounded max-dot assignment, mean + renormalize with centroid
+    components rounded at 9dp (the re-synchronization that makes an
+    ITERATIVE float pipeline cross-engine deterministic: both engines
+    erase their sub-1e-9 summation-order drift every round instead of
+    compounding it), top-2 probe, exact re-rank inside probed cells."""
+    parts = ["""
+    WITH ev AS (
+      SELECT vec_id, label, g.i AS d, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    init AS (
+      SELECT vec_id, rn - 1 AS cell FROM (
+        SELECT vec_id, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10),
+    c0 AS (
+      SELECT init.cell, ev.d, ev.x AS v
+      FROM init JOIN ev USING (vec_id))"""]
+    for i in range(1, 5):
+        parts.append(f"""
+    s{i} AS (
+      SELECT ev.vec_id, c{i - 1}.cell, round(sum(ev.x * c{i - 1}.v), 6) AS s
+      FROM ev JOIN c{i - 1} ON ev.d = c{i - 1}.d
+      GROUP BY 1, 2),
+    a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM s{i}) t WHERE rn = 1),
+    m{i} AS (
+      SELECT a{i}.cell, ev.d, avg(ev.x) AS m
+      FROM a{i} JOIN ev USING (vec_id) GROUP BY 1, 2),
+    n{i} AS (SELECT cell, sqrt(sum(m * m)) AS nrm FROM m{i} GROUP BY 1),
+    c{i} AS (
+      SELECT m{i}.cell, m{i}.d, round(m{i}.m / n{i}.nrm, 9) AS v
+      FROM m{i} JOIN n{i} USING (cell))""")
+    parts.append("""
+    qv AS (SELECT d, x AS qx FROM ev WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM (
+        SELECT c4.cell, round(sum(c4.v * qv.qx), 6) AS cs
+        FROM c4 JOIN qv USING (d) GROUP BY c4.cell) t
+      ORDER BY cs DESC, cell LIMIT 2),
+    sfin AS (
+      SELECT ev.vec_id, c4.cell, round(sum(ev.x * c4.v), 6) AS s
+      FROM ev JOIN c4 ON ev.d = c4.d GROUP BY 1, 2),
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sfin) t WHERE rn = 1),
+    scored AS (
+      SELECT ev.vec_id, round(sum(ev.x * qv.qx), 6) AS cos
+      FROM afin JOIN probe USING (cell)
+      JOIN ev ON ev.vec_id = afin.vec_id
+      JOIN qv USING (d)
+      WHERE afin.vec_id <> 0
+      GROUP BY ev.vec_id)
+    SELECT s.vec_id, e.label, s.cos
+    FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY s.cos DESC, s.vec_id LIMIT 10""")
+    return ",".join(parts)
+
+
+@register("similarity_ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL learned coarse quantizer (similarity_ann_ivf
     uses the label column as its quantizer — honest plumbing, but a
@@ -2134,7 +2201,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_tolerance.py."""
     emb = load(spark, sf_dir, "embeddings")
     dot_with = "aggregate(zip_with(embedding, {c}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
-    init_w = Window.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+    init_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
     cent = (
         emb.withColumn("rn", F.row_number().over(init_w))
         .filter(F.col("rn") <= 10)
@@ -2148,7 +2215,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             "cell",
-            F.expr(dot_with.format(c="centroid")).alias("s"),
+            F.round(F.expr(dot_with.format(c="centroid")), 6).alias("s"),
         )
         aw = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
         assigned = (
@@ -2170,8 +2237,8 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "cell",
                 F.expr(
-                    "transform(raw, x -> x / sqrt(aggregate(raw, 0D,"
-                    " (s, y) -> s + y * y)))"
+                    "transform(raw, x -> round(x / sqrt(aggregate(raw, 0D,"
+                    " (s, y) -> s + y * y)), 9))"
                 ).alias("centroid"),
             )
         )
@@ -2182,7 +2249,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         cent.join(F.broadcast(q))
-        .select("cell", cdot.alias("cs"))
+        .select("cell", F.round(cdot, 6).alias("cs"))
         .orderBy(F.desc("cs"), F.asc("cell"))
         .limit(2)
         .select("cell")
@@ -2190,7 +2257,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final assignment against the trained centroids, pruned to probed cells
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "embedding", "cell",
-        F.expr(dot_with.format(c="centroid")).alias("s"),
+        F.round(F.expr(dot_with.format(c="centroid")), 6).alias("s"),
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     assigned = (

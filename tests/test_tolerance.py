@@ -401,7 +401,7 @@ def test_cosine_neardup_lsh_recall(spark):
 
 
 def test_ann_ivf_kmeans_exact_within_probed_cells(spark):
-    """similarity_ann_ivf_kmeans (rows-only tier): same contract as the
+    """similarity_ann_ivf_kmeans (strict since r8): same contract as the
     label-IVF test — the sf0.01 embeddings are barely clustered, so the
     machinery is verified instead of fixture geometry: the result must
     equal the exact brute-force top-10 restricted to the probed LEARNED
@@ -417,30 +417,27 @@ def test_ann_ivf_kmeans_exact_within_probed_cells(spark):
     assert len(rows) == 10
     got = [(r["vec_id"], r["cos"]) for r in rows]
 
-    # Recompute the same deterministic pipeline in numpy: hash init,
-    # 4 Lloyd iterations with max-dot assignment, top-2 probe.
+    # Recompute the same deterministic pipeline in numpy: md5-ordered
+    # init (r8: switched from xxhash64 so the SQL oracle can replicate
+    # it), 4 Lloyd iterations with 6dp-rounded max-dot assignment and
+    # 9dp-rounded renormalized centroids (the operator's cross-engine
+    # stabilizers), top-2 probe.
+    import hashlib
+
     t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
     X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     ids = np.array(t.column("vec_id").to_pylist())
-    import pyspark.sql.functions as F
-
-    hashes = (
-        spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
-        .select("vec_id", F.xxhash64("vec_id").alias("h"))
-        .collect()
-    )
-    order = [r["vec_id"] for r in sorted(hashes, key=lambda r: (r["h"], r["vec_id"]))]
-    C0 = X[np.isin(ids, order[:10])]
+    order = sorted(ids, key=lambda v: (hashlib.md5(str(int(v)).encode()).hexdigest(), int(v)))
     C0 = np.stack([X[ids == v][0] for v in order[:10]])
     C = C0.copy()
     for _ in range(4):
-        a = (X @ C.T).argmax(1)
+        a = np.round(X @ C.T, 6).argmax(1)
         C = np.stack([X[a == k].mean(0) if (a == k).any() else C[k] for k in range(10)])
-        C = C / np.linalg.norm(C, axis=1, keepdims=True)  # spherical k-means
-    a = (X @ C.T).argmax(1)
+        C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 9)
+    a = np.round(X @ C.T, 6).argmax(1)
     assert (X @ C.T).max(1).mean() > (X @ C0.T).max(1).mean(), "Lloyd did not improve"
     q = X[ids == 0][0]
-    probe = np.argsort(-(C @ q))[:2]
+    probe = np.argsort(-np.round(C @ q, 6), kind="stable")[:2]
     cand = np.isin(a, probe) & (ids != 0)
     dots = X[cand] @ q
     cids = ids[cand]
