@@ -540,3 +540,41 @@ def test_nested_struct_pruning_reads_one_leaf(spark):
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "k:bigint" in rs
     assert "tag" not in rs and "blob" not in rs, rs
+
+
+def test_bench_query_exchange_budget(spark):
+    """Shuffle-count ratchet for the 12 headline bench queries: each
+    key's physical plan may not grow MORE Exchange nodes than the
+    measured r8 budget. An extra exchange is the canonical silent perf
+    regression (a lost co-partitioning, a broadcast that fell back to
+    shuffle, an accidental repartition) — at 100 TB one surplus
+    shuffle on lineitem is the difference between one pass and two
+    full-network passes, so it should fail CI here, not show up in
+    BENCH_r{N}.json a round later."""
+    import re
+
+    from basis_spark.registry import QUERIES
+
+    BUDGET = {
+        "agg_groupby_multi": 1,     # one partial->final agg exchange
+        "join_multiway_star": 1,    # dims broadcast; one final agg exchange
+        "sort_multikey": 1,         # TakeOrdered needs one range exchange max
+        "win_row_number_topk": 1,   # one hash exchange for the window
+        "win_running_frame": 1,     # one hash exchange for the window
+        "agg_count_distinct": 2,    # expand + two-phase distinct agg
+        "stream_session": 1,        # single user_id exchange (the q6 win)
+        "agg_rollup": 1,            # expand + one agg exchange
+        "join_anti": 1,             # broadcast anti + one agg exchange
+        "str_regexp": 0,            # map-only scalar pipeline
+        "similarity_topk": 0,       # 1-row broadcast + TakeOrdered, no shuffle
+        "dedup_near_minhash": 5,    # banded candidates + id-only re-join
+        "agg_conditional_pivot": 1, # one partial->final agg exchange
+    }
+    over = {}
+    for key, budget in BUDGET.items():
+        df = QUERIES[key](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"\bExchange\b", plan))
+        if n > budget:
+            over[key] = (n, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
