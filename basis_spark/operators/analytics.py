@@ -4849,3 +4849,63 @@ def ts_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("mu") * 252.0, 6).alias("drift_annualized"),
     )
+
+
+@register(
+    "event_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.purchase_id, p.user_id, p.value, c.click_id
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts < p.pts AND p.pts - c.cts <= INTERVAL 7 DAY),
+    n AS (SELECT purchase_id, count(*) AS n_touches FROM touch GROUP BY 1)
+    SELECT t.purchase_id, t.user_id, t.click_id,
+           CAST(n.n_touches AS BIGINT) AS n_touches,
+           round(t.value / n.n_touches, 6) AS credit
+    FROM touch t JOIN n USING (purchase_id)
+    """,
+)
+def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the third member of the
+    attribution trio (last-touch and position-based already exist):
+    every click in the 7-day lookback before a purchase shares the
+    purchase value EQUALLY (credit = value / n_touches), the model
+    marketing uses when no single touch should monopolize credit.
+
+    The purchase-x-click pairing is an equi-join on user_id with the
+    range predicate evaluated inside each user's hash bucket (the
+    join_interval_self shape — no cross-user loop, no window state);
+    the per-purchase touch count joins back on purchase_id. Credit is
+    an exact integer-count division rounded at 6dp on both engines."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (F.col("user_id") == F.col("cuid"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 7 DAY")),
+    ).select("purchase_id", "user_id", "value", "click_id")
+    n = touch.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touches"))
+    return touch.join(n, "purchase_id").select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.round(F.col("value") / F.col("n_touches"), 6).alias("credit"),
+    )

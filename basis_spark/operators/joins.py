@@ -1979,3 +1979,64 @@ def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_reach2"),
         )
     )
+
+
+@register(
+    "geo_grid_density",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS x,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+                    for ch in string_split_regex(
+                        substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 13), '')]),
+                   (a, d) -> a * 16 + d) % 1000000) / 1000.0 AS y
+        FROM customer)
+    SELECT CAST(floor(x / 100) AS BIGINT) AS cell_x,
+           CAST(floor(y / 100) AS BIGINT) AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(k) AS min_key,
+           round(avg(x), 6) AS cx, round(avg(y), 6) AS cy
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density map over the deterministic md5 point plane
+    (the heatmap-tile aggregation every geo dashboard starts from, and
+    the occupancy histogram that sizes the spatial joins' grid): 10x10
+    fixed cells, per-cell point count and centroid. ONE hash agg keyed
+    on the cell id — the exact shape that scales to any point volume
+    because the key space is the grid, not the points. Shares the
+    point derivation with the proximity-graph family (joins.py), so
+    the density map is also the skew diagnostic for those joins."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(salt: str):
+        v = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (v % 1000000) / 1000.0
+
+    pts = cust.select(
+        F.col("c_custkey").alias("k"), coord("x").alias("x"), coord("y").alias("y")
+    )
+    return pts.groupBy(
+        F.floor(F.col("x") / 100).cast("long").alias("cell_x"),
+        F.floor(F.col("y") / 100).cast("long").alias("cell_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("k").alias("min_key"),
+        F.round(F.avg("x"), 6).alias("cx"),
+        F.round(F.avg("y"), 6).alias("cy"),
+    )

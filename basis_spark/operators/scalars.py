@@ -917,3 +917,38 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal.cast("long").alias("cal_days"),
         biz.cast("long").alias("business_days"),
     )
+
+
+@register(
+    "sample_systematic_everyk",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer) t
+    WHERE rn % 10 = 5
+    """,
+)
+def sample_systematic_everyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-k-th) sampling with a FIXED start offset —
+    the survey-sampling design that guarantees even coverage of the
+    frame order (here: key order, i.e. ingestion order), used where a
+    hash sample's clumping is unacceptable (audit pulls, QC lots).
+    Deterministic start (5 of 10) keeps the key strict — a random
+    start would be the textbook form but an RNG-bound check.
+
+    The frame rank is one global row_number here; windows.global_rank's
+    range-partition + P-row-offset scaffold is the documented swap-in
+    at frame sizes where a single-partition sort is real money."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") % 10 == 5)
+    )

@@ -382,6 +382,7 @@ _SINGLE_PARTITION_OK = {
     "ts_control_chart",       # day-spine rank + 1-row baseline center/sigma combine
     "corpus_interleave_roundrobin",  # global stream-index rank (global_rank scaffold swap-in documented)
     "stat_proportions_ztest", # 2-row segment table -> 1-row pivot/z combine
+    "sample_systematic_everyk",  # global frame rank (global_rank scaffold swap-in documented)
 }
 
 
@@ -570,8 +571,16 @@ def test_bench_query_exchange_budget(spark):
         "dedup_near_minhash": 5,    # banded candidates + id-only re-join
         "agg_conditional_pivot": 1, # one partial->final agg exchange
     }
+    from basis_spark.operators.llm import clear_minhash_caches
+
     over = {}
     for key, budget in BUDGET.items():
+        if key == "dedup_near_minhash":
+            # its banding/candidate index is memoized per session with
+            # eager localCheckpoints that truncate lineage; measure the
+            # COLD plan (the one bench times) or the count is an
+            # artifact of whichever test warmed the memo first
+            clear_minhash_caches()
         df = QUERIES[key](spark, SF_ORACLE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = len(re.findall(r"\bExchange\b", plan))
