@@ -221,9 +221,13 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _double_value(batches):
+    # rounding happens OUTSIDE the UDF with F.round: pandas .round is
+    # half-even and can diverge from DuckDB/Spark's BigDecimal rounding
+    # (the udtf_arrow_native 1-ULP class) — benign on this fixture but
+    # a latent strict-compare flake
     for pdf in batches:
         out = pdf[["event_id", "user_id"]].copy()
-        out["value2"] = (pdf["value"] * 2.0).round(2)
+        out["value2"] = pdf["value"] * 2.0
         yield out
 
 
@@ -236,7 +240,10 @@ def _double_value(batches):
 def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Whole-partition pandas transform over Arrow batches.
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return ev.mapInPandas(_double_value, schema="event_id long, user_id long, value2 double")
+    out = ev.mapInPandas(
+        _double_value, schema="event_id long, user_id long, value2 double"
+    )
+    return out.withColumn("value2", F.round("value2", 2))
 
 
 def _double_value_arrow(batches):
@@ -249,7 +256,7 @@ def _double_value_arrow(batches):
             [
                 b.column("event_id"),
                 b.column("user_id"),
-                pc.round(pc.multiply(b.column("value"), 2.0), 2),
+                pc.multiply(b.column("value"), 2.0),
             ],
             ["event_id", "user_id", "value2"],
         )
@@ -267,9 +274,11 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the multimodal decode family keeps mapInPandas because codec libs
     want numpy/bytes objects."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return ev.mapInArrow(
+    out = ev.mapInArrow(
         _double_value_arrow, schema="event_id long, user_id long, value2 double"
     )
+    # F.round (BigDecimal semantics) matches DuckDB; pc.round need not
+    return out.withColumn("value2", F.round("value2", 2))
 
 
 def _median_series(v: pd.Series) -> float:
