@@ -4909,3 +4909,147 @@ def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_touches").cast("long").alias("n_touches"),
         F.round(F.col("value") / F.col("n_touches"), 6).alias("credit"),
     )
+
+
+@register(
+    "retail_order_aging_buckets",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             date_diff('day', CAST(o_orderdate AS DATE), CAST(mx AS DATE))
+                 AS age_days,
+             o_totalprice
+      FROM orders, anchor WHERE o_orderstatus <> 'F'),
+    b AS (
+      SELECT o_orderstatus,
+             CASE WHEN age_days <= 7 THEN '0-7'
+                  WHEN age_days <= 14 THEN '8-14'
+                  WHEN age_days <= 21 THEN '15-21'
+                  ELSE '22+' END AS age_bucket,
+             o_totalprice
+      FROM aged)
+    SELECT o_orderstatus, age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS open_value
+    FROM b GROUP BY 1, 2
+    """,
+)
+def retail_order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report (the AR-aging shape): non-finalized
+    orders bucketed by age relative to the dataset's latest order date
+    into 0-7 / 8-14 / 15-21 / 22+ day bands, with order count and open
+    value per (status, band) — the collections/fulfillment dashboard
+    staple. The anchor date is a 1-row combine broadcast into a
+    map-side bucket expression; one hash agg on the (status, band)
+    key (cardinality 8)."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    aged = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderstatus",
+            F.datediff(
+                F.col("mx").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("age_days"),
+            "o_totalprice",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 7, "0-7")
+        .when(F.col("age_days") <= 14, "8-14")
+        .when(F.col("age_days") <= 21, "15-21")
+        .otherwise("22+")
+    )
+    return aged.groupBy(
+        "o_orderstatus", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+    )
+
+
+@register(
+    "ts_wow_growth",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, v,
+             lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM d)
+    SELECT event_type, day, v,
+           round(prev, 6) AS week_ago,
+           round((v - prev) / prev, 6) AS wow_growth
+    FROM l WHERE prev IS NOT NULL AND prev <> 0
+    """,
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type's daily total (lag-7 on
+    the observed-day series) — the seasonality-free growth number
+    reporting uses instead of day-over-day (which whipsaws on weekday
+    effects). Days-sized rollup, one per-type lag window; 6dp-rounded
+    inputs on both engines (the ts_lag1 convention)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev", F.lag("v", 7).over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") != 0)
+    )
+    return l.select(
+        "event_type",
+        "day",
+        "v",
+        F.round("prev", 6).alias("week_ago"),
+        F.round((F.col("v") - F.col("prev")) / F.col("prev"), 6).alias(
+            "wow_growth"
+        ),
+    )
+
+
+@register(
+    "event_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(n) AS tot FROM h GROUP BY 1),
+    p AS (
+      SELECT h.event_type, h.hr, h.n,
+             round(h.n / CAST(t.tot AS DOUBLE), 6) AS share,
+             row_number() OVER (PARTITION BY h.event_type
+                                ORDER BY h.n DESC, h.hr) AS rk
+      FROM h JOIN t USING (event_type))
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n, share,
+           CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_peak_hour
+    FROM p
+    """,
+)
+def event_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type (count, share of
+    the type's traffic, peak-hour flag) — the diurnal fingerprint that
+    drives capacity planning and bot detection (a type whose 'peak'
+    is 4 am is usually not human). One (type, hour) hash agg — 24 x
+    |types| cells — with type totals joined back from the same cells;
+    the peak rank window runs over 24-row groups."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hr"))
+    p = h.join(F.broadcast(t), "event_type").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return p.select(
+        "event_type",
+        "hr",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+        F.when(F.col("rk") == 1, 1).otherwise(0).alias("is_peak_hour"),
+    )

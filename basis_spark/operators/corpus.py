@@ -1123,3 +1123,47 @@ def corpus_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.withColumn(
         "global_idx", F.row_number().over(wglob).cast("long")
     )
+
+
+@register(
+    "corpus_doc_length_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens
+      FROM documents),
+    t AS (
+      SELECT n_tokens, ntile(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+      FROM d)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           round(avg(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+    FROM t GROUP BY decile
+    """,
+)
+def corpus_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length decile profile (token counts cut into 10
+    equal-population bands with per-band min/max/mean) — the length
+    distribution summary that calibrates chunk sizes, packing budgets,
+    and the truncation tail a context window will actually cut.
+    Deterministic ntile (ties broken by doc_id). The rank is one
+    global window here; windows.global_rank's range-partition scaffold
+    is the documented swap-in at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tokens")
+    )
+    d = docs.select("doc_id", n_tok)
+    w = Window.orderBy("n_tokens", "doc_id")
+    t = d.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+    )

@@ -383,6 +383,8 @@ _SINGLE_PARTITION_OK = {
     "corpus_interleave_roundrobin",  # global stream-index rank (global_rank scaffold swap-in documented)
     "stat_proportions_ztest", # 2-row segment table -> 1-row pivot/z combine
     "sample_systematic_everyk",  # global frame rank (global_rank scaffold swap-in documented)
+    "retail_order_aging_buckets",  # 1-row anchor-date combine broadcast into the bucket expr
+    "corpus_doc_length_deciles",   # global ntile window (global_rank scaffold swap-in documented)
 }
 
 
