@@ -1909,7 +1909,57 @@ def similarity_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embeddings_pca_power")  # no SQL oracle: eigensolve; numpy-checked
+def _pca_power_oracle(dim: int = 64, squarings: int = 12) -> str:
+    """Strict DuckDB oracle for embeddings_pca_power: the top eigenvector
+    computed ENTIRELY in SQL via matrix squaring with Frobenius
+    renormalization. A^(2^k)/||.||_F converges to the rank-1 projector
+    v v^T at rate (lambda2/lambda1)^(2^k); the fixture's eigengap ratio is
+    ~0.9837, so 12 squarings give 0.9837^4096 ~ 1e-29 — machine precision,
+    far inside the 6dp rounding margin (measured min distance of any
+    loading from a rounding boundary: 1.2e-9; cross-engine Gram drift from
+    float64 summation order is ~1e-12 after the float64 cast on both
+    sides). The eigenvector is read off as the dominant column of the
+    converged projector, unit-normalized, sign-canonicalized to match the
+    Spark side (loading at d=0 non-negative; the fixture's |v[0]| ~ 0.17,
+    so the sign read is not boundary-sensitive). Every CTE is MATERIALIZED:
+    each squaring references its predecessor twice, so un-materialized
+    inlining would expand the chain to 2^12 scans."""
+    parts = [
+        "WITH g0 AS MATERIALIZED (SELECT t1.i AS i, t2.j AS j, "
+        "sum(CAST(embedding[t1.i] AS DOUBLE) * CAST(embedding[t2.j] AS DOUBLE)) AS a "
+        f"FROM embeddings, range(1, {dim + 1}) t1(i), range(1, {dim + 1}) t2(j) "
+        "GROUP BY 1, 2)"
+    ]
+    prev = "g0"
+    for k in range(1, squarings + 1):
+        parts.append(f"n{k} AS MATERIALIZED (SELECT sqrt(sum(a*a)) AS nf FROM {prev})")
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT x.i AS i, y.j AS j, "
+            f"sum((x.a / n.nf) * (y.a / n.nf)) AS a "
+            f"FROM {prev} x JOIN {prev} y ON x.j = y.i, n{k} n GROUP BY 1, 2)"
+        )
+        prev = f"s{k}"
+    parts.append(
+        f"jstar AS MATERIALIZED (SELECT i AS jc FROM {prev} "
+        "WHERE i = j ORDER BY a DESC, i LIMIT 1)"
+    )
+    parts.append(
+        f"vraw AS MATERIALIZED (SELECT s.i AS i, s.a AS v FROM {prev} s, jstar "
+        "WHERE s.j = jstar.jc)"
+    )
+    parts.append("vn AS MATERIALIZED (SELECT sqrt(sum(v*v)) AS nrm FROM vraw)")
+    parts.append(
+        "sgn AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM vraw WHERE i = 1) < 0 "
+        "THEN -1.0 ELSE 1.0 END AS s)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(i - 1 AS INT) AS d, round(sgn.s * v / vn.nrm, 6) AS loading "
+        "FROM vraw, vn, sgn ORDER BY d"
+    )
+
+
+@register("embeddings_pca_power", oracle=_pca_power_oracle())
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embeddings — the MLlib RowMatrix
     architecture, which is what actually scales: the GRAMIAN X^T X is
@@ -1924,8 +1974,12 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-sized. Driver work here is a 4096-row collect + numpy eigh,
     the same metadata-sized-combine class as the sketch merges.
     Sign canonicalized (dim-0 loading non-negative); accuracy vs a
-    direct numpy eigendecomposition pinned in tests/test_tolerance.py
-    (rows-only driver tier)."""
+    direct numpy eigendecomposition pinned in tests/test_tolerance.py,
+    and STRICT-oracle checked against a pure-SQL matrix-squaring power
+    method (_pca_power_oracle above) — the Gramian is accumulated in
+    float64 on both engines (the parquet column is float32; a float32
+    X^T X accumulates ~1e-5 relative error, enough to flip 6dp
+    roundings) so both sides agree to ~1e-12."""
     import numpy as np
     import pandas as pd
 
@@ -1933,7 +1987,7 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["embedding"].to_numpy())
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             A = X.T @ X
             d = A.shape[0]
             idx = np.arange(d * d)

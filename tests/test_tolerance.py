@@ -358,9 +358,10 @@ def test_compression_ratio_matches_local_zlib(spark):
 
 
 def test_pca_gramian_matches_numpy(spark):
-    """embeddings_pca_power (rows-only tier): the distributed-Gramian +
-    local-eigh principal direction must align with a direct numpy
-    eigendecomposition of X^T X to |cos| >= 0.9999."""
+    """embeddings_pca_power (strict tier since r8, via the SQL
+    matrix-squaring oracle): this independent algebraic check remains —
+    the distributed-Gramian + local-eigh principal direction must align
+    with a direct numpy eigendecomposition of X^T X to |cos| >= 0.9999."""
     import numpy as np
     import pyarrow.parquet as pq
 
