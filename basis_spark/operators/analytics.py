@@ -5053,3 +5053,110 @@ def event_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
         F.when(F.col("rk") == 1, 1).otherwise(0).alias("is_peak_hour"),
     )
+
+
+@register(
+    "retail_price_elasticity",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(regr_slope(ln(l.l_quantity),
+                            ln(l.l_extendedprice / l.l_quantity)), 6) + 0.0
+               AS elasticity,
+           round(avg(l.l_extendedprice / l.l_quantity), 6) AS avg_unit_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity > 0
+    GROUP BY p.p_brand
+    HAVING count(*) >= 2
+    """,
+)
+def retail_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) — the standard first-pass demand
+    curve every retail/pricing stack fits before anything causal
+    (elasticity < -1 = elastic, price cuts grow revenue; > -1 =
+    inelastic). Unit price is l_extendedprice / l_quantity (TPC-H
+    stores extended = qty x unit).
+
+    regr_slope is a single sufficient-statistics hash aggregation
+    (sums of x, y, xy, x^2) — one shuffle on p_brand after a
+    broadcast join against the part dim, identical algebra on both
+    engines. At 100 TB the agg stays one pass with map-side partials;
+    brands are low-cardinality so the combine is metadata-sized (skew
+    guard: AQE; a brand hot enough to skew still only carries 4
+    doubles per partial). HAVING n >= 2 guards the slope's
+    denominator, not the fixture (every brand has plenty)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.log(F.col("l_quantity")).alias("lq"),
+        F.log(unit).alias("lp"),
+        unit.alias("up"),
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.round(F.regr_slope("lq", "lp"), 6) + F.lit(0.0)).alias("elasticity"),
+            F.round(F.avg("up"), 6).alias("avg_unit_price"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
+
+
+def _uniq_profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    blocks = []
+    for c in cols:
+        blocks.append(
+            f"""SELECT '{c}' AS column_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows,
+           CAST(max(c) AS BIGINT) AS max_dup_count
+    FROM (SELECT count(*) AS c FROM orders WHERE {c} IS NOT NULL GROUP BY {c}) t"""
+        )
+    return "\n    UNION ALL\n    ".join(blocks)
+
+
+@register("dq_uniqueness_profile", oracle=_uniq_profile_oracle())
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column uniqueness profile of the orders table — distinct
+    count, rows involved in duplicate value groups, and the heaviest
+    value's multiplicity. The complement of dq_completeness_profile
+    (nulls/blanks): together they are the standard first-contact
+    profiling pair, and n_dup_rows==0 is the machine-checkable 'this
+    column is a candidate key' predicate dq_fk_discovery builds on.
+
+    One value-count aggregation per column unioned into a single job:
+    each branch's scan prunes to exactly ONE parquet column, so the
+    union reads the same total bytes as a single 5-column scan — the
+    columnar way to profile N columns without N full-table passes.
+    Each branch is a two-level agg (value counts -> 4 scalars), all
+    map-side combinable; no branch ever materializes the value list."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    outs = []
+    for c in cols:
+        vc = (
+            o.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            vc.agg(
+                F.lit(c).alias("column_name"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("n_dup_rows"),
+                F.max("c").cast("long").alias("max_dup_count"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out

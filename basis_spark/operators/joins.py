@@ -1641,13 +1641,12 @@ def graph_sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 2  # bounded synchronous rounds: deterministic, SQL-exact
 
 
-def _lpa_oracle() -> str:
-    """Unrolled synchronous label propagation: every node starts
-    labeled with its own id; each round it adopts the most frequent
-    label among its neighbors, ties to the smallest label. Bounded
-    rounds (not convergence) is the declared contract — synchronous
-    LPA can oscillate, so production runs fix the round budget, which
-    is also exactly what makes the unrolled oracle well-defined."""
+def _lpa_label_ctes() -> tuple[list[str], str]:
+    """CTE chain producing the final (node, label) table of bounded
+    synchronous label propagation — shared by graph_label_propagation's
+    oracle and graph_community_modularity's (which scores the SAME
+    partition, so the two oracles can never drift apart). Returns the
+    CTE parts and the name of the final label CTE."""
     parts = [
         _PROX_E_CTE,
         """nbr AS MATERIALIZED (
@@ -1670,6 +1669,17 @@ def _lpa_oracle() -> str:
             FROM c{i}) t WHERE rnk = 1)"""
         )
         prev = f"l{i}"
+    return parts, prev
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties to the smallest label. Bounded
+    rounds (not convergence) is the declared contract — synchronous
+    LPA can oscillate, so production runs fix the round budget, which
+    is also exactly what makes the unrolled oracle well-defined."""
+    parts, prev = _lpa_label_ctes()
     return (
         ",\n    ".join(parts)
         + f"""
@@ -1698,6 +1708,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage cut with localCheckpoint exactly like the kcore/BFS/SSSP
     loops. Synchronous rounds (not async convergence) keep the result
     deterministic and the unrolled SQL oracle exact."""
+    labels = _lpa_labels(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+    )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (node, label) assignment of the bounded synchronous LPA —
+    the Spark twin of _lpa_label_ctes, shared by
+    graph_label_propagation and graph_community_modularity."""
     e = proximity_edges(spark, sf_dir)
     nbr = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1719,9 +1740,91 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n2").alias("node"), "label")
             .localCheckpoint()
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("node").alias("min_node"),
+    return labels
+
+
+def _modularity_oracle() -> str:
+    """Newman modularity of the LPA partition, on the same unrolled
+    label chain: Q_c = intra_c/m - (deg_c/(2m))^2 per community, where
+    m = |E| of the proximity graph restricted to labeled (non-isolated)
+    nodes — isolated nodes never enter LPA, so every edge endpoint is
+    labeled and m is just |e|."""
+    parts, prev = _lpa_label_ctes()
+    return (
+        ",\n    ".join(parts)
+        + f""",
+    m AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+    intra AS MATERIALIZED (
+        SELECT lu.label AS community, count(*) AS intra_edges
+        FROM e JOIN {prev} lu ON lu.node = e.u
+               JOIN {prev} lv ON lv.node = e.v
+        WHERE lu.label = lv.label GROUP BY lu.label),
+    degsum AS MATERIALIZED (
+        SELECT l.label AS community, count(*) AS degree_sum
+        FROM nbr JOIN {prev} l ON l.node = nbr.u GROUP BY l.label)
+    SELECT d.community,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           CAST(d.degree_sum AS BIGINT) AS degree_sum,
+           round(coalesce(i.intra_edges, 0) / m.m
+                 - (d.degree_sum / (2 * m.m)) * (d.degree_sum / (2 * m.m)),
+                 6) + 0.0 AS contribution
+    FROM degsum d LEFT JOIN intra i ON i.community = d.community, m"""
+    )
+
+
+@register("graph_community_modularity", oracle=_modularity_oracle())
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity scorecard of the LPA communities — the
+    standard 'did community detection find real structure' check
+    (Q = sum_c [intra_c/m - (deg_c/2m)^2]; Q near 0 means the partition
+    is no better than random wiring). Reported per community so the
+    weak communities are identifiable, not just the total.
+
+    Reuses _lpa_labels verbatim (same bounded synchronous rounds, same
+    tie-breaks) so the score is OF the partition the LPA operator
+    ships. Work on top of the label table is three edge-sized hash
+    joins + two label-keyed aggs; the single-row edge total m joins in
+    as a broadcast, never a collect. At 100 TB the label table is
+    |V|-sized and the joins shuffle on node/community keys — no stage
+    materializes anything denser than the edge list itself."""
+    e = proximity_edges(spark, sf_dir)
+    labels = _lpa_labels(spark, sf_dir)
+    nbr = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab_u = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        e.join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    degsum = (
+        nbr.join(lab_u, "u")
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    m = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    return (
+        degsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (
+                F.round(
+                    F.coalesce("intra_edges", F.lit(0)) / F.col("m")
+                    - (F.col("degree_sum") / (2 * F.col("m")))
+                    * (F.col("degree_sum") / (2 * F.col("m"))),
+                    6,
+                )
+                # + 0.0 canonicalizes IEEE negative zero: a tiny negative
+                # contribution rounds to -0.0 in DuckDB but 0.0 in Spark,
+                # and the gate's repr-compare distinguishes them.
+                + F.lit(0.0)
+            ).alias("contribution"),
+        )
     )
 
 

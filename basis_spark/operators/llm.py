@@ -4232,3 +4232,87 @@ def embeddings_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_to_global"),
     )
+
+
+@register(
+    "embeddings_isotropy_score",
+    oracle="""
+    WITH nrm AS MATERIALIZED (
+        SELECT vec_id, label,
+               sqrt(list_reduce(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                    (a, b) -> a + b)) AS nr
+        FROM embeddings),
+    dims AS MATERIALIZED (
+        SELECT e.label, t.d,
+               sum(CAST(e.embedding[t.d] AS DOUBLE) / n.nr) AS s
+        FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id,
+             range(1, 65) t(d)
+        GROUP BY e.label, t.d),
+    cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    per_label AS (
+        SELECT d.label, max(c.n) AS n, sum(d.s * d.s) AS ss
+        FROM dims d JOIN cnt c ON c.label = d.label GROUP BY d.label),
+    overall AS (
+        SELECT -1 AS label, c.n AS n, sum(ts * ts) AS ss
+        FROM (SELECT d AS dd, sum(s) AS ts FROM dims GROUP BY d) t,
+             (SELECT sum(n) AS n FROM cnt) c
+        GROUP BY c.n)
+    SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n_vecs,
+           round((ss - n) / (n * (n - 1.0)), 6) + 0.0 AS mean_pairwise_cos
+    FROM (SELECT label, n, ss FROM per_label
+          UNION ALL SELECT label, n, ss FROM overall) u
+    """,
+)
+def embeddings_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: mean pairwise cosine
+    between all distinct vectors, per label and corpus-wide (label -1).
+    Anisotropic spaces (mean cosine far above 0) are the classic
+    contextual-embedding pathology — cosine similarity stops
+    discriminating when every pair is already similar — so this is the
+    go/no-go check before cosine-based dedup/ANN thresholds are trusted.
+
+    The naive form is an O(n^2) pairwise join; this uses the sum-vector
+    identity instead: for unit vectors u_i,
+    sum_{i != j} cos(u_i, u_j) = ||sum_i u_i||^2 - n, so mean pairwise
+    cosine = (||S||^2 - n) / (n(n-1)) with S the per-dim sum. ONE
+    posexplode pass -> (label, dim)-keyed hash agg (640 rows) -> a
+    label-sized combine, and the corpus-wide row reuses the SAME
+    per-label partials (sum over labels), so 100 TB of vectors never
+    materialize a single pair. The norm divides through as a per-row
+    map-side expression; float32 is cast to double before any
+    arithmetic (same dtype discipline as embeddings_pca_power's
+    Gramian). The +0.0 canonicalizes IEEE -0.0 from 6dp rounding of
+    near-zero means on either engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    nr = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    ev = (
+        emb.select("label", nr.alias("nr"), F.posexplode("embedding").alias("d", "xr"))
+        .select("label", "d", (F.col("xr").cast("double") / F.col("nr")).alias("u"))
+    )
+    dims = ev.groupBy("label", "d").agg(F.sum("u").alias("s"))
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    per_label = (
+        dims.join(F.broadcast(cnt), "label")
+        .groupBy("label")
+        .agg(F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss"))
+    )
+    tot = dims.groupBy("d").agg(F.sum("s").alias("ts"))
+    overall = tot.agg(F.sum(F.col("ts") * F.col("ts")).alias("ss")).crossJoin(
+        F.broadcast(cnt.agg(F.sum("n").alias("n")))
+    ).select(F.lit(-1).alias("label"), "n", "ss")
+    u = per_label.select("label", "n", "ss").unionByName(overall)
+    return u.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vecs"),
+        (
+            F.round((F.col("ss") - F.col("n")) / (F.col("n") * (F.col("n") - 1.0)), 6)
+            + F.lit(0.0)
+        ).alias("mean_pairwise_cos"),
+    )

@@ -1796,3 +1796,116 @@ def pipeline_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("span") >= 28, 1).otherwise(0),
     ))
     return c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5).unionAll(c6)
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite a QUALIFY query into Spark-executable SQL. Spark has no
+    QUALIFY clause (DuckDB/Snowflake/BigQuery do), so our SQL surface
+    accepts it and rewrites
+
+        <head SELECT ...> QUALIFY <pred> [ORDER BY ... | LIMIT ...]
+
+    into
+
+        SELECT * EXCEPT (__qualify) FROM (
+            SELECT *, (<pred>) AS __qualify FROM (<head>) __qualify_base
+        ) __qualify_t WHERE __qualify [tail]
+
+    Window functions are legal in a select list, so the predicate
+    (which QUALIFY defines as a post-window filter) computes as a
+    boolean column and filters one level up — exactly the manual
+    rewrite users of QUALIFY-less engines write by hand. Declared
+    contract: the predicate sees the query's OUTPUT columns (aliases
+    included), the same scoping DuckDB gives aliased QUALIFY
+    predicates, which is what lets one query text run on both engines.
+
+    The scanner tracks single-quoted strings, double-quoted and
+    backtick identifiers, and paren depth, so QUALIFY inside a
+    subquery, string literal, or quoted identifier is never matched;
+    only a top-level clause rewrites. ORDER BY / LIMIT after the
+    predicate stay outside the wrap (they run after filtering, per
+    QUALIFY semantics)."""
+    upper = sql.upper()
+    depth = 0
+    i = 0
+    qual_at = -1
+    n = len(sql)
+
+    def _skip_quoted(j: int, q: str) -> int:
+        j += 1
+        while j < n:
+            if sql[j] == q:
+                if q == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return j
+
+    marks = []  # (pos, keyword) at depth 0: QUALIFY / ORDER / LIMIT
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_quoted(i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = upper[i:j]
+            if word in ("QUALIFY", "ORDER", "LIMIT"):
+                marks.append((i, word))
+            i = j
+            continue
+        i += 1
+    qual_at = next((p for p, w in marks if w == "QUALIFY"), -1)
+    if qual_at < 0:
+        return sql
+    tail_at = next((p for p, w in marks if p > qual_at and w in ("ORDER", "LIMIT")), n)
+    head = sql[:qual_at].rstrip()
+    pred = sql[qual_at + len("QUALIFY"):tail_at].strip()
+    tail = sql[tail_at:].strip()
+    return (
+        "SELECT * EXCEPT (__qualify) FROM ("
+        f"SELECT *, ({pred}) AS __qualify FROM ({head}) __qualify_base"
+        f") __qualify_t WHERE __qualify {tail}".rstrip()
+    )
+
+
+_QUALIFY_DEMO = """
+    SELECT o_custkey,
+           o_orderkey,
+           round(o_totalprice, 2) AS price
+    FROM {table}
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY price DESC, o_orderkey) <= 2
+    """
+
+
+@register(
+    "sql_qualify_clause",
+    oracle=_QUALIFY_DEMO.format(table="orders"),
+)
+def sql_qualify_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause support in the SQL surface — top-2 orders per
+    customer in one flat query, no explicit subquery. Spark's parser
+    rejects QUALIFY, so the surface rewrites it (rewrite_qualify
+    above) into the select-list-boolean + wrapped-filter form; DuckDB
+    runs the IDENTICAL query text natively, which is the whole
+    correctness claim: one dialect, two engines, same rows.
+
+    The rewritten plan is the same Window + Filter Catalyst sees from
+    a hand-written subquery — with a rank-<=-k predicate it collapses
+    to WindowGroupLimit (top-k per group without ranking every row),
+    so the sugar costs nothing physical. One exchange on o_custkey."""
+    tag = _sf_tag(sf_dir)
+    view = f"qualify_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(rewrite_qualify(_QUALIFY_DEMO.format(table=view)))
+    finally:
+        spark.catalog.dropTempView(view)

@@ -200,3 +200,108 @@ def test_signbit_sketch_hamming_tracks_cosine(spark):
     ra = angs.argsort().argsort().astype(float)
     corr = np.corrcoef(rh, ra)[0, 1]
     assert corr > 0.1, corr
+
+
+def test_qualify_rewriter_scanner_edges():
+    """The QUALIFY scanner must ignore the keyword inside string
+    literals, quoted identifiers, and subqueries, keep the ORDER
+    BY/LIMIT tail OUTSIDE the wrap (post-filter semantics), and pass
+    non-QUALIFY SQL through byte-identical."""
+    from basis_spark.operators.pipelines import rewrite_qualify
+
+    for untouched in (
+        "SELECT 1",
+        "SELECT 'qualify me' AS x FROM t",
+        'SELECT "qualify" FROM t',
+        "SELECT * FROM (SELECT 1) q",
+    ):
+        assert rewrite_qualify(untouched) == untouched
+    r = rewrite_qualify(
+        "SELECT a, b FROM t QUALIFY rank() OVER (ORDER BY b) = 1 ORDER BY a LIMIT 3"
+    )
+    assert r.startswith("SELECT * EXCEPT (__qualify) FROM (")
+    assert r.endswith("WHERE __qualify ORDER BY a LIMIT 3")
+    assert "(rank() OVER (ORDER BY b) = 1) AS __qualify" in r
+    # escaped quote inside a literal does not derail the scanner
+    s = "SELECT 'it''s qualify' FROM t QUALIFY rank() OVER (ORDER BY a) = 1"
+    assert rewrite_qualify(s).endswith("WHERE __qualify")
+
+
+def test_qualify_plan_collapses_to_window_group_limit(spark):
+    """The QUALIFY sugar must cost nothing physical: a rank-<=-k
+    predicate plans as WindowGroupLimit (top-k per group before full
+    materialization), exactly like the hand-written subquery."""
+    plan = QUERIES["sql_qualify_clause"](spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_modularity_totals_and_partition_consistency(spark):
+    """Per-community modularity contributions must (a) sum to a Q in
+    the mathematically legal [-0.5, 1] range, (b) cover every LPA
+    community exactly once, and (c) have intra_edges <= degree_sum/2
+    (a community cannot contain more internal edges than half its
+    degree volume)."""
+    mod = {r["community"]: r for r in QUERIES["graph_community_modularity"](spark, SF_ORACLE).collect()}
+    lpa = {r["community"]: r for r in QUERIES["graph_label_propagation"](spark, SF_ORACLE).collect()}
+    assert set(mod) == set(lpa)
+    q = sum(r["contribution"] for r in mod.values())
+    assert -0.5 <= q <= 1.0, q
+    for r in mod.values():
+        assert r["intra_edges"] * 2 <= r["degree_sum"], tuple(r)
+
+
+def test_isotropy_identity_vs_bruteforce(spark):
+    """The sum-vector identity must equal the O(n^2) brute-force mean
+    pairwise cosine it replaces — checked on one label's vectors with
+    numpy, to 1e-9."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = {r["label"]: r for r in QUERIES["embeddings_isotropy_score"](spark, SF_ORACLE).collect()}
+    tbl = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    labels = np.array(tbl.column("label").to_pylist())
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    lab = int(labels[0])
+    V = X[labels == lab]
+    n = len(V)
+    cos = V @ V.T
+    brute = (cos.sum() - np.trace(cos)) / (n * (n - 1))
+    assert out[lab]["n_vecs"] == n
+    assert abs(out[lab]["mean_pairwise_cos"] - round(brute, 6)) <= 1e-9
+    # the corpus row covers all vectors
+    assert out[-1]["n_vecs"] == len(X)
+
+
+def test_elasticity_matches_numpy_polyfit(spark):
+    """regr_slope per brand must equal a numpy least-squares fit of
+    ln(qty) on ln(unit price) for a spot-checked brand."""
+    import numpy as np
+
+    rows = {r["brand"]: r for r in QUERIES["retail_price_elasticity"](spark, SF_ORACLE).collect()}
+    li = load(spark, SF_ORACLE, "lineitem")
+    pt = load(spark, SF_ORACLE, "part")
+    brand = sorted(rows)[0]
+    sub = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .filter((F.col("p_brand") == brand) & (F.col("l_quantity") > 0))
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    x = np.log([r["l_extendedprice"] / r["l_quantity"] for r in sub])
+    y = np.log([r["l_quantity"] for r in sub])
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(rows[brand]["elasticity"] - slope) <= 1e-4, (rows[brand], slope)
+    assert rows[brand]["n_lines"] == len(sub)
+
+
+def test_uniqueness_profile_flags_the_key_column(spark):
+    """o_orderkey must profile as a perfect candidate key (zero dup
+    rows, max multiplicity 1, distinct == rows); o_orderstatus must
+    not (tiny domain)."""
+    prof = {r["column_name"]: r for r in QUERIES["dq_uniqueness_profile"](spark, SF_ORACLE).collect()}
+    ok = prof["o_orderkey"]
+    assert ok["n_dup_rows"] == 0 and ok["max_dup_count"] == 1
+    assert ok["n_distinct"] == ok["n_rows"]
+    st = prof["o_orderstatus"]
+    assert st["n_distinct"] <= 5 and st["n_dup_rows"] == st["n_rows"]
