@@ -1167,3 +1167,251 @@ def corpus_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
     )
+
+
+_LOGREG_STEPS = 5
+_LOGREG_LR = 1.0
+_LOGREG_FEATS = ("bias", "w_chars", "w_tokens", "w_wordlen")
+
+
+def _logreg_oracle() -> str:
+    """Unrolled batch gradient descent in SQL. Each step is one
+    aggregation over the feature CTE computing the 4 gradient means
+    against the previous weights, then a 1-row weight update ROUNDED
+    AT 9dp — the per-step rounding re-synchronizes both engines before
+    the next sigmoid pass, so libm-ulp differences in exp() can never
+    compound across steps."""
+    head = """
+    WITH feats AS MATERIALIZED (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               n_chars / 1000.0 AS x1,
+               len(string_split(text, ' ')) / 100.0 AS x2,
+               (n_chars * 1.0 / len(string_split(text, ' '))) / 10.0 AS x3
+        FROM documents),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    parts = [head.strip()]
+    prev = "w0"
+    for k in range(1, _LOGREG_STEPS + 1):
+        parts.append(
+            f"""g{k} AS MATERIALIZED (
+        SELECT avg((p - y) * x0) AS g0, avg((p - y) * x1) AS g1,
+               avg((p - y) * x2) AS g2, avg((p - y) * x3) AS g3
+        FROM (SELECT y, x0, x1, x2, x3,
+                     1.0 / (1.0 + exp(-(w.b * x0 + w.w1 * x1
+                                        + w.w2 * x2 + w.w3 * x3))) AS p
+              FROM feats, {prev} w) s)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT round(w.b - {_LOGREG_LR} * g.g0, 9) AS b,
+               round(w.w1 - {_LOGREG_LR} * g.g1, 9) AS w1,
+               round(w.w2 - {_LOGREG_LR} * g.g2, 9) AS w2,
+               round(w.w3 - {_LOGREG_LR} * g.g3, 9) AS w3
+        FROM {prev} w, g{k} g)"""
+        )
+        prev = f"w{k}"
+    parts.append(
+        f"""scored AS MATERIALIZED (
+        SELECT y, 1.0 / (1.0 + exp(-(w.b * x0 + w.w1 * x1
+                                     + w.w2 * x2 + w.w3 * x3))) AS p
+        FROM feats, {prev} w),
+    metrics AS MATERIALIZED (
+        SELECT round(avg(CASE WHEN (p > 0.5) = (y = 1.0)
+                              THEN 1.0 ELSE 0.0 END), 6) AS acc,
+               round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS ll
+        FROM scored)"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT 'bias' AS term, round(b, 6) AS value FROM {prev}
+    UNION ALL SELECT 'w_chars', round(w1, 6) FROM {prev}
+    UNION ALL SELECT 'w_tokens', round(w2, 6) FROM {prev}
+    UNION ALL SELECT 'w_wordlen', round(w3, 6) FROM {prev}
+    UNION ALL SELECT 'train_accuracy', acc FROM metrics
+    UNION ALL SELECT 'log_loss', ll FROM metrics"""
+    )
+
+
+@register("corpus_quality_logreg", oracle=_logreg_oracle())
+def corpus_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training — a quality/domain
+    classifier of the kind corpus pipelines fit for filtering (here:
+    predict lang='en' from length statistics; the point is the
+    TRAINING harness, not the toy target). Batch gradient descent,
+    5 steps, lr=1.0, on three scaled features + bias.
+
+    This is textbook data-parallel GD, the shape MLlib's optimizers
+    use: per step, ONE aggregation computes the 4 gradient means with
+    the current weights folded in as literals (map-side partials, no
+    per-row state), the 4-double gradient is collected, and the driver
+    updates the weight vector — 5 full-data passes total, each pass
+    embarrassingly parallel, nothing driver-side ever scales with
+    data. Weights are rounded at 9dp after every step so the SQL
+    oracle's sigmoid passes stay bit-synchronized with Spark's (libm
+    exp() can differ in the last ulp per row; the per-step rounding
+    stops any compounding). Final report: 6dp weights, train
+    accuracy, log loss."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (ntok / 100.0).alias("x2"),
+        ((F.col("n_chars") / ntok) / 10.0).alias("x3"),
+    ).localCheckpoint()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LOGREG_STEPS):
+        z = (
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = feats.agg(
+            *[
+                F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).first()
+        w = [round(w[j] - _LOGREG_LR * g[f"g{j}"], 9) for j in range(4)]
+    z = (
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    m = feats.agg(
+        F.round(
+            F.avg(
+                F.when((p > 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("acc"),
+        F.round(
+            -F.avg(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)), 6
+        ).alias("ll"),
+    ).first()
+    rows = [
+        ("bias", round(w[0], 6)),
+        ("w_chars", round(w[1], 6)),
+        ("w_tokens", round(w[2], 6)),
+        ("w_wordlen", round(w[3], 6)),
+        ("train_accuracy", m["acc"]),
+        ("log_loss", m["ll"]),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
+@register(
+    "corpus_quality_stump",
+    oracle="""
+    WITH spine AS MATERIALIZED (
+        SELECT n_chars AS v, count(*) AS cnt,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        FROM documents GROUP BY n_chars),
+    cum AS MATERIALIZED (
+        SELECT v,
+               sum(cnt) OVER (ORDER BY v) AS nl,
+               sum(pos) OVER (ORDER BY v) AS posl,
+               (SELECT sum(cnt) FROM spine) AS n,
+               (SELECT sum(pos) FROM spine) AS npos
+        FROM spine),
+    cand AS MATERIALIZED (
+        SELECT v, nl, posl, n - nl AS nr, npos - posl AS posr, n, npos,
+               round((nl * (1.0 - pow(posl * 1.0 / nl, 2)
+                                - pow((nl - posl) * 1.0 / nl, 2))
+                      + (n - nl) * (1.0 - pow((npos - posl) * 1.0 / (n - nl), 2)
+                                        - pow(((n - nl) - (npos - posl)) * 1.0
+                                              / (n - nl), 2)))
+                     / n, 9) AS gini
+        FROM cum WHERE nl < n),
+    best AS MATERIALIZED (
+        SELECT * FROM cand ORDER BY gini, v LIMIT 1)
+    SELECT 'n_chars' AS feature,
+           CAST(v AS BIGINT) AS threshold,
+           round(gini, 6) AS gini,
+           CASE WHEN posl * 2 >= nl THEN 'en' ELSE 'other' END AS left_majority,
+           CASE WHEN posr * 2 >= nr THEN 'en' ELSE 'other' END AS right_majority,
+           round((greatest(posl, nl - posl) + greatest(posr, nr - posr))
+                 * 1.0 / n, 6) AS accuracy
+    FROM best
+    """,
+)
+def corpus_quality_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training — the exact single-split CART step
+    (and the weak learner boosting stacks on): find the n_chars
+    threshold minimizing weighted Gini impurity for the lang='en'
+    target, report the split, per-side majority labels, and
+    majority-vote accuracy. Completes the tiny trained-model family
+    next to corpus_quality_logreg (linear) — between them the corpus
+    gets both classifier shapes pipelines actually fit for filtering.
+
+    Exact threshold enumeration the distributed way: ONE value-grain
+    aggregation (distinct n_chars values with class counts), a
+    prefix-sum window over that value spine (bounded by the feature's
+    DOMAIN, ~hundreds of values, never by row count — the same
+    distinct-grain argument as stat_kruskal_wallis' midranks), then an
+    argmin with 9dp-rounded impurity and smallest-value tie-break so
+    both engines pick the same split deterministically. At 100 TB the
+    heavy stage is the first aggregation; everything after runs on the
+    domain-sized spine."""
+    docs = load(spark, sf_dir, "documents")
+    spine = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = spine.agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("npos")
+    )
+    cum = (
+        spine.select(
+            "v",
+            F.sum("cnt").over(w).alias("nl"),
+            F.sum("pos").over(w).alias("posl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+    )
+    nr = F.col("n") - F.col("nl")
+    posr = F.col("npos") - F.col("posl")
+    gl = (
+        1.0
+        - F.pow(F.col("posl") / F.col("nl"), 2)
+        - F.pow((F.col("nl") - F.col("posl")) / F.col("nl"), 2)
+    )
+    gr = 1.0 - F.pow(posr / nr, 2) - F.pow((nr - posr) / nr, 2)
+    cand = cum.select(
+        "v",
+        "nl",
+        "posl",
+        nr.alias("nr"),
+        posr.alias("posr"),
+        "n",
+        F.round((F.col("nl") * gl + nr * gr) / F.col("n"), 9).alias("gini"),
+    )
+    best = cand.orderBy("gini", "v").limit(1)
+    return best.select(
+        F.lit("n_chars").alias("feature"),
+        F.col("v").cast("long").alias("threshold"),
+        F.round("gini", 6).alias("gini"),
+        F.when(F.col("posl") * 2 >= F.col("nl"), "en")
+        .otherwise("other")
+        .alias("left_majority"),
+        F.when(F.col("posr") * 2 >= F.col("nr"), "en")
+        .otherwise("other")
+        .alias("right_majority"),
+        F.round(
+            (
+                F.greatest("posl", F.col("nl") - F.col("posl"))
+                + F.greatest("posr", F.col("nr") - F.col("posr"))
+            )
+            / F.col("n"),
+            6,
+        ).alias("accuracy"),
+    )

@@ -2143,3 +2143,50 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("cx"),
         F.round(F.avg("y"), 6).alias("cy"),
     )
+
+
+@register(
+    "graph_connected_components",
+    oracle=_PROX_E_CTE.replace("WITH pts", "WITH RECURSIVE pts")
+    + """,
+    nbr2 AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM nbr2) t
+        UNION
+        SELECT reach.node, nb.v FROM reach JOIN nbr2 nb ON nb.u = reach.r),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM (SELECT c.c_custkey AS node,
+                 COALESCE(comp.component, c.c_custkey) AS component
+          FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey) t
+    GROUP BY component
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the proximity graph — the graph family's
+    missing CONNECTIVITY summary (component id = min member, size, max
+    member), sibling of dedup_cluster_cc which runs the same algorithm
+    on the near-dup pair graph.
+
+    Alternating large-star/small-star via the shared star_cc_labels
+    loop: O(log n) rounds regardless of diameter (the proximity graph
+    sits near the percolation threshold, so long chains exist and a
+    per-hop label propagation would need diameter rounds), every round
+    two node-keyed shuffles over a monotonically shrinking edge set.
+    Isolated customers label themselves — the report covers the whole
+    node universe, not just touched nodes. The oracle is DuckDB's
+    recursive-CTE transitive closure over the same md5-plane edges
+    (fixture-sized only; closure is O(n*m) and exists to check, not to
+    scale)."""
+    from basis_spark.operators.llm import star_cc_labels
+
+    nodes = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    lab = star_cc_labels(spark, proximity_edges(spark, sf_dir), nodes)
+    return lab.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("node").alias("max_node"),
+    )

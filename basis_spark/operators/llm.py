@@ -1371,8 +1371,31 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _exact_neardup_pairs(spark, sf_dir).select(
         F.col("i").alias("u"), F.col("j").alias("v")
     )
-    n_docs = docs.count()
-    max_rounds = max(6, n_docs.bit_length() + 2)
+    lab = star_cc_labels(
+        spark, pairs, docs.select(F.col("doc_id").alias("node"))
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def star_cc_labels(
+    spark: SparkSession, pairs: DataFrame, all_nodes: DataFrame
+) -> DataFrame:
+    """Connected components of an undirected (u, v) pair set by
+    alternating large-star/small-star, returning (node, component) for
+    EVERY row of all_nodes (isolated nodes label themselves). Shared
+    by dedup_cluster_cc (near-dup pair graph over doc ids) and
+    graph_connected_components (proximity graph over customers) — the
+    convergence loop, shuffle-width pinning, and lineage truncation
+    live once here; see dedup_cluster_cc for the algorithm rationale.
+    """
+    n_nodes = all_nodes.count()
+    max_rounds = max(6, n_nodes.bit_length() + 2)
     # Pin the loop's shuffle width to the edge volume (~500k edges/task),
     # restoring the session conf after: the edge set shrinks every round,
     # and pushing a few thousand survivors through the session's 64-wide
@@ -1404,17 +1427,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(f"CC did not converge in {max_rounds} rounds")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
-    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
-    lab = docs.join(labels, docs.doc_id == labels.u, "left").select(
-        docs.doc_id,
-        F.coalesce("cluster_id", docs.doc_id).alias("cluster_id"),
-    )
-    w = Window.partitionBy("cluster_id")
-    return lab.select(
-        "doc_id",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return all_nodes.join(
+        labels, all_nodes["node"] == labels["u"], "left"
+    ).select(
+        all_nodes["node"],
+        F.coalesce("component", all_nodes["node"]).alias("component"),
     )
 
 

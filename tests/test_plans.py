@@ -377,6 +377,7 @@ _SINGLE_PARTITION_OK = {
     "embeddings_isotropy_score",   # 64-row dim-sum table -> 1-row corpus combine (+ 1-row n total)
     "text_bm25_score",             # 1-row (N, avgdl) corpus-stats combine, broadcast
     "dq_uniqueness_profile",       # five 1-row per-column stat combines unioned (completeness_profile shape)
+    "corpus_quality_stump",        # prefix-sum over the n_chars DOMAIN spine (~313 values) + 1-row total combine
     "win_rsi_sma",            # calendar-bounded daily series (one global window)
     "privacy_microaggregation",  # global rank window (global_rank scaffold swap-in documented)
     "dq_completeness_profile",   # 1-row wide-agg combine unpivoted to the per-column report

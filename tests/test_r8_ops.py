@@ -415,3 +415,89 @@ def test_markov_attribution_invariants(spark):
         assert 0 <= r["removal_effect"] <= 1
         share += r["attribution_share"]
     assert abs(share - 1.0) < 1e-5
+
+
+def test_graph_cc_component_id_is_member_min_and_covers_universe(spark):
+    """Components partition the full customer universe, the id is the
+    minimum member (so id <= max_node), and total size equals
+    |customer|."""
+    rows = QUERIES["graph_connected_components"](spark, SF_ORACLE).collect()
+    n_cust = load(spark, SF_ORACLE, "customer").count()
+    assert sum(r["n_nodes"] for r in rows) == n_cust
+    for r in rows:
+        assert r["component"] <= r["max_node"]
+        assert r["n_nodes"] >= 1
+    # at least one non-trivial component exists on the proximity graph
+    assert max(r["n_nodes"] for r in rows) > 1
+
+
+def test_logreg_learns_something_and_matches_numpy(spark):
+    """The 5-step GD must reproduce an identical numpy implementation
+    (same rounding discipline) exactly at 6dp, and train accuracy must
+    beat the majority-class baseline... or at least equal it (5 steps
+    is a contract, not a convergence claim)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = {r["term"]: r["value"] for r in QUERIES["corpus_quality_logreg"](spark, SF_ORACLE).collect()}
+    tbl = pq.read_table(f"{SF_ORACLE}/documents.parquet")
+    lang = np.array(tbl.column("lang").to_pylist())
+    text = tbl.column("text").to_pylist()
+    n_chars = np.array(tbl.column("n_chars").to_pylist(), dtype=np.float64)
+    ntok = np.array([len(t.split(" ")) for t in text], dtype=np.float64)
+    X = np.column_stack(
+        [np.ones_like(n_chars), n_chars / 1000.0, ntok / 100.0, (n_chars / ntok) / 10.0]
+    )
+    y = (lang == "en").astype(np.float64)
+    w = np.zeros(4)
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = ((p - y)[:, None] * X).mean(axis=0)
+        w = np.round(w - 1.0 * g, 9)
+    assert [round(v, 6) for v in w] == [
+        out["bias"],
+        out["w_chars"],
+        out["w_tokens"],
+        out["w_wordlen"],
+    ]
+    p = 1.0 / (1.0 + np.exp(-(X @ w)))
+    acc = ((p > 0.5) == (y == 1.0)).mean()
+    assert abs(out["train_accuracy"] - round(acc, 6)) < 1e-9
+    base = max(y.mean(), 1 - y.mean())
+    assert out["train_accuracy"] >= base - 1e-9
+
+
+def test_stump_is_the_exact_brute_force_optimum(spark):
+    """The reported threshold must minimize weighted Gini over EVERY
+    candidate threshold (brute-force recompute in Python), with the
+    smallest-value tie-break."""
+    import pyarrow.parquet as pq
+
+    r = QUERIES["corpus_quality_stump"](spark, SF_ORACLE).collect()[0]
+    tbl = pq.read_table(f"{SF_ORACLE}/documents.parquet")
+    vals = tbl.column("n_chars").to_pylist()
+    labs = [x == "en" for x in tbl.column("lang").to_pylist()]
+    pairs = sorted(zip(vals, labs))
+    n = len(pairs)
+    npos = sum(labs)
+    best = None
+    seen = {}
+    for v, y in pairs:
+        seen.setdefault(v, [0, 0])
+        seen[v][0] += 1
+        seen[v][1] += int(y)
+    nl = posl = 0
+    for v in sorted(seen):
+        nl += seen[v][0]
+        posl += seen[v][1]
+        if nl == n:
+            break
+        nr, posr = n - nl, npos - posl
+        gl = 1 - (posl / nl) ** 2 - ((nl - posl) / nl) ** 2
+        gr = 1 - (posr / nr) ** 2 - ((nr - posr) / nr) ** 2
+        g = round((nl * gl + nr * gr) / n, 9)
+        if best is None or g < best[0]:
+            best = (g, v)
+    assert r["threshold"] == best[1]
+    assert abs(r["gini"] - round(best[0], 6)) <= 1e-9
+    assert 0.0 <= r["accuracy"] <= 1.0
