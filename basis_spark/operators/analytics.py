@@ -5404,3 +5404,89 @@ def event_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFr
         "channel string, conv_full double, conv_without double, "
         "removal_effect double, attribution_share double",
     )
+
+
+_PATHS_MAX_STEPS = 8
+_PATHS_TOP_N = 20
+
+
+@register(
+    "event_conversion_paths_topn",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    fp AS MATERIALIZED (
+        SELECT user_id, min(rn) AS fp FROM ev
+        WHERE event_type = 'purchase' GROUP BY user_id),
+    journeys AS MATERIALIZED (
+        SELECT e.user_id,
+               string_agg(e.event_type, '>' ORDER BY e.rn) AS path,
+               CASE WHEN max(f.fp) IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM ev e LEFT JOIN fp f ON f.user_id = e.user_id
+        WHERE (f.fp IS NULL OR e.rn < f.fp) AND e.rn <= {_PATHS_MAX_STEPS}
+        GROUP BY e.user_id)
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 6) AS conv_rate
+    FROM journeys GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATHS_TOP_N}
+    """,
+)
+def event_conversion_paths_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} pre-conversion journey paths with their conversion rates
+    — the path-level readout next to event_attribution_markov_removal's
+    chain-level credits (the marketer's question is 'WHICH sequences
+    convert', not only 'which channel matters'). A path is the ordered
+    channel string strictly before the first purchase, capped at 8
+    steps (the cap bounds per-user state at any scale — uncapped
+    non-converter journeys grow with the log).
+
+    One user-keyed window pass (shared shape with the markov/funnel
+    family), a per-user ordered string_agg (bounded by the step cap),
+    then a path-keyed count agg and a TopK — Spark plans the final
+    ORDER BY n_users LIMIT 20 as TakeOrderedAndProject, so the full
+    path distribution never sorts globally. Users whose FIRST event is
+    the purchase have no pre-conversion journey rows and drop out of
+    the report by construction (identically on both engines) — the
+    zero-touch segment belongs to attribution, not to path analysis."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    fp = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp"))
+    )
+    j = (
+        r.join(fp, "user_id", "left")
+        .filter(
+            (F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
+            & (F.col("rn") <= _PATHS_MAX_STEPS)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.when(F.max("fp").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )
+    return (
+        j.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias("conv_rate"),
+        )
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATHS_TOP_N)
+    )

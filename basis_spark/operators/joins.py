@@ -2190,3 +2190,39 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("node").alias("max_node"),
     )
+
+
+@register(
+    "join_hint_merge",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit MERGE (sort-merge) join hint — the other steering wheel
+    next to join_hint_shuffle_hash: when BOTH sides are too large to
+    hash per partition (lineitem x orders is the fixture's biggest
+    pairing), sort-merge is the shape that spills gracefully instead of
+    OOMing, and the hint pins it against an optimizer that might pick
+    ShuffledHashJoin from stale size stats. SortMergeJoin is
+    plan-asserted in tests/test_plans.py; the oracle asserts the other
+    half of the hint contract — directives never change results."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.hint("MERGE")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -1426,3 +1426,59 @@ def scan_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select((F.col("meta.k") % 10).alias("k_bucket"), "meta.k").groupBy(
         "k_bucket"
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+
+
+@register(
+    "scan_parquet_rowgroup_stats",
+    oracle=f"""
+    SELECT CAST(row_group_id AS BIGINT) AS row_group,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS num_values,
+           stats_min_value AS min_val,
+           stats_max_value AS max_val
+    FROM parquet_metadata('{_ORACLE_SF_DIR}/orders.parquet')
+    WHERE path_in_schema IN ('o_orderkey', 'o_custkey')
+    """,
+)
+def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection: per-row-group column-chunk stats
+    (value counts, min/max zone maps) for the integer key columns —
+    the metadata every data-skipping decision reads BEFORE any data
+    byte moves, surfaced as a queryable relation (the storage-layout
+    audit: 'are my row groups sorted/sized so predicates can skip?').
+
+    Footers are metadata: this reads ONE footer driver-side via
+    pyarrow and emits a bounded (row_groups x columns) relation. The
+    100 TB posture is the same plumbing fanned out — list files, read
+    footers in a mapInPandas over the file list (the binaryFile-source
+    shape scan_binaryfile already demonstrates) — the per-file work
+    and output stay footer-sized. The DuckDB oracle reads the same
+    footer with parquet_metadata(), so min/max stringification is
+    pinned cross-engine (int64 stats render identically)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    want = {"o_orderkey", "o_custkey"}
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want:
+                continue
+            st = col.statistics
+            rows.append(
+                (
+                    rg,
+                    name,
+                    col.num_values,
+                    str(st.min) if st is not None else None,
+                    str(st.max) if st is not None else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group long, column_name string, num_values long, "
+        "min_val string, max_val string",
+    )

@@ -891,3 +891,95 @@ def table_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+_SKIP_RANGES = 4
+
+
+def _build_skipping_table(spark: SparkSession, sf_dir: str) -> str:
+    """One-commit table laid out as _SKIP_RANGES custkey-range files,
+    each add action carrying its file's (min_ck, max_ck) zone map —
+    the per-file statistics Delta/Iceberg record at write time so
+    readers can prune files from the LOG, before any footer or data
+    byte is touched."""
+    table_dir = _sf_scratch(spark, "txn_skip", sf_dir)
+    if os.path.exists(os.path.join(table_dir, "log", "00000000.json")):
+        return table_dir
+    orders = load(spark, sf_dir, "orders").select(*_COLS, "o_orderpriority")
+    m = orders.agg(F.max("o_custkey").alias("m")).first()["m"]
+    actions = []
+    for i in range(_SKIP_RANGES):
+        lo = i * (m + 1) // _SKIP_RANGES
+        hi = (i + 1) * (m + 1) // _SKIP_RANGES
+        part = orders.filter(
+            (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
+        )
+        rel = f"files/r{i}"
+        part.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+        actions.append(
+            {"op": "add", "path": rel, "min_ck": lo, "max_ck": hi - 1}
+        )
+    _commit(table_dir, 0, actions)
+    return table_dir
+
+
+def _skipping_pruned_files(table_dir: str, lo: int, hi: int) -> tuple[list[str], int]:
+    """Log-level zone-map pruning: keep add actions whose [min_ck,
+    max_ck] intersects [lo, hi]. Returns (kept paths, total files)."""
+    adds = [
+        a
+        for rec in _read_log(table_dir)
+        for a in rec["actions"]
+        if a["op"] == "add"
+    ]
+    kept = [
+        os.path.join(table_dir, a["path"])
+        for a in adds
+        if not (a["max_ck"] < lo or a["min_ck"] > hi)
+    ]
+    return kept, len(adds)
+
+
+@register(
+    "table_log_file_skipping",
+    oracle="""
+    WITH m AS (SELECT max(o_custkey) AS m FROM orders),
+    pred AS (SELECT CAST(floor(2 * m / 5.0) AS BIGINT) AS lo,
+                    CAST(floor(3 * m / 5.0) AS BIGINT) AS hi FROM m)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders, pred
+    WHERE o_custkey BETWEEN pred.lo AND pred.hi
+    GROUP BY o_orderpriority
+    """,
+)
+def table_log_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping from commit-log file statistics — the lakehouse
+    read path that makes selective queries cheap at 100 TB: each add
+    action carries its file's custkey zone map, so a range predicate
+    prunes files during LOG REPLAY (driver-side metadata, O(#files))
+    and Spark never even lists the skipped objects. The fixture table
+    is laid out as 4 custkey-range files; the [0.4m, 0.6m] predicate
+    intersects exactly 2 of them (asserted, with result-equality vs
+    the unpruned read, in tests/test_table_log.py).
+
+    The predicate is STILL applied after the pruned scan — zone maps
+    are conservative (a kept file may hold rows outside the range);
+    pruning changes I/O, never semantics, which is exactly what the
+    oracle checks by recomputing from the raw table. orders carries
+    a full join of priorities per range, so the output shape is the
+    same priority rollup as the hint keys."""
+    table_dir = _build_skipping_table(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    m = orders.agg(F.max("o_custkey").alias("m")).first()["m"]
+    lo, hi = (2 * m) // 5, (3 * m) // 5
+    kept, _total = _skipping_pruned_files(table_dir, lo, hi)
+    return (
+        spark.read.parquet(*kept)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )

@@ -594,3 +594,14 @@ def test_bench_query_exchange_budget(spark):
         if n > budget:
             over[key] = (n, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
+def test_merge_hint_is_honored(spark):
+    """join_hint_merge pins the sort-merge directive: the plan must
+    contain a SortMergeJoin (not ShuffledHashJoin, not broadcast) —
+    the shape that spills gracefully when BOTH sides are huge."""
+    from basis_spark.operators import joins
+
+    plan = _plan(joins.join_hint_merge(spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan

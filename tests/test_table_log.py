@@ -186,3 +186,43 @@ def test_branch_commit_does_not_change_main(spark):
     assert os.path.exists(os.path.join(table_dir, "log-exp", "00000000.json"))
     ref = _json.load(open(os.path.join(table_dir, "refs", "exp.json")))
     assert ref["base_version"] == 0
+
+
+def test_file_skipping_prunes_files_and_preserves_semantics(spark):
+    """Zone-map pruning must (a) actually skip files — the [0.4m, 0.6m]
+    custkey predicate intersects exactly 2 of the 4 range files — and
+    (b) never change results: the pruned+filtered read equals the
+    unpruned+filtered read row for row."""
+    from pyspark.sql import functions as F
+
+    from basis_spark.io import load
+    from basis_spark.operators.table_log import (
+        _build_skipping_table,
+        _skipping_pruned_files,
+    )
+    from tests.conftest import SF_ORACLE
+
+    table_dir = _build_skipping_table(spark, SF_ORACLE)
+    m = (
+        load(spark, SF_ORACLE, "orders")
+        .agg(F.max("o_custkey").alias("m"))
+        .first()["m"]
+    )
+    lo, hi = (2 * m) // 5, (3 * m) // 5
+    kept, total = _skipping_pruned_files(table_dir, lo, hi)
+    assert total == 4
+    assert len(kept) == 2, kept
+    pruned = sorted(
+        tuple(r)
+        for r in spark.read.parquet(*kept)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .collect()
+    )
+    all_files, _ = _skipping_pruned_files(table_dir, 0, m)
+    unpruned = sorted(
+        tuple(r)
+        for r in spark.read.parquet(*all_files)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .collect()
+    )
+    assert pruned == unpruned and pruned
