@@ -5490,3 +5490,173 @@ def event_conversion_paths_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATHS_TOP_N)
     )
+
+
+_M4_BUCKETS = 64
+
+
+@register(
+    "ts_downsample_m4",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) AS t, value, event_id FROM events),
+    span AS MATERIALIZED (
+        SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+    b AS MATERIALIZED (
+        SELECT event_type,
+               (t - s.t0) * {_M4_BUCKETS} // (s.t1 - s.t0 + 1) AS bucket,
+               t, value, event_id
+        FROM ev, span s),
+    r AS MATERIALIZED (
+        SELECT event_type, bucket, value,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY t, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY t DESC, event_id DESC) AS rd
+        FROM b)
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS v_min, max(value) AS v_max,
+           max(CASE WHEN ra = 1 THEN value END) AS v_first,
+           max(CASE WHEN rd = 1 THEN value END) AS v_last
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014) — the error-free
+    line-chart reduction dashboards use: per (series, pixel-column
+    bucket) keep min, max, first, last. Those four points per bucket
+    reproduce the EXACT pixel rendering of the full series, so a
+    100 TB series downsamples to 4 x width points with zero visual
+    error — unlike averaging, which erases spikes (the thing
+    monitoring dashboards exist to show).
+
+    One bucket-keyed pass: the global time span is a 1-row broadcast,
+    bucketing is integer microsecond arithmetic (exact on both
+    engines), first/last are rank-1 windows inside each (series,
+    bucket) partition — the same exchange the aggregation uses, so the
+    whole operator is ONE shuffle. Chosen over LTTB deliberately: LTTB
+    chains bucket choices sequentially (unparallelizable), M4 is
+    embarrassingly parallel AND has the stronger guarantee."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "value",
+        "event_id",
+    )
+    span = ev.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    b = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        # exact integer floor division on both engines (Spark `div`,
+        # DuckDB `//`): a double-division + cast would round vs truncate
+        # differently at bucket boundaries
+        F.expr(f"(t - t0) * {_M4_BUCKETS} div (t1 - t0 + 1)").alias("bucket"),
+        "t",
+        "value",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("t", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+    r = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("v_last"),
+    )
+
+
+@register(
+    "date_fiscal_445_calendar",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_totalprice FROM orders),
+    fy AS MATERIALIZED (
+        SELECT od, o_totalprice,
+               CASE WHEN od >= make_date(year(od), 2, 1)
+                    THEN year(od) ELSE year(od) - 1 END AS fyear
+        FROM d),
+    wk AS MATERIALIZED (
+        SELECT fyear, o_totalprice,
+               least(date_diff('day', make_date(fyear, 2, 1), od) // 7 + 1,
+                     52) AS week
+        FROM fy),
+    map AS MATERIALIZED (
+        SELECT fyear, o_totalprice,
+               (week - 1) // 13 + 1 AS fq,
+               week - ((week - 1) // 13) * 13 AS wiq
+        FROM wk)
+    SELECT CAST(fyear AS INT) AS fiscal_year,
+           CAST(fq AS INT) AS fiscal_quarter,
+           CAST((fq - 1) * 3 + CASE WHEN wiq <= 4 THEN 1
+                                    WHEN wiq <= 8 THEN 2
+                                    ELSE 3 END AS INT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS spend
+    FROM map GROUP BY 1, 2, 3
+    """,
+)
+def date_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 retail fiscal calendar rollup — the merchandising-standard
+    mapping (quarters of 4+4+5 weeks, 13 weeks each, so every fiscal
+    period contains whole weeks and comps align weekday-to-weekday)
+    applied to orders: per (fiscal year, quarter, period) order count
+    and spend. Declared anchor: fiscal years start Feb 1 (the NRF
+    shape without the closest-Sunday nuance — documented, identical on
+    both engines); a 53rd week folds into week 52 / period 12, the
+    common retailer convention for long years.
+
+    Pure integer date arithmetic per row (map-side; days-since-anchor
+    floor-divided into weeks, weeks into 4-4-5 periods) feeding one
+    low-cardinality hash agg — the calendar-dim pattern
+    (ts_calendar_dim) inlined as expressions, no dim table needed.
+    At 100 TB this is scan + map + one metadata-sized combine."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"), "o_totalprice"
+    )
+    fyear = F.when(
+        F.col("od") >= F.make_date(F.year("od"), F.lit(2), F.lit(1)),
+        F.year("od"),
+    ).otherwise(F.year("od") - 1)
+    w = o.select(
+        fyear.alias("fyear"),
+        "o_totalprice",
+        F.least(
+            F.floor(
+                F.datediff(
+                    F.col("od"),
+                    F.make_date(fyear, F.lit(2), F.lit(1)),
+                )
+                / 7
+            )
+            + 1,
+            F.lit(52),
+        ).alias("week"),
+    )
+    fq = F.floor((F.col("week") - 1) / 13) + 1
+    wiq = F.col("week") - (fq - 1) * 13
+    period = (fq - 1) * 3 + (
+        F.when(wiq <= 4, 1).when(wiq <= 8, 2).otherwise(3)
+    )
+    return (
+        w.select(
+            F.col("fyear").cast("int").alias("fiscal_year"),
+            fq.cast("int").alias("fiscal_quarter"),
+            period.cast("int").alias("fiscal_period"),
+            "o_totalprice",
+        )
+        .groupBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )

@@ -4497,3 +4497,147 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+_RRF_K = 60
+_HYBRID_TOP = 15
+_HYBRID_DEPTH = 200  # per-leg candidate-list truncation (the contract)
+
+
+@register(
+    "similarity_hybrid_bm25_cosine",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS MATERIALIZED (
+        SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE token IN {_BM25_TERMS!r} GROUP BY doc_id, token),
+    idf AS MATERIALIZED (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    bm25 AS MATERIALIZED (
+        SELECT tf.doc_id,
+               round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+                         * tf.tf * ({_BM25_K1} + 1.0)
+                         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * d.dl / s.avgdl))), 6) AS score
+        FROM tf JOIN dl d ON d.doc_id = tf.doc_id
+                JOIN idf i ON i.token = tf.token, stats s
+        GROUP BY tf.doc_id),
+    cent AS MATERIALIZED (
+        SELECT t.d, avg(CAST(embedding[t.d] AS DOUBLE)) AS c
+        FROM embeddings, range(1, 65) t(d) WHERE label = 0 GROUP BY t.d),
+    cnorm AS MATERIALIZED (SELECT sqrt(sum(c * c)) AS nc FROM cent),
+    dense AS MATERIALIZED (
+        SELECT e.vec_id AS doc_id,
+               round(sum(CAST(e.embedding[t.d] AS DOUBLE) * c.c)
+                     / (sqrt(sum(CAST(e.embedding[t.d] AS DOUBLE)
+                                 * CAST(e.embedding[t.d] AS DOUBLE))) * n.nc),
+                     6) AS score
+        FROM embeddings e, range(1, 65) t(d)
+        JOIN cent c ON c.d = t.d, cnorm n
+        GROUP BY e.vec_id, n.nc),
+    br AS MATERIALIZED (
+        SELECT doc_id, r FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM bm25) t WHERE r <= {_HYBRID_DEPTH}),
+    dr AS MATERIALIZED (
+        SELECT doc_id, r FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM dense) t WHERE r <= {_HYBRID_DEPTH}),
+    fused AS MATERIALIZED (
+        SELECT coalesce(br.doc_id, dr.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({_RRF_K} + br.r), 0)
+                     + coalesce(1.0 / ({_RRF_K} + dr.r), 0), 9) AS rrf,
+               br.r AS sparse_rank, dr.r AS dense_rank
+        FROM br FULL OUTER JOIN dr ON br.doc_id = dr.doc_id)
+    SELECT doc_id, rrf, sparse_rank, dense_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_TOP}
+    """,
+)
+def similarity_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end-to-end: BM25 (sparse leg, text_bm25_score's
+    exact plan reused) and cosine-to-query (dense leg; query = the
+    label-0 centroid, built with the posexplode-avg shape of
+    similarity_centroid_classify) fused by Reciprocal Rank Fusion with
+    k=60 — the standard production pattern (complementary failure
+    modes: BM25 misses paraphrase, dense misses rare exact terms; RRF
+    needs no score calibration because it consumes only RANKS).
+
+    Both legs round scores at 6dp BEFORE ranking with a doc_id
+    tie-break, so the rank lists are engine-identical by construction;
+    the fused score is then exact rational arithmetic over integer
+    ranks. Each leg TRUNCATES to a 200-deep candidate list before
+    fusion — the declared contract and the production shape (rank
+    depth is retrieval-list-sized, so each leg is a TakeOrdered top-N
+    followed by a 200-row local rank, never a corpus-wide sort); a doc
+    outside a leg's top 200 contributes 0 from that leg, exactly as a
+    real candidate-list fusion behaves. Each leg's scoring is the
+    already-audited plan (query-sized tf relation; one vector pass
+    against a broadcast centroid); fusion adds one candidate-keyed
+    outer join and a top-15 TakeOrderedAndProject."""
+    sparse = text_bm25_score(spark, sf_dir).select(
+        "doc_id", F.col("bm25").alias("score")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.filter(F.col("label") == 0).select(
+        F.posexplode("embedding").alias("d", "x")
+    )
+    cent = dims.groupBy("d").agg(F.avg(F.col("x").cast("double")).alias("c"))
+    cent_arr = cent.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda v: v.cast("double")),
+            "cvec",
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    enorm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, b: a + b * b)
+    )
+    dense = emb.crossJoin(F.broadcast(cent_arr)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(dot / (enorm * cnorm), 6).alias("score"),
+    )
+    def leg_ranks(scored: DataFrame) -> DataFrame:
+        # TakeOrdered top-N first (no corpus-wide sort), then rank the
+        # N-row candidate list locally — N is the declared depth.
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HYBRID_DEPTH)
+        return top.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("r"),
+        )
+
+    br = leg_ranks(sparse)
+    dr = leg_ranks(dense)
+    fused = (
+        br.withColumnRenamed("r", "sparse_rank")
+        .join(dr.withColumnRenamed("r", "dense_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("sparse_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+            "sparse_rank",
+            "dense_rank",
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_HYBRID_TOP)

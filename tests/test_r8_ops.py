@@ -501,3 +501,69 @@ def test_stump_is_the_exact_brute_force_optimum(spark):
     assert r["threshold"] == best[1]
     assert abs(r["gini"] - round(best[0], 6)) <= 1e-9
     assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_m4_is_error_free_per_bucket(spark):
+    """Every bucket's four values must be exactly the min/max/first/last
+    of a brute-force recompute, and the bucket partition must cover all
+    events exactly once."""
+    import pyarrow.parquet as pq
+
+    rows = {
+        (r["event_type"], r["bucket"]): r
+        for r in QUERIES["ts_downsample_m4"](spark, SF_ORACLE).collect()
+    }
+    t = pq.read_table(f"{SF_ORACLE}/events.parquet")
+    ns = t.column("ts").cast("int64").to_pylist()  # raw nanos
+    etype = t.column("event_type").to_pylist()
+    eid = t.column("event_id").to_pylist()
+    val = t.column("value").to_pylist()
+    tbl = list(zip(etype, eid, val, [x // 1000 for x in ns]))  # micros
+    t0 = min(x for *_, x in tbl)
+    t1 = max(x for *_, x in tbl)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for ety, i, v, tu in tbl:
+        b = (tu - t0) * 64 // (t1 - t0 + 1)
+        groups[(ety, b)].append((tu, i, v))
+    assert set(rows) == set(groups)
+    assert sum(r["n"] for r in rows.values()) == len(tbl)
+    for k, g in groups.items():
+        g.sort()
+        r = rows[k]
+        vals = [v for _, _, v in g]
+        assert r["v_min"] == min(vals) and r["v_max"] == max(vals)
+        assert r["v_first"] == g[0][2] and r["v_last"] == g[-1][2]
+
+
+def test_hybrid_fusion_rrf_arithmetic(spark):
+    """Every fused score must decompose into 1/(60+sparse_rank) +
+    1/(60+dense_rank) with missing legs contributing 0, and the output
+    must be sorted by fused score then doc_id, 15 rows."""
+    rows = QUERIES["similarity_hybrid_bm25_cosine"](spark, SF_ORACLE).collect()
+    assert len(rows) == 15
+    prev = None
+    for r in rows:
+        want = 0.0
+        if r["sparse_rank"] is not None:
+            want += 1.0 / (60 + r["sparse_rank"])
+        if r["dense_rank"] is not None:
+            want += 1.0 / (60 + r["dense_rank"])
+        assert abs(r["rrf"] - round(want, 9)) <= 1e-12
+        key = (-r["rrf"], r["doc_id"])
+        assert prev is None or prev <= key
+        prev = key
+
+
+def test_fiscal_445_week_and_period_bounds(spark):
+    """Fiscal quarters are 1..4, periods 1..12 and consistent with
+    their quarter (period in [3q-2, 3q]); total order count equals the
+    table size."""
+    rows = QUERIES["date_fiscal_445_calendar"](spark, SF_ORACLE).collect()
+    n_orders = load(spark, SF_ORACLE, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        q, p = r["fiscal_quarter"], r["fiscal_period"]
+        assert 1 <= q <= 4
+        assert 3 * q - 2 <= p <= 3 * q
