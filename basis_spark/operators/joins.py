@@ -2226,3 +2226,95 @@ def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_DBSCAN_MIN_PTS = 4  # core = >= 4 neighbors within eps (self excluded)
+
+
+@register(
+    "geo_dbscan_clusters",
+    oracle=_PROX_E_CTE.replace("WITH pts", "WITH RECURSIVE pts")
+    + f""",
+    nbrd AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM nbrd GROUP BY u),
+    core AS MATERIALIZED (SELECT node FROM deg WHERE d >= {_DBSCAN_MIN_PTS}),
+    cce AS MATERIALIZED (
+        SELECT n.u, n.v FROM nbrd n
+        WHERE n.u IN (SELECT node FROM core)
+          AND n.v IN (SELECT node FROM core)),
+    reach(node, r) AS (
+        SELECT node, node FROM core
+        UNION
+        SELECT reach.node, c.v FROM reach JOIN cce c ON c.u = reach.r),
+    comp AS MATERIALIZED (
+        SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    border AS MATERIALIZED (
+        SELECT n.u AS node, min(cp.cluster) AS cluster
+        FROM nbrd n JOIN comp cp ON cp.node = n.v
+        WHERE n.u NOT IN (SELECT node FROM core)
+        GROUP BY n.u)
+    SELECT c.c_custkey AS node,
+           CASE WHEN cp.node IS NOT NULL THEN 'core'
+                WHEN b.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(cp.cluster, b.cluster) AS cluster
+    FROM customer c
+    LEFT JOIN comp cp ON cp.node = c.c_custkey
+    LEFT JOIN border b ON b.node = c.c_custkey
+    """,
+)
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the md5 spatial plane (eps=15, minPts=4): core
+    points (>= minPts eps-neighbors), clusters = connected components
+    of the core-core eps-graph, borders attach to the MINIMUM cluster
+    id among their core neighbors, everything else is noise. The
+    min-cluster border rule replaces textbook DBSCAN's scan-order-
+    dependent border assignment with a deterministic one — the change
+    that makes the result well-defined enough to oracle-check at all
+    (and reproducible across reruns, which production clustering
+    needs anyway).
+
+    Fully composed from the audited spatial/graph primitives:
+    neighbor generation is the grid-bucketed candidate join
+    (_grid_close_pairs — one cell-keyed shuffle, never O(n^2)), core
+    detection one degree count, cluster formation the O(log n)
+    star_cc_labels loop on the core-core subgraph (smaller than the
+    full graph by construction), border attachment one more
+    edge-sized join. The oracle replays it with a recursive-CTE
+    closure (fixture-sized only)."""
+    from basis_spark.operators.llm import star_cc_labels
+
+    e = proximity_edges(spark, sf_dir)
+    nbrd = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = nbrd.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") >= _DBSCAN_MIN_PTS).select("node")
+    cu = core.select(F.col("node").alias("u"))
+    cv = core.select(F.col("node").alias("v"))
+    cce = nbrd.join(cu, "u").join(cv, "v").filter(F.col("u") < F.col("v"))
+    comp = star_cc_labels(spark, cce, core).withColumnRenamed(
+        "component", "cluster"
+    )
+    border = (
+        nbrd.join(core.withColumnRenamed("node", "u"), "u", "left_anti")
+        .join(
+            comp.select(F.col("node").alias("v"), "cluster"),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("cluster").alias("bcluster"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    return (
+        cust.join(comp.withColumnRenamed("cluster", "ccluster"), "node", "left")
+        .join(border, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("ccluster").isNotNull(), "core")
+            .when(F.col("bcluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("ccluster", "bcluster").alias("cluster"),
+        )
+    )

@@ -630,3 +630,40 @@ def test_flesch_monotone_in_syllable_density(spark):
         lo_adj = lo["flesch"] + 1.015 * lo["words"] / lo["sentences"]
         hi_adj = hi["flesch"] + 1.015 * hi["words"] / hi["sentences"]
         assert lo_adj > hi_adj
+
+
+def test_dbscan_roles_are_mutually_consistent(spark):
+    """Every core has >= minPts eps-neighbors, every border has a core
+    neighbor but is not core, noise has no core neighbor; all cores in
+    one cluster are mutually reachable through core-core edges
+    (spot-checked via: cluster ids are each cluster's min core id)."""
+    from basis_spark.operators.joins import _DBSCAN_MIN_PTS, proximity_edges
+
+    rows = {r["node"]: r for r in QUERIES["geo_dbscan_clusters"](spark, SF_ORACLE).collect()}
+    e = proximity_edges(spark, SF_ORACLE).collect()
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for p in e:
+        nbr[p["u"]].add(p["v"])
+        nbr[p["v"]].add(p["u"])
+    cores = {n for n, r in rows.items() if r["role"] == "core"}
+    for n, r in rows.items():
+        deg = len(nbr.get(n, ()))
+        if r["role"] == "core":
+            assert deg >= _DBSCAN_MIN_PTS
+            assert r["cluster"] is not None and r["cluster"] <= n
+        elif r["role"] == "border":
+            assert deg < _DBSCAN_MIN_PTS or n not in cores
+            core_nbrs = nbr[n] & cores
+            assert core_nbrs
+            assert r["cluster"] == min(rows[c]["cluster"] for c in core_nbrs)
+        else:
+            assert not (nbr.get(n, set()) & cores)
+            assert r["cluster"] is None
+    # cluster ids are min members of their core sets
+    by_cluster = defaultdict(set)
+    for n in cores:
+        by_cluster[rows[n]["cluster"]].add(n)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
