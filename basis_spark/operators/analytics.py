@@ -5775,3 +5775,139 @@ def event_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quick_ratio"),
     )
+
+
+_ESD_ROUNDS = 3
+_ESD_Z = 3.0
+
+
+def _esd_oracle() -> str:
+    """Unrolled seasonal-ESD: daily totals -> centered 7-day trend
+    (full windows only) -> day-of-week seasonal means -> residuals,
+    then _ESD_ROUNDS rounds of 'report the most extreme residual,
+    remove it, recompute' (textbook generalized-ESD order, fixed
+    z=3 flag instead of the t-quantile, which SQL lacks). Residuals
+    and ranking keys are 6dp-quantized so both engines pick the same
+    candidate every round."""
+    head = """
+    WITH d AS MATERIALIZED (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS day,
+               round(sum(value), 6) AS y
+        FROM events GROUP BY 1),
+    t AS MATERIALIZED (
+        SELECT day, y,
+               CASE WHEN count(*) OVER w = 7
+                    THEN avg(y) OVER w END AS trend
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    s AS MATERIALIZED (
+        SELECT day % 7 AS dow, round(avg(y - trend), 6) AS seas
+        FROM t WHERE trend IS NOT NULL GROUP BY 1),
+    r0 AS MATERIALIZED (
+        SELECT t.day, round(t.y - t.trend - s.seas, 6) AS resid
+        FROM t JOIN s ON s.dow = t.day % 7
+        WHERE t.trend IS NOT NULL)"""
+    parts = [head.strip()]
+    prev = "r0"
+    for k in range(1, _ESD_ROUNDS + 1):
+        parts.append(
+            f"""st{k} AS MATERIALIZED (
+        SELECT avg(resid) AS m, stddev_samp(resid) AS sd FROM {prev})"""
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+        SELECT r.day, r.resid,
+               round(abs(r.resid - st.m) / st.sd, 6) AS z
+        FROM {prev} r, st{k} st
+        ORDER BY round(abs(r.resid - st.m), 6) DESC, r.day LIMIT 1)"""
+        )
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+        SELECT r.day, r.resid FROM {prev} r
+        WHERE r.day NOT IN (SELECT day FROM c{k}))"""
+        )
+        prev = f"r{k}"
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS round, day, resid AS residual, z, z > {_ESD_Z} AS flagged "
+        f"FROM c{k}"
+        for k in range(1, _ESD_ROUNDS + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    {outs}"
+
+
+@register("ts_seasonal_esd_anomalies", oracle=_esd_oracle())
+def ts_seasonal_esd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-ESD anomaly detection (the S-ESD shape of Twitter's
+    AnomalyDetection, Hochenbaum et al. 2017): remove trend (centered
+    7-day MA) and day-of-week seasonality, then run generalized-ESD
+    rounds on the residuals — each round reports the most extreme
+    remaining point with its z-score and removes it, so a massive
+    outlier cannot mask the second-worst (the failure mode a single
+    global z-threshold has, and why ESD iterates). Fixed z=3 flag in
+    place of the t-quantile (SQL has no inverse-t; the round structure
+    — detect, remove, recompute — is the part that matters).
+
+    Everything after the daily rollup is days-sized: the trend/
+    seasonal windows ride the calendar-bounded spine (declared
+    single-partition class, like the rest of the ts family), each ESD
+    round is a 1-row stats combine + a quantized argmax + an anti-join
+    on one day. Residuals and ranking keys re-round at 6dp per round
+    so both engines track the same removal sequence."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "y",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("y").over(w)).alias("trend"),
+    )
+    s = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy((F.col("day") % 7).alias("dow"))
+        .agg(F.round(F.avg(F.col("y") - F.col("trend")), 6).alias("seas"))
+    )
+    r = (
+        t.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(s), (F.col("day") % 7) == F.col("dow"))
+        .select(
+            "day", F.round(F.col("y") - F.col("trend") - F.col("seas"), 6).alias("resid")
+        )
+        .localCheckpoint()
+    )
+    outs = []
+    for k in range(1, _ESD_ROUNDS + 1):
+        st = r.agg(
+            F.avg("resid").alias("m"), F.stddev_samp("resid").alias("sd")
+        )
+        cand = (
+            r.crossJoin(F.broadcast(st))
+            .orderBy(
+                F.round(F.abs(F.col("resid") - F.col("m")), 6).desc(),
+                F.col("day"),
+            )
+            .limit(1)
+            .select(
+                F.lit(k).alias("round"),
+                "day",
+                F.col("resid").alias("residual"),
+                F.round(F.abs(F.col("resid") - F.col("m")) / F.col("sd"), 6).alias(
+                    "z"
+                ),
+            )
+            .localCheckpoint()
+        )
+        outs.append(
+            cand.select(
+                "round", "day", "residual", "z", (F.col("z") > _ESD_Z).alias("flagged")
+            )
+        )
+        r = r.join(cand.select("day"), "day", "left_anti").localCheckpoint()
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out

