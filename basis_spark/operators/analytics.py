@@ -5911,3 +5911,99 @@ def ts_seasonal_esd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+_SPRT_ALPHA, _SPRT_BETA = 0.05, 0.2
+_SPRT_LIFT = 1.2  # H1: treatment purchase rate = 1.2 x pooled baseline
+
+
+@register(
+    "stat_sprt_sequential",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT round(avg(CASE WHEN event_type = 'purchase'
+                              THEN 1.0 ELSE 0.0 END), 6) AS p0
+        FROM events),
+    hyp AS MATERIALIZED (
+        SELECT p0, round({_SPRT_LIFT} * p0, 6) AS p1 FROM base),
+    daily AS MATERIALIZED (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        FROM events WHERE user_id % 2 = 1
+        GROUP BY 1),
+    cum AS MATERIALIZED (
+        SELECT day,
+               sum(n) OVER (ORDER BY day) AS n_cum,
+               sum(x) OVER (ORDER BY day) AS x_cum
+        FROM daily)
+    SELECT day, CAST(n_cum AS BIGINT) AS n_cum, CAST(x_cum AS BIGINT) AS x_cum,
+           round(x_cum * ln(h.p1 / h.p0)
+                 + (n_cum - x_cum) * ln((1 - h.p1) / (1 - h.p0)), 6) AS llr,
+           CASE WHEN x_cum * ln(h.p1 / h.p0)
+                     + (n_cum - x_cum) * ln((1 - h.p1) / (1 - h.p0))
+                     >= ln((1 - {_SPRT_BETA}) / {_SPRT_ALPHA}) THEN 'accept_h1'
+                WHEN x_cum * ln(h.p1 / h.p0)
+                     + (n_cum - x_cum) * ln((1 - h.p1) / (1 - h.p0))
+                     <= ln({_SPRT_BETA} / (1 - {_SPRT_ALPHA})) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum, hyp h
+    """,
+)
+def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT run day by day on the treatment arm (user_id%2=1,
+    the arm convention stat_proportions_ztest and event_ab_test_lift
+    use): cumulative log-likelihood ratio of H1 (purchase rate = 1.2x
+    the pooled baseline) vs H0 (= baseline), with the classic
+    ln((1-beta)/alpha) / ln(beta/(1-alpha)) decision boundaries
+    (alpha=.05, beta=.2). Completes the experimentation family's
+    SEQUENTIAL axis — the fixed-horizon z-test answers 'is it
+    different at day T'; SPRT answers 'how early could we have
+    stopped', the question every peeking dashboard actually asks.
+
+    One day-grain aggregation on the treatment arm, a cumulative
+    window over the calendar-bounded day spine (declared
+    single-partition class like the rest of the ts family), and a
+    1-row pooled-baseline broadcast. p0/p1 are 6dp-rounded before the
+    log-ratios so both engines feed ln() identical arguments; the LLR
+    is linear in two cumulative integers, so cross-engine drift is
+    bounded by one ulp per term."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(
+        F.round(
+            F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)), 6
+        ).alias("p0")
+    ).select("p0", F.round(_SPRT_LIFT * F.col("p0"), 6).alias("p1"))
+    daily = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "x"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("x").over(w).alias("x_cum"),
+    ).crossJoin(F.broadcast(base))
+    import math
+
+    up = math.log((1 - _SPRT_BETA) / _SPRT_ALPHA)
+    lo = math.log(_SPRT_BETA / (1 - _SPRT_ALPHA))
+    llr = F.col("x_cum") * F.log(F.col("p1") / F.col("p0")) + (
+        F.col("n_cum") - F.col("x_cum")
+    ) * F.log((1 - F.col("p1")) / (1 - F.col("p0")))
+    return cum.select(
+        "day",
+        F.col("n_cum").cast("long"),
+        F.col("x_cum").cast("long"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= up, "accept_h1")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -381,6 +381,7 @@ _SINGLE_PARTITION_OK = {
     "ts_downsample_m4",            # 1-row global (t0, t1) span combine, broadcast into the bucketing
     "similarity_hybrid_bm25_cosine",  # per-leg rank windows over the 200-row TRUNCATED candidate lists (+1-row corpus stats)
     "ts_seasonal_esd_anomalies",   # calendar-bounded daily spine windows + per-round 1-row stats combines
+    "stat_sprt_sequential",        # cumulative window over the calendar day spine + 1-row baseline combine
     "win_rsi_sma",            # calendar-bounded daily series (one global window)
     "privacy_microaggregation",  # global rank window (global_rank scaffold swap-in documented)
     "dq_completeness_profile",   # 1-row wide-agg combine unpivoted to the per-column report

@@ -682,3 +682,38 @@ def test_seasonal_esd_rounds_remove_and_recompute(spark):
     for r in rows:
         assert r["z"] >= 0
         assert r["flagged"] == (r["z"] > 3.0)
+
+
+def test_sprt_llr_is_cumulative_and_boundaries_consistent(spark):
+    """LLR must equal the closed form from cumulative counts at every
+    day (recomputed in Python with the same rounded p0/p1), counts must
+    be nondecreasing, and each decision must match its own llr against
+    the Wald boundaries."""
+    import math
+
+    rows = sorted(
+        QUERIES["stat_sprt_sequential"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["day"],
+    )
+    ev = load(spark, SF_ORACLE, "events")
+    p0 = round(
+        ev.agg(
+            F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0))
+        ).first()[0],
+        6,
+    )
+    p1 = round(1.2 * p0, 6)
+    up = math.log((1 - 0.2) / 0.05)
+    lo = math.log(0.2 / (1 - 0.05))
+    prev_n = prev_x = 0
+    for r in rows:
+        assert r["n_cum"] >= prev_n and r["x_cum"] >= prev_x
+        prev_n, prev_x = r["n_cum"], r["x_cum"]
+        want = r["x_cum"] * math.log(p1 / p0) + (r["n_cum"] - r["x_cum"]) * math.log(
+            (1 - p1) / (1 - p0)
+        )
+        assert abs(r["llr"] - round(want, 6)) <= 1e-9
+        if r["llr"] >= up + 1e-9:
+            assert r["decision"] == "accept_h1"
+        elif r["llr"] <= lo - 1e-9:
+            assert r["decision"] == "accept_h0"
