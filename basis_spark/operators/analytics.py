@@ -6007,3 +6007,70 @@ def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "ts_local_peaks",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 6) AS y
+        FROM events GROUP BY 1, 2),
+    n AS MATERIALIZED (
+        SELECT event_type, day, y,
+               lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+               lead(y, 1) OVER w AS r1, lead(y, 2) OVER w AS r2
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, y,
+           round(y - greatest(l1, l2, r1, r2), 6) AS prominence
+    FROM n
+    WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+      AND r1 IS NOT NULL AND r2 IS NOT NULL
+      AND y > l1 AND y > l2 AND y > r1 AND y > r2
+    """,
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on each event type's daily series: a day is
+    a peak when it strictly exceeds its two neighbors on each side
+    (k=2), reported with its prominence over the highest of those four
+    — the alerting primitive between raw thresholds (noisy) and full
+    changepoint models (heavy): 'which days genuinely spike above
+    their local context'. Boundary days (incomplete neighborhoods) are
+    excluded rather than padded, the convention that never fabricates
+    a peak at the series edge.
+
+    One days-sized rollup, then four lag/leads in ONE window pass per
+    type (same per-type exchange the rest of the ts family rides);
+    daily totals rounded at 6dp so strict > comparisons cannot flip on
+    summation-order noise."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    n = d.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 2).over(w).alias("l2"),
+        F.lead("y", 1).over(w).alias("r1"),
+        F.lead("y", 2).over(w).alias("r2"),
+    )
+    return n.filter(
+        F.col("l1").isNotNull()
+        & F.col("l2").isNotNull()
+        & F.col("r1").isNotNull()
+        & F.col("r2").isNotNull()
+        & (F.col("y") > F.col("l1"))
+        & (F.col("y") > F.col("l2"))
+        & (F.col("y") > F.col("r1"))
+        & (F.col("y") > F.col("r2"))
+    ).select(
+        "event_type",
+        "day",
+        "y",
+        F.round(
+            F.col("y") - F.greatest("l1", "l2", "r1", "r2"), 6
+        ).alias("prominence"),
+    )

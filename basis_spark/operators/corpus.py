@@ -1415,3 +1415,58 @@ def corpus_quality_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+_SHUFFLE_EPOCHS = 2
+
+
+@register(
+    "corpus_shuffle_epochs",
+    oracle=f"""
+    WITH e AS MATERIALIZED (SELECT unnest(range({_SHUFFLE_EPOCHS})) AS epoch),
+    keyed AS MATERIALIZED (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                   AS k
+        FROM documents d, e)
+    SELECT CAST(epoch AS INT) AS epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch
+                                   ORDER BY k, doc_id) AS BIGINT) AS position
+    FROM keyed
+    """,
+)
+def corpus_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling — the reproducibility primitive
+    training pipelines need: each epoch's document order is the rank of
+    md5(epoch || ':' || doc_id), so the permutation is (a) different
+    per epoch, (b) identical across reruns, resharding, and engines
+    (content-addressed, no RNG state), and (c) resumable from any
+    position because position is a pure function of (epoch, doc_id).
+
+    Per epoch the order materializes through the global_rank scaffold:
+    ONE range-partition shuffle on the md5 key + a P-row offset table —
+    never an Exchange SinglePartition over data (the plan-ratchet
+    class every other global ordering in this repo uses). Epochs
+    concatenate by union, so the whole schedule is E embarrassingly
+    independent passes."""
+    from basis_spark.operators.windows import global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    outs = []
+    for e in range(_SHUFFLE_EPOCHS):
+        keyed = docs.select(
+            F.lit(e).cast("int").alias("epoch"),
+            "doc_id",
+            F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string"))).alias(
+                "k"
+            ),
+        )
+        outs.append(
+            global_rank(keyed, "k", "doc_id").select(
+                "epoch", "doc_id", F.col("rank").cast("long").alias("position")
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -1482,3 +1482,86 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_group long, column_name string, num_values long, "
         "min_val string, max_val string",
     )
+
+
+def sniff_csv_dialect(path: str, candidates: str = ",;|\t") -> str:
+    """Infer the delimiter of a CSV file from its first lines: for each
+    candidate, parse a sample with the csv module (so quoted fields
+    hide their embedded delimiters, exactly as the real read will see
+    them) and score by (consistent field count across lines, field
+    count > 1); highest consistent field count wins, ties to the
+    candidates' declared order. Driver-side over a bounded sample —
+    dialect detection is metadata work, the read itself is distributed."""
+    import csv as _csv
+    import io as _io
+
+    with open(path, newline="") as fh:
+        sample = [next(fh, "") for _ in range(20)]
+    text = "".join(sample)
+    best = (1, candidates[0])
+    for cand in candidates:
+        try:
+            rows = list(_csv.reader(_io.StringIO(text), delimiter=cand))
+        except _csv.Error:
+            continue
+        widths = {len(r) for r in rows if r}
+        if len(widths) == 1:
+            (w,) = widths
+            if w > best[0]:
+                best = (w, cand)
+    return best[1]
+
+
+@register(
+    "source_csv_sniffed_dialect",
+    oracle="""
+    WITH r AS (
+        SELECT i.range AS id,
+               'name' || repeat(', extra', CAST(i.range % 3 AS INT))
+                      || ' ' || CAST(i.range AS VARCHAR) AS label,
+               round((i.range * 13 % 997) / 100.0, 2) AS val
+        FROM range(200) i)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           CAST(sum(len(label)) AS BIGINT) AS label_chars,
+           round(sum(val), 2) AS sum_val
+    FROM r
+    """,
+)
+def source_csv_sniffed_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniffing — the ingestion-time inference every
+    schema-on-read tool performs (DuckDB's read_csv auto-detect,
+    pandas' Sniffer): the fixture file is semicolon-delimited while
+    label fields contain a VARYING number of commas (0-2 per row), so
+    a naive comma assumption parses ragged rows and fails the
+    consistency score; the sniffer scores candidate delimiters by
+    field-count consistency over a bounded sample and picks ';'.
+    Detection is driver-side metadata work (20 lines); the
+    actual read stays a distributed spark.read.csv with the chosen
+    separator. The oracle recomputes the aggregate from the same
+    deterministic generator — a wrong sniff cannot hash-match (comma
+    parsing would triple the column count and mangle every value)."""
+    import csv as _csv
+
+    out = os.path.join(
+        scratch_dir("csv_sniffed"),
+        f"rows_{spark.sparkContext.applicationId}.csv",
+    )
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with open(tmp, "w", newline="") as fh:
+            w = _csv.writer(fh, delimiter=";", lineterminator="\n")
+            for i in range(200):
+                label = "name" + ", extra" * (i % 3) + f" {i}"
+                w.writerow([i, label, round((i * 13 % 997) / 100.0, 2)])
+        os.replace(tmp, out)
+    sep = sniff_csv_dialect(out)
+    df = spark.read.schema("id BIGINT, label STRING, val DOUBLE").option(
+        "sep", sep
+    ).csv(out)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.sum(F.length("label")).alias("label_chars"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+    )

@@ -383,6 +383,8 @@ _SINGLE_PARTITION_OK = {
     "ts_seasonal_esd_anomalies",   # calendar-bounded daily spine windows + per-round 1-row stats combines
     "stat_sprt_sequential",        # cumulative window over the calendar day spine + 1-row baseline combine
     "event_growth_accounting",     # 1-row last-observed-month combine, broadcast into the churn censor
+    "corpus_shuffle_epochs",       # global_rank scaffold per epoch: P-row offset tables only
+    "source_csv_sniffed_dialect",  # 1-row aggregate readout of the sniffed read
     "win_rsi_sma",            # calendar-bounded daily series (one global window)
     "privacy_microaggregation",  # global rank window (global_rank scaffold swap-in documented)
     "dq_completeness_profile",   # 1-row wide-agg combine unpivoted to the per-column report

@@ -717,3 +717,80 @@ def test_sprt_llr_is_cumulative_and_boundaries_consistent(spark):
             assert r["decision"] == "accept_h1"
         elif r["llr"] <= lo - 1e-9:
             assert r["decision"] == "accept_h0"
+
+
+def test_shuffle_epochs_is_a_permutation_and_differs_across_epochs(spark):
+    """Each epoch's positions are a gapless 1..N permutation over all
+    docs, the two epochs order documents DIFFERENTLY, and position is
+    reproducible (pure function of (epoch, doc_id)): a second call
+    returns identical rows."""
+    rows = QUERIES["corpus_shuffle_epochs"](spark, SF_ORACLE).collect()
+    n_docs = load(spark, SF_ORACLE, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(by_epoch) == {0, 1}
+    for e, m in by_epoch.items():
+        assert len(m) == n_docs
+        assert sorted(m.values()) == list(range(1, n_docs + 1)), e
+    assert by_epoch[0] != by_epoch[1]
+    again = {
+        (r["epoch"], r["doc_id"]): r["position"]
+        for r in QUERIES["corpus_shuffle_epochs"](spark, SF_ORACLE).collect()
+    }
+    for e, m in by_epoch.items():
+        for d, p in m.items():
+            assert again[(e, d)] == p
+
+
+def test_local_peaks_are_strict_local_maxima(spark):
+    """Every reported peak strictly exceeds its 4 neighbors in a
+    brute-force recompute of the daily series, and prominence is
+    positive."""
+    peaks = QUERIES["ts_local_peaks"](spark, SF_ORACLE).collect()
+    d = (
+        load(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in d:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    for s in series.values():
+        s.sort()
+    assert peaks
+    for p in peaks:
+        s = series[p["event_type"]]
+        idx = [i for i, (day, _) in enumerate(s) if day == p["day"]][0]
+        assert 2 <= idx < len(s) - 2
+        y = s[idx][1]
+        nb = [s[idx - 2][1], s[idx - 1][1], s[idx + 1][1], s[idx + 2][1]]
+        assert all(y > v for v in nb)
+        assert p["prominence"] > 0
+        assert abs(p["prominence"] - round(y - max(nb), 6)) <= 1e-9
+
+
+def test_sniffer_rejects_ragged_comma_parse(spark):
+    """The sniffer must pick ';' on the fixture file (commas are ragged
+    by construction) and must pick ',' on a plain comma file."""
+    import csv
+    import tempfile
+
+    from basis_spark.operators.scans import sniff_csv_dialect
+
+    QUERIES["source_csv_sniffed_dialect"](spark, SF_ORACLE).collect()  # writes
+    import glob
+    import os
+
+    from basis_spark.io import scratch_dir
+
+    files = glob.glob(os.path.join(scratch_dir("csv_sniffed"), "*.csv"))
+    assert files
+    assert sniff_csv_dialect(files[0]) == ";"
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False, newline="") as fh:
+        w = csv.writer(fh)
+        for i in range(10):
+            w.writerow([i, f"plain {i}", i * 2])
+        path = fh.name
+    assert sniff_csv_dialect(path) == ","
