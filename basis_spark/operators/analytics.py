@@ -6074,3 +6074,106 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y") - F.greatest("l1", "l2", "r1", "r2"), 6
         ).alias("prominence"),
     )
+
+
+@register(
+    "stat_ratio_metric_delta",
+    oracle="""
+    WITH u AS MATERIALIZED (
+        SELECT user_id % 2 AS arm,
+               round(sum(CASE WHEN event_type = 'purchase'
+                              THEN value ELSE 0 END), 6) AS x,
+               count(*) AS y
+        FROM events GROUP BY user_id),
+    m AS MATERIALIZED (
+        SELECT arm, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               avg(y) AS ybar,
+               var_samp(x) AS vx, var_samp(y) AS vy,
+               covar_samp(x, y) AS cxy
+        FROM u GROUP BY arm),
+    r AS MATERIALIZED (
+        SELECT arm, n, sx, sy,
+               sx / sy AS ratio,
+               sqrt((vx - 2 * (sx / sy) * cxy
+                     + (sx / sy) * (sx / sy) * vy)
+                    / (n * ybar * ybar)) AS se
+        FROM m)
+    SELECT CAST(a.n AS BIGINT) AS n_control,
+           CAST(b.n AS BIGINT) AS n_treatment,
+           round(a.ratio, 6) AS ratio_control,
+           round(b.ratio, 6) AS ratio_treatment,
+           round(a.se, 6) AS se_control,
+           round(b.se, 6) AS se_treatment,
+           round((b.ratio - a.ratio) / sqrt(a.se * a.se + b.se * b.se), 6)
+               AS z_stat
+    FROM r a JOIN r b ON a.arm = 0 AND b.arm = 1
+    """,
+)
+def stat_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric A/B readout with DELTA-METHOD variance — the
+    experimentation correction every platform ships: for a metric like
+    revenue-per-event, both numerator and denominator are random per
+    USER (the randomization unit), so the naive per-event variance is
+    wrong (events within a user correlate); the delta method expands
+    Var(X/Y) from user-level variances and covariance:
+    Var(R) ~ (Sxx - 2R*Sxy + R^2*Syy) / (n * Ybar^2). Completes the
+    experimentation family's third leg (fixed-horizon z on
+    proportions, sequential SPRT, and now ratio metrics).
+
+    One user-grain aggregation (the only event-sized shuffle — the
+    same user rollup every per-user op rides), then arm-level moment
+    aggs (5 sufficient statistics per arm) and a 2x1-row combine.
+    Per-user numerators round at 6dp before the moments so the
+    variance inputs are engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.avg("y").alias("ybar"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    ratio = F.col("sx") / F.col("sy")
+    r = m.select(
+        "arm",
+        "n",
+        ratio.alias("ratio"),
+        F.sqrt(
+            (
+                F.col("vx")
+                - 2 * ratio * F.col("cxy")
+                + ratio * ratio * F.col("vy")
+            )
+            / (F.col("n") * F.col("ybar") * F.col("ybar"))
+        ).alias("se"),
+    )
+    a = r.filter(F.col("arm") == 0).alias("a")
+    b = r.filter(F.col("arm") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("long").alias("n_control"),
+        F.col("b.n").cast("long").alias("n_treatment"),
+        F.round("a.ratio", 6).alias("ratio_control"),
+        F.round("b.ratio", 6).alias("ratio_treatment"),
+        F.round("a.se", 6).alias("se_control"),
+        F.round("b.se", 6).alias("se_treatment"),
+        F.round(
+            (F.col("b.ratio") - F.col("a.ratio"))
+            / F.sqrt(F.col("a.se") * F.col("a.se") + F.col("b.se") * F.col("b.se")),
+            6,
+        ).alias("z_stat"),
+    )

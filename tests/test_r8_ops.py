@@ -794,3 +794,39 @@ def test_sniffer_rejects_ragged_comma_parse(spark):
             w.writerow([i, f"plain {i}", i * 2])
         path = fh.name
     assert sniff_csv_dialect(path) == ","
+
+
+def test_ratio_metric_delta_matches_numpy(spark):
+    """Ratio and delta-method SE must equal a numpy recompute from the
+    user-level (x, y) pairs, and the z must decompose from them."""
+    import numpy as np
+
+    row = QUERIES["stat_ratio_metric_delta"](spark, SF_ORACLE).collect()[0]
+    ev = load(spark, SF_ORACLE, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    xs = defaultdict(float)
+    ys = defaultdict(int)
+    for e in ev:
+        xs[e["user_id"]] += e["value"] if e["event_type"] == "purchase" else 0.0
+        ys[e["user_id"]] += 1
+    out = {}
+    for arm in (0, 1):
+        users = [u for u in ys if u % 2 == arm]
+        x = np.array([round(xs[u], 6) for u in users])
+        y = np.array([ys[u] for u in users], dtype=float)
+        n = len(users)
+        r = x.sum() / y.sum()
+        vx, vy = x.var(ddof=1), y.var(ddof=1)
+        cxy = np.cov(x, y, ddof=1)[0, 1]
+        se = np.sqrt((vx - 2 * r * cxy + r * r * vy) / (n * y.mean() ** 2))
+        out[arm] = (n, r, se)
+    assert row["n_control"] == out[0][0] and row["n_treatment"] == out[1][0]
+    assert abs(row["ratio_control"] - round(out[0][1], 6)) <= 1e-9
+    assert abs(row["ratio_treatment"] - round(out[1][1], 6)) <= 1e-9
+    assert abs(row["se_control"] - round(out[0][2], 6)) <= 1e-6
+    assert abs(row["se_treatment"] - round(out[1][2], 6)) <= 1e-6
+    z = (out[1][1] - out[0][1]) / np.hypot(out[0][2], out[1][2])
+    assert abs(row["z_stat"] - round(z, 6)) <= 1e-4
