@@ -85,8 +85,8 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 # classical-stats tail, the graph second wave, multimodal codecs and
 # shard plumbing, the r7 late adds (skyline/percentile-scaffold/PQ/BPE),
 # the dq_* data-quality family, the streaming second wave, and the
-# window/interval tail). After the r8 build waves (29 new strict keys
-# + the pca_power strict promotion) 172 strict + 8 rows-only
+# window/interval tail). After the r8 build waves (30 new strict keys
+# + the pca_power strict promotion) 173 strict + 8 rows-only
 # never-verified keys remain for r9+ beyond this window — recompute
 # from driver_verified_keys.json ∪ CORRECTNESS_r08. tests/test_survey_contract.py ratchets this window:
 # len==50, every key registered, every key strict-oracle, none already
