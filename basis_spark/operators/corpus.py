@@ -1470,3 +1470,164 @@ def corpus_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+@register(
+    "eval_retrieval_recall_at_k",
+    oracle=f"""
+    WITH cls AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+    d AS (
+      SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+             e.vec_id AS vec_id, e.label AS label,
+             round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 20),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY cos DESC, vec_id) AS rn FROM d)
+    SELECT r.q_vec_id, r.q_label,
+           CAST(cls.n_label - 1 AS BIGINT) AS n_relevant,
+           round(CAST(sum(CASE WHEN r.label = r.q_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / (cls.n_label - 1), 6) AS r_at_{EVAL_K}
+    FROM r JOIN cls ON cls.label = r.q_label
+    WHERE r.rn <= {EVAL_K} GROUP BY r.q_vec_id, r.q_label, cls.n_label
+    """,
+)
+def eval_retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k — the retrieval metric precision@k cannot substitute
+    for when classes are larger than k: hits in the top-k divided by
+    the TOTAL number of relevant items (same-label vectors excluding
+    the query), so a perfect top-k against a 50-vector class still
+    reads ~0.2 and index-quality regressions show up as recall drops
+    even while precision stays saturated.
+
+    Same scale shape as precision@k: the bounded query set broadcasts
+    (BroadcastNestedLoopJoin on the != guard — never a shuffle
+    cartesian), ranking is per-query WindowGroupLimit, and the class
+    sizes are a |labels|-row broadcast. Cosines round to 6dp BEFORE
+    ranking so rank order is engine-stable; ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    cls = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_label"))
+        .withColumnRenamed("label", "label_cls")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "q_label", "vec_id", "label", F.round(dot, 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    hit = F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVAL_K)
+        .join(F.broadcast(cls), F.col("label_cls") == F.col("q_label"))
+        .groupBy("q_vec_id", "q_label", "n_label")
+        .agg(hit.alias("hits"))
+        .select(
+            "q_vec_id",
+            "q_label",
+            (F.col("n_label") - 1).cast("long").alias("n_relevant"),
+            F.round(
+                F.col("hits").cast("double") / (F.col("n_label") - 1), 6
+            ).alias(f"r_at_{EVAL_K}"),
+        )
+    )
+
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8))
+                  AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+      FROM documents),
+    tgt AS (SELECT bucket, count(*) AS ct FROM tok
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+    raw AS (SELECT bucket, count(*) AS cr FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT sum(ct) FROM tgt) AS t_t,
+                   (SELECT sum(cr) FROM raw) AS t_r),
+    rate AS (
+      SELECT raw.bucket,
+             ln((coalesce(tgt.ct, 0) + 1.0) / (tot.t_t + {_DSIR_BUCKETS}))
+             - ln((raw.cr + 1.0) / (tot.t_r + {_DSIR_BUCKETS})) AS logratio
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
+    SELECT tok.doc_id, tok.lang,
+           round(sum(rate.logratio), 6) AS dsir_logweight,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok JOIN rate ON tok.bucket = rate.bucket
+    GROUP BY 1, 2
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (the public
+    "Data Selection via Importance Resampling" recipe): score every
+    document by how much more likely its hashed-unigram features are
+    under the target distribution (here: the '{en}' slice) than under
+    the raw corpus — sum over token occurrences of
+    log(p_target(bucket)/p_raw(bucket)) with add-1 smoothing over
+    {64} md5 hash buckets. High-weight documents are the ones
+    importance resampling would keep to steer a 100 TB crawl toward
+    the target domain.
+
+    Scale: one token explode feeds two bucket-count aggregates whose
+    results are BUCKETS-row tables; totals are a 1-row cross into
+    that metadata-sized rate table, which then BROADCASTS back onto
+    the token stream (map-side lookup), leaving one doc_id shuffle
+    for the per-doc sum. Nothing data-sized is ever collected,
+    sorted globally, or joined unbroadcast. Hashing is md5-prefix
+    (engine-portable, no RNG), so weights are rerun/reshard-stable."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", "lang", bucket.alias("bucket"))
+    tgt = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumnRenamed("bucket", "bucket_t")
+    )
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tot = raw.agg(F.sum("cr").alias("t_r")).crossJoin(
+        tgt.agg(F.sum("ct").alias("t_t"))
+    )
+    rate = (
+        raw.join(tgt, F.col("bucket") == F.col("bucket_t"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("t_t") + _DSIR_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("t_r") + _DSIR_BUCKETS))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(rate), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

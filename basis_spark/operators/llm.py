@@ -4713,3 +4713,91 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("difficult")
         .alias("band"),
     )
+
+
+_GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is"]
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 90
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3.8, 5.1
+_GOPHER_MIN_STOP_HITS = 1
+_GOPHER_MIN_TTR = 0.3
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS mean_word_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains({_GOPHER_STOPWORDS!r}, t))) AS BIGINT)
+                 AS stop_hits,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS ttr
+      FROM documents)
+    SELECT doc_id, n_words, mean_word_len, stop_hits, ttr,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AS pass_len,
+           (mean_word_len >= {_GOPHER_MWL_LO}
+            AND mean_word_len <= {_GOPHER_MWL_HI}) AS pass_mwl,
+           (stop_hits >= {_GOPHER_MIN_STOP_HITS}) AS pass_stop,
+           (ttr >= {_GOPHER_MIN_TTR}) AS pass_ttr,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND mean_word_len >= {_GOPHER_MWL_LO}
+            AND mean_word_len <= {_GOPHER_MWL_HI}
+            AND stop_hits >= {_GOPHER_MIN_STOP_HITS}
+            AND ttr >= {_GOPHER_MIN_TTR}) AS keep
+    FROM s
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (the public Gopher /
+    MassiveText recipe: hard per-rule thresholds, not a learned score)
+    adapted to the fixture's vocabulary: word-count bounds, mean word
+    length bounds, a minimum stopword-hit count, and a minimum
+    type-token ratio — each emitted as its own pass_* flag so a
+    curation run can report per-rule rejection mass, plus the combined
+    keep decision. Differs from text_quality_score (which emits raw
+    ratios) by being the DECISION operator: flags + keep.
+
+    Scale: pure map-side column expressions over one scan — no
+    shuffle, no UDF; at 100 TB this is a single filter pass whose
+    selectivity report is a later groupBy over booleans. mean_word_len
+    is computed as chars-sans-spaces / n_words so both engines divide
+    the same two integers (no per-word float averaging order)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    s = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias(
+            "ttr"
+        ),
+    )
+    pass_len = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    pass_mwl = (F.col("mean_word_len") >= _GOPHER_MWL_LO) & (
+        F.col("mean_word_len") <= _GOPHER_MWL_HI
+    )
+    pass_stop = F.col("stop_hits") >= _GOPHER_MIN_STOP_HITS
+    pass_ttr = F.col("ttr") >= _GOPHER_MIN_TTR
+    return s.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "ttr",
+        pass_len.alias("pass_len"),
+        pass_mwl.alias("pass_mwl"),
+        pass_stop.alias("pass_stop"),
+        pass_ttr.alias("pass_ttr"),
+        (pass_len & pass_mwl & pass_stop & pass_ttr).alias("keep"),
+    )

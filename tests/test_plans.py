@@ -288,6 +288,7 @@ _SINGLE_PARTITION_OK = {
     "scan_parquet",          # count-style 1-row summary
     "maintenance_compact_files",  # two 1-row phase summaries
     "maintenance_table_stats",    # four 1-row per-column stat combines
+    "corpus_dsir_weights",   # two 1-row total combines over 64-row bucket tables
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

@@ -830,3 +830,53 @@ def test_ratio_metric_delta_matches_numpy(spark):
     assert abs(row["se_treatment"] - round(out[1][2], 6)) <= 1e-6
     z = (out[1][1] - out[0][1]) / np.hypot(out[0][2], out[1][2])
     assert abs(row["z_stat"] - round(z, 6)) <= 1e-4
+
+
+def test_gopher_rules_keep_is_conjunction_and_every_rule_bites(spark):
+    """keep must equal the AND of the four pass flags row-by-row, and
+    on this fixture every rule must reject at least one document while
+    keeping at least one (a rule that never fires is a vacuous
+    threshold the oracle would still happily hash-match)."""
+    rows = QUERIES["text_gopher_quality_rules"](spark, SF_ORACLE).collect()
+    assert rows
+    flags = ["pass_len", "pass_mwl", "pass_stop", "pass_ttr"]
+    for r in rows:
+        assert r["keep"] == all(r[f] for f in flags), r
+    for f in flags:
+        vals = {r[f] for r in rows}
+        assert vals == {True, False}, f"rule {f} never fires one way: {vals}"
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_recall_at_k_bounds_and_relation_to_precision(spark):
+    """recall@k is hits/n_relevant with n_relevant the full class size
+    minus the query itself — so it is bounded by k/n_relevant, and
+    hits recovered from it must be an integer <= k that matches
+    precision@k's hits on the same query set."""
+    from basis_spark.operators.corpus import EVAL_K
+
+    rec = {r["q_vec_id"]: r for r in QUERIES["eval_retrieval_recall_at_k"](spark, SF_ORACLE).collect()}
+    pre = {r["q_vec_id"]: r for r in QUERIES["eval_retrieval_precision_at_k"](spark, SF_ORACLE).collect()}
+    assert set(rec) == set(pre) and len(rec) == 20
+    for qid, r in rec.items():
+        hits = r[f"r_at_{EVAL_K}"] * r["n_relevant"]
+        assert abs(hits - round(hits)) < 1e-3, r
+        assert 0 <= round(hits) <= EVAL_K
+        assert round(hits) == round(pre[qid][f"p_at_{EVAL_K}"] * EVAL_K)
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    """The operator's reason to exist: documents in the target slice
+    ('en') must average a strictly higher importance logweight than
+    off-target documents, and every doc's n_tokens must equal its
+    whitespace word count."""
+    rows = QUERIES["corpus_dsir_weights"](spark, SF_ORACLE).collect()
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_ORACLE, "documents").collect()}
+    assert len(rows) == len(docs)
+    en = [r["dsir_logweight"] for r in rows if r["lang"] == "en"]
+    rest = [r["dsir_logweight"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in rows:
+        assert r["n_tokens"] == len(docs[r["doc_id"]].split(" ")), r
