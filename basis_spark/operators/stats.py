@@ -1386,3 +1386,256 @@ def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+_PASS_K = 5
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_attempts, CAST(c AS BIGINT) AS n_success,
+           round(1.0 - CASE WHEN n - c >= {_PASS_K} THEN
+                 CAST((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4) AS DOUBLE)
+                 / (n*(n-1)*(n-2)*(n-3)*(n-4))
+               ELSE 0.0 END, 6) AS pass_at_{_PASS_K}
+    FROM u WHERE n >= {_PASS_K}
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the unbiased estimator from the public Codex/HumanEval
+    methodology: given n sampled attempts per task with c successes,
+    pass@k = 1 - C(n-c,k)/C(n,k), i.e. the probability at least one of
+    k drawn attempts succeeds. Here a task is a user and a success is
+    a purchase event, the exact shape of an eval table (task_id,
+    attempt, pass/fail) a model-eval pipeline aggregates.
+
+    k is fixed ({_PASS_K}), so the binomial ratio unrolls to a product
+    of k integer factors over another — BIGINT products then ONE
+    double division, identical on any engine (no lgamma, no float
+    accumulation order). Plan: one user_id-keyed count/sum agg
+    (map-side combinable) then map-side arithmetic — a single shuffle
+    at any scale."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
+    ).filter(F.col("n") >= _PASS_K)
+    num = F.lit(1).cast("long")
+    den = F.lit(1).cast("long")
+    for i in range(_PASS_K):
+        num = num * (F.col("n") - F.col("c") - i)
+        den = den * (F.col("n") - i)
+    miss = F.when(
+        (F.col("n") - F.col("c")) >= _PASS_K, num.cast("double") / den
+    ).otherwise(F.lit(0.0))
+    return u.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_attempts"),
+        F.col("c").cast("long").alias("n_success"),
+        F.round(1.0 - miss, 6).alias(f"pass_at_{_PASS_K}"),
+    )
+
+
+_BH_Q = 0.1
+
+
+@register(
+    "stat_benjamini_hochberg",
+    oracle=f"""
+    WITH t AS (SELECT event_type, count(*) AS n_t, sum(value) AS s_t,
+                      sum(value*value) AS ss_t
+               FROM events GROUP BY 1),
+    g AS (SELECT sum(n_t) AS n_g, sum(s_t) AS s_g, sum(ss_t) AS ss_g FROM t),
+    z AS (SELECT event_type, n_t,
+                 (s_t/n_t - s_g/n_g)
+                 / sqrt((ss_g/n_g - (s_g/n_g)*(s_g/n_g)) / n_t) AS zv
+          FROM t CROSS JOIN g),
+    p AS (SELECT event_type, CAST(n_t AS BIGINT) AS n_rows,
+                 round(zv, 6) AS z_stat,
+                 round(2.0 * (1.0 - 1.0/(1.0 + exp(-1.702 * abs(zv)))), 6)
+                     AS p_raw
+          FROM z),
+    r AS (SELECT *, row_number() OVER (ORDER BY p_raw, event_type) AS rnk,
+                 count(*) OVER () AS m FROM p)
+    SELECT event_type, n_rows, z_stat, p_raw, CAST(rnk AS INT) AS rnk,
+           round(least(1.0, min(CAST(m AS DOUBLE) * p_raw / rnk)
+                 OVER (ORDER BY rnk ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING)), 6) AS p_bh,
+           (round(least(1.0, min(CAST(m AS DOUBLE) * p_raw / rnk)
+                 OVER (ORDER BY rnk ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING)), 6) <= {_BH_Q}) AS reject
+    FROM r
+    """,
+)
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up over a family of per-group
+    one-sample z-tests (each event type's mean value vs the corpus
+    mean) — the multiple-testing correction every metrics platform
+    applies before flagging "significant" segments. Emits raw and
+    BH-adjusted p-values (adj_i = min_{{j>=i}} m*p_(j)/j, capped at 1)
+    plus the reject decision at q={_BH_Q}.
+
+    p-values use the standard logistic approximation of the normal CDF
+    (1/(1+exp(-1.702 z)) — public Bowling et al. form) so both engines
+    evaluate the same closed-form arithmetic; the BH min-suffix runs
+    over the |groups|-row table ordered by the 6dp-ROUNDED p so rank
+    order can't flip on float noise. Scale: one map-side-combinable
+    sufficient-stats agg over the data; everything after is
+    group-cardinality (windows over a 5-row table)."""
+    ev = load(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("value").alias("s_t"),
+        F.sum(F.col("value") * F.col("value")).alias("ss_t"),
+    )
+    g = t.agg(
+        F.sum("n_t").alias("n_g"), F.sum("s_t").alias("s_g"), F.sum("ss_t").alias("ss_g")
+    )
+    zv = (F.col("s_t") / F.col("n_t") - F.col("s_g") / F.col("n_g")) / F.sqrt(
+        (F.col("ss_g") / F.col("n_g") - (F.col("s_g") / F.col("n_g")) ** 2)
+        / F.col("n_t")
+    )
+    p = t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n_t").cast("long").alias("n_rows"),
+        F.round(zv, 6).alias("z_stat"),
+        F.round(2.0 * (1.0 - 1.0 / (1.0 + F.exp(-1.702 * F.abs(zv)))), 6).alias(
+            "p_raw"
+        ),
+    )
+    w_rank = Window.orderBy("p_raw", "event_type")
+    r = p.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    w_suffix = Window.orderBy("rnk").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    p_bh = F.round(
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("m").cast("double") * F.col("p_raw") / F.col("rnk")).over(
+                w_suffix
+            ),
+        ),
+        6,
+    )
+    return r.select(
+        "event_type",
+        "n_rows",
+        "z_stat",
+        "p_raw",
+        F.col("rnk").cast("int").alias("rnk"),
+        p_bh.alias("p_bh"),
+        (p_bh <= _BH_Q).alias("reject"),
+    )
+
+
+_PERM_K = 200
+
+
+@register(
+    "stat_permutation_shift",
+    oracle=f"""
+    WITH ab AS (SELECT event_id, value, event_type FROM events
+                WHERE event_type IN ('click', 'purchase')),
+    obs AS (SELECT round(avg(CASE WHEN event_type = 'click' THEN value END)
+                   - avg(CASE WHEN event_type = 'purchase' THEN value END), 6)
+                       AS d_obs,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS frac_a
+            FROM ab),
+    perm AS (
+      SELECT p.p,
+             round(avg(CASE WHEN CAST(('0x' || substring(md5(CAST(p.p AS VARCHAR)
+                       || ':' || CAST(ab.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 < obs.frac_a THEN value END)
+                 - avg(CASE WHEN CAST(('0x' || substring(md5(CAST(p.p AS VARCHAR)
+                       || ':' || CAST(ab.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 >= obs.frac_a THEN value END), 6) AS d_p
+      FROM ab CROSS JOIN (SELECT unnest(range({_PERM_K})) AS p) p CROSS JOIN obs
+      GROUP BY p.p)
+    SELECT obs.d_obs,
+           CAST({_PERM_K} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(perm.d_p) >= abs(obs.d_obs) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           round((1.0 + sum(CASE WHEN abs(perm.d_p) >= abs(obs.d_obs)
+                            THEN 1 ELSE 0 END)) / (1.0 + {_PERM_K}), 6) AS p_value
+    FROM perm CROSS JOIN obs
+    GROUP BY obs.d_obs
+    """,
+)
+def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test for a mean shift between two
+    event populations (click vs purchase): {_PERM_K} pseudo-random
+    relabelings, each assigning every event to arm A with the observed
+    marginal probability via the fraction md5(perm:event_id)/2^32 —
+    content-addressed, so the "random" draws are identical across
+    engines, reruns and reshards (no RNG state, no seed plumbing).
+    p = (1 + #{{|d_perm| >= |d_obs|}}) / (K+1), the standard
+    add-one Monte-Carlo estimator.
+
+    Scale: the K-way explode is a map-side row expansion feeding ONE
+    agg keyed on perm id — partial aggregation collapses it to
+    K-row partials per partition, so the shuffle is K rows per
+    partition regardless of data size; the observed stats are a 1-row
+    broadcast. Both |d| comparisons happen on 6dp-ROUNDED diffs so the
+    >= can't flip on engine float-summation order."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    obs = ev.agg(
+        F.round(
+            F.avg(F.when(F.col("event_type") == "click", F.col("value")))
+            - F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            6,
+        ).alias("d_obs"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("frac_a"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("p").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    perm = (
+        ev.select("event_id", "value")
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))))
+        .crossJoin(F.broadcast(obs))
+        .groupBy("p")
+        .agg(
+            F.round(
+                F.avg(F.when(frac < F.col("frac_a"), F.col("value")))
+                - F.avg(F.when(frac >= F.col("frac_a"), F.col("value"))),
+                6,
+            ).alias("d_p"),
+            F.first("d_obs").alias("d_obs"),
+        )
+    )
+    ge = F.sum(
+        F.when(F.abs(F.col("d_p")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    )
+    return perm.groupBy("d_obs").agg(
+        F.lit(_PERM_K).cast("long").alias("n_perms"),
+        ge.cast("long").alias("n_ge"),
+        F.round((1.0 + ge) / (1.0 + _PERM_K), 6).alias("p_value"),
+    )

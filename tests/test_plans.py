@@ -289,6 +289,8 @@ _SINGLE_PARTITION_OK = {
     "maintenance_compact_files",  # two 1-row phase summaries
     "maintenance_table_stats",    # four 1-row per-column stat combines
     "corpus_dsir_weights",   # two 1-row total combines over 64-row bucket tables
+    "stat_benjamini_hochberg",  # 1-row grand-total combine + windows over the 5-row p table
+    "stat_permutation_shift",   # 1-row observed-stats combine + final combine over K-row perm table
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

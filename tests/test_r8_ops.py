@@ -880,3 +880,58 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     assert sum(en) / len(en) > sum(rest) / len(rest)
     for r in rows:
         assert r["n_tokens"] == len(docs[r["doc_id"]].split(" ")), r
+
+
+def test_pass_at_k_matches_comb_reference(spark):
+    """pass@k must equal 1 - C(n-c,k)/C(n,k) computed with exact
+    integer combinatorics, and sit in [0,1] with the degenerate cases
+    right (c=0 -> not necessarily 0 only when n-c<k; c>n-k -> 1)."""
+    from math import comb
+
+    from basis_spark.operators.stats import _PASS_K
+
+    rows = QUERIES["eval_pass_at_k"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        n, c = r["n_attempts"], r["n_success"]
+        expect = 1.0 - (comb(n - c, _PASS_K) / comb(n, _PASS_K) if n - c >= _PASS_K else 0.0)
+        assert abs(r[f"pass_at_{_PASS_K}"] - round(expect, 6)) <= 1e-6, r
+        assert 0.0 <= r[f"pass_at_{_PASS_K}"] <= 1.0
+
+
+def test_benjamini_hochberg_matches_pure_python(spark):
+    """The adjusted p must equal the textbook step-up (suffix min of
+    m*p/rank, capped at 1) recomputed from the emitted raw p's, be
+    monotone nondecreasing in rank, and never fall below raw p's
+    Bonferroni-free floor."""
+    rows = sorted(
+        QUERIES["stat_benjamini_hochberg"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["rnk"],
+    )
+    m = len(rows)
+    adj, run = [], float("inf")
+    for r in reversed(rows):
+        run = min(run, min(1.0, m * r["p_raw"] / r["rnk"]))
+        adj.append(run)
+    adj.reverse()
+    for r, a in zip(rows, adj):
+        assert abs(r["p_bh"] - round(a, 6)) <= 1e-6, (r, a)
+        assert r["reject"] == (r["p_bh"] <= 0.1)
+    assert all(rows[i]["p_bh"] <= rows[i + 1]["p_bh"] + 1e-9 for i in range(m - 1))
+
+
+def test_permutation_shift_pvalue_identity(spark):
+    """p must be the add-one estimator (1+n_ge)/(K+1), d_obs must
+    equal the directly computed click-minus-purchase mean gap, and the
+    null should NOT be rejected on this fixture (both arms draw from
+    the same value distribution)."""
+    from basis_spark.operators.stats import _PERM_K
+
+    [r] = QUERIES["stat_permutation_shift"](spark, SF_ORACLE).collect()
+    assert r["n_perms"] == _PERM_K and 0 <= r["n_ge"] <= _PERM_K
+    assert abs(r["p_value"] - round((1 + r["n_ge"]) / (_PERM_K + 1), 6)) <= 1e-6
+    ev = load(spark, SF_ORACLE, "events").collect()
+    a = [e["value"] for e in ev if e["event_type"] == "click"]
+    b = [e["value"] for e in ev if e["event_type"] == "purchase"]
+    assert abs(r["d_obs"] - round(sum(a) / len(a) - sum(b) / len(b), 6)) <= 1e-5
+    assert r["p_value"] > 0.01  # same-distribution arms: no rejection
