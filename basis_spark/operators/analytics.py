@@ -6177,3 +6177,116 @@ def stat_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+_LB_MAX_LAG = 7
+# chi-square 95th-percentile critical values for df = 1..7 (public
+# table constants, the same literals interpolated into BOTH engines)
+_LB_CHI2_95 = [3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587, 14.067140]
+
+
+def _lb_crit_values_sql() -> str:
+    return ", ".join(f"({i + 1}, {v})" for i, v in enumerate(_LB_CHI2_95))
+
+
+@register(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    st AS (SELECT count(*) AS n, avg(rev) AS m FROM daily),
+    den AS (SELECT sum((rev - m) * (rev - m)) AS denom FROM daily CROSS JOIN st),
+    rn AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS i FROM daily),
+    pairs AS (
+        SELECT g.k AS lag, a.rev AS x, b.rev AS y
+        FROM rn a JOIN (SELECT unnest(generate_series(1, {_LB_MAX_LAG})) AS k) g
+          ON true
+        JOIN rn b ON b.i = a.i - g.k),
+    rho AS (
+        SELECT lag, round(sum((x - m) * (y - m)) / denom, 6) AS acf_lb
+        FROM pairs CROSS JOIN st CROSS JOIN den GROUP BY lag, denom, m),
+    q AS (
+        SELECT lag, acf_lb,
+               round(n * (n + 2.0) * sum(acf_lb * acf_lb / (n - lag))
+                     OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6) AS q_stat
+        FROM rho CROSS JOIN st)
+    SELECT CAST(q.lag AS INT) AS lag, q.acf_lb, q.q_stat,
+           CAST(c.crit AS DOUBLE) AS crit_95,
+           (q.q_stat > CAST(c.crit AS DOUBLE)) AS reject
+    FROM q JOIN (VALUES {_lb_crit_values_sql()}) c(df, crit) ON c.df = q.lag
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: Q_h =
+    n(n+2) * sum_{{k<=h}} rho_k^2/(n-k) for h = 1..{_LB_MAX_LAG}, with
+    the L-B autocorrelations (fixed overall mean, n-denominator — NOT
+    per-lag Pearson, which is what ts_autocorrelation emits) and the
+    pinned chi-square 95% critical values as the reject line — the
+    whiteness check a forecasting pipeline runs on residuals before
+    trusting prediction intervals.
+
+    Scale: the data-sized stage is the orders scan + one day rollup;
+    everything after runs on the calendar-bounded daily spine (1-row
+    mean/denominator combines — declared single-partition — an
+    ordinal-shift join replicated per lag, and windows over the
+    {_LB_MAX_LAG}-row rho table). rho is 6dp-rounded BEFORE squaring
+    so Q and the reject flag are engine-stable."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    st = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("rev").alias("m"))
+    den = (
+        daily.crossJoin(F.broadcast(st))
+        .agg(F.sum((F.col("rev") - F.col("m")) * (F.col("rev") - F.col("m"))).alias("denom"))
+    )
+    rn = daily.select(
+        "day", "rev", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    left = rn.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("rev").alias("x"), (F.col("i") - F.col("lag")).alias("j")
+    )
+    right = rn.select(F.col("i").alias("j"), F.col("rev").alias("y"))
+    rho = (
+        left.join(right, "j")
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag", "denom", "m", "n")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("m")) * (F.col("y") - F.col("m")))
+                / F.first("denom"),
+                6,
+            ).alias("acf_lb")
+        )
+    )
+    w_run = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q = rho.select(
+        "lag",
+        "acf_lb",
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * F.sum(
+                F.col("acf_lb") * F.col("acf_lb") / (F.col("n") - F.col("lag"))
+            ).over(w_run),
+            6,
+        ).alias("q_stat"),
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_LB_CHI2_95)], "df int, crit_95 double"
+    )
+    return (
+        q.join(F.broadcast(crit), q["lag"] == crit["df"])
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "acf_lb",
+            "q_stat",
+            "crit_95",
+            (F.col("q_stat") > F.col("crit_95")).alias("reject"),
+        )
+    )

@@ -1631,3 +1631,151 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "eval_bleu_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+    ref AS (
+      SELECT lang, source, min(doc_id) AS ref_id FROM d GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id, unnest(toks) AS g FROM d),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM d),
+    uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+    cand AS (
+      SELECT d.doc_id, d.lang, d.source, r.ref_id,
+             len(d.toks) AS c1, len(d.toks) - 1 AS c2
+      FROM d JOIN ref r ON d.lang = r.lang AND d.source = r.source
+      WHERE d.doc_id <> r.ref_id),
+    clip1 AS (
+      SELECT cand.doc_id, sum(least(a.c, b.c)) AS clip
+      FROM cand JOIN uc a ON a.doc_id = cand.doc_id
+                JOIN uc b ON b.doc_id = cand.ref_id AND b.g = a.g
+      GROUP BY 1),
+    clip2 AS (
+      SELECT cand.doc_id, sum(least(a.c, b.c)) AS clip
+      FROM cand JOIN bc a ON a.doc_id = cand.doc_id
+                JOIN bc b ON b.doc_id = cand.ref_id AND b.g = a.g
+      GROUP BY 1),
+    rlen AS (SELECT doc_id AS ref_id, len(toks) AS r_len FROM d),
+    m AS (
+      SELECT cand.doc_id, cand.lang, cand.source, cand.c1, cand.c2,
+             rlen.r_len,
+             coalesce(clip1.clip, 0) AS k1, coalesce(clip2.clip, 0) AS k2
+      FROM cand JOIN rlen ON rlen.ref_id = cand.ref_id
+      LEFT JOIN clip1 ON clip1.doc_id = cand.doc_id
+      LEFT JOIN clip2 ON clip2.doc_id = cand.doc_id)
+    SELECT doc_id, lang, source,
+           round(CAST(k1 AS DOUBLE) / c1, 6) AS p1,
+           round((k2 + 1.0) / (c2 + 1.0), 6) AS p2_smooth,
+           round(least(1.0, exp(1.0 - CAST(r_len AS DOUBLE) / c1)), 6) AS bp,
+           CASE WHEN k1 = 0 THEN 0.0
+                ELSE round(least(1.0, exp(1.0 - CAST(r_len AS DOUBLE) / c1))
+                           * exp(0.5 * (ln(CAST(k1 AS DOUBLE) / c1)
+                                        + ln((k2 + 1.0) / (c2 + 1.0)))), 6)
+           END AS bleu2
+    FROM m
+    """,
+)
+def eval_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal BLEU-2 (the public Papineni et al. metric with
+    Lin-Och add-one smoothing on the bigram precision): every document
+    scores against its (lang, source) group's reference — the min
+    doc_id member, the shape of a generation-eval table where each
+    task has one reference and many candidates. Emits clipped unigram
+    precision p1, smoothed bigram precision p2, brevity penalty, and
+    the combined bleu2 = bp * sqrt(p1 * p2) (zero when no unigram
+    overlaps, where the log-space mean is undefined).
+
+    Scale: n-gram counts are one explode + (doc, gram) agg; clipping
+    joins candidate counts against ONLY the reference rows (a
+    groups-sized slice, broadcastable at any corpus size since
+    references are one doc per group); everything downstream is
+    per-doc map-side arithmetic. All precisions derive from integer
+    ratios, so both engines see bit-identical doubles before the one
+    6dp output rounding."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("toks")
+    )
+    ref = d.groupBy("lang", "source").agg(F.min("doc_id").alias("ref_id"))
+    uni = d.select("doc_id", F.explode("toks").alias("g"))
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    uc = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bc = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    cand = (
+        d.join(F.broadcast(ref), ["lang", "source"])
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "ref_id",
+            F.size("toks").alias("c1"),
+            (F.size("toks") - 1).alias("c2"),
+        )
+    )
+
+    def clipped(counts: DataFrame) -> DataFrame:
+        a = counts.select(
+            F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("ca")
+        )
+        b = counts.select(
+            F.col("doc_id").alias("rid"), "g", F.col("c").alias("cb")
+        )
+        return (
+            cand.select("doc_id", "ref_id")
+            .join(a, F.col("doc_id") == F.col("cand_id"))
+            .join(
+                F.broadcast(b),
+                (F.col("rid") == F.col("ref_id")) & (a["g"] == b["g"]),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("ca", "cb")).alias("clip"))
+        )
+    k1 = clipped(uc).withColumnRenamed("clip", "k1")
+    k2 = clipped(bc).withColumnRenamed("clip", "k2")
+    rlen = d.select(F.col("doc_id").alias("ref_id"), F.size("toks").alias("r_len"))
+    m = (
+        cand.join(F.broadcast(rlen), "ref_id")
+        .join(k1, "doc_id", "left")
+        .join(k2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "c1",
+            "c2",
+            "r_len",
+            F.coalesce("k1", F.lit(0)).alias("k1"),
+            F.coalesce("k2", F.lit(0)).alias("k2"),
+        )
+    )
+    p1 = F.col("k1").cast("double") / F.col("c1")
+    p2 = (F.col("k2") + 1.0) / (F.col("c2") + 1.0)
+    bp = F.least(F.lit(1.0), F.exp(1.0 - F.col("r_len").cast("double") / F.col("c1")))
+    return m.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2_smooth"),
+        F.round(bp, 6).alias("bp"),
+        F.when(F.col("k1") == 0, F.lit(0.0))
+        .otherwise(F.round(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))), 6))
+        .alias("bleu2"),
+    )

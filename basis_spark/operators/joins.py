@@ -2318,3 +2318,85 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ccluster", "bcluster").alias("cluster"),
         )
     )
+
+
+_HC_HOPS = 3  # bounded-depth harmonic centrality: the same "within H
+              # hops" contract as graph_bfs_distance, which keeps both
+              # the cluster plan (H barrier rounds) and the unrolled
+              # SQL oracle exact instead of convergence-dependent.
+
+
+def _harmonic_oracle() -> str:
+    """All-sources bounded BFS keyed (src, node), unrolled _HC_HOPS
+    rounds over the shared proximity-graph CTE, then the harmonic sum
+    1/d over settled distances d >= 1 per source."""
+    parts = [
+        _PROX_E_CTE,
+        """nbr AS MATERIALIZED (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    h0 AS MATERIALIZED (
+        SELECT k AS src, k AS node, 0 AS d FROM pts)""",
+    ]
+    prev = "h0"
+    for i in range(1, _HC_HOPS + 1):
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+        SELECT src, node, min(d) AS d FROM (
+            SELECT src, node, d FROM {prev}
+            UNION ALL
+            SELECT p.src, nb.v AS node, p.d + 1 AS d
+            FROM {prev} p JOIN nbr nb ON nb.u = p.node
+        ) t GROUP BY src, node)"""
+        )
+        prev = f"h{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT src AS node,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           round(sum(1.0 / d), 6) AS harmonic
+    FROM {prev} WHERE d >= 1 GROUP BY src"""
+    )
+
+
+@register("graph_harmonic_centrality", oracle=_harmonic_oracle())
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth harmonic centrality: for every node, the sum of
+    1/d over all nodes within _HC_HOPS hops — the centrality measure
+    that (unlike closeness) stays well-defined on disconnected graphs,
+    used to rank influence/coverage without a full APSP. Nodes with no
+    neighbors within H hops simply emit no row (harmonic mass 0).
+
+    Same distributed shape as graph_bfs_distance but keyed (src,
+    node): H rounds of hash-join + min-agg with localCheckpoint
+    lineage cuts. State grows with the H-hop neighborhood size —
+    bounded by construction on a sparse proximity graph (that is WHY
+    the bounded-H contract is declared; an unbounded variant is a
+    diameter-long barrier chain whose state is all-pairs in the
+    worst case). The final harmonic sum is one (src)-keyed agg."""
+    edges = proximity_edges(spark, sf_dir)
+    nbr = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("src"), F.col("c_custkey").alias("node"), F.lit(0).alias("d")
+    )
+    dist = pts
+    for _ in range(_HC_HOPS):
+        expanded = dist.join(nbr, dist["node"] == nbr["u"]).select(
+            "src", F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("src", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("d") >= 1)
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.round(F.sum(1.0 / F.col("d")), 6).alias("harmonic"),
+        )
+    )

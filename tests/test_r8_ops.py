@@ -935,3 +935,83 @@ def test_permutation_shift_pvalue_identity(spark):
     b = [e["value"] for e in ev if e["event_type"] == "purchase"]
     assert abs(r["d_obs"] - round(sum(a) / len(a) - sum(b) / len(b), 6)) <= 1e-5
     assert r["p_value"] > 0.01  # same-distribution arms: no rejection
+
+
+def test_harmonic_centrality_matches_python_bfs(spark):
+    """Recompute bounded-depth harmonic centrality with a pure-Python
+    BFS over the same proximity edge list for every node the operator
+    scored — sums and reach counts must agree exactly at 6dp."""
+    from collections import deque
+
+    from basis_spark.operators.joins import _HC_HOPS, proximity_edges
+
+    got = {r["node"]: r for r in QUERIES["graph_harmonic_centrality"](spark, SF_ORACLE).collect()}
+    adj: dict[int, set[int]] = {}
+    for e in proximity_edges(spark, SF_ORACLE).collect():
+        adj.setdefault(e["u"], set()).add(e["v"])
+        adj.setdefault(e["v"], set()).add(e["u"])
+    assert got and set(got) <= set(adj)
+    for src, r in got.items():
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            n = dq.popleft()
+            if dist[n] == _HC_HOPS:
+                continue
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    dq.append(m)
+        reached = {n: d for n, d in dist.items() if d >= 1}
+        assert r["n_reached"] == len(reached), src
+        assert abs(r["harmonic"] - round(sum(1.0 / d for d in reached.values()), 6)) <= 1e-6
+
+
+def test_ljung_box_q_is_cumulative_and_matches_acf(spark):
+    """Q_h must equal n(n+2)*sum_{k<=h} rho_k^2/(n-k) recomputed from
+    the emitted rho values, be nondecreasing in h, and the reject flag
+    must be Q > crit."""
+    rows = sorted(QUERIES["ts_ljung_box"](spark, SF_ORACLE).collect(), key=lambda r: r["lag"])
+    assert len(rows) == 7
+    daily = (
+        load(spark, SF_ORACLE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .collect()
+    )
+    n = len(daily)
+    acc = 0.0
+    for r in rows:
+        acc += r["acf_lb"] ** 2 / (n - r["lag"])
+        assert abs(r["q_stat"] - round(n * (n + 2.0) * acc, 6)) <= 1e-4, r
+        assert r["reject"] == (r["q_stat"] > r["crit_95"])
+    assert all(rows[i]["q_stat"] <= rows[i + 1]["q_stat"] + 1e-9 for i in range(6))
+
+
+def test_bleu_pairs_matches_pure_python(spark):
+    """Recompute BLEU-2 (clipped unigram precision, add-one-smoothed
+    bigram precision, brevity penalty) in pure Python for every scored
+    candidate against its group reference."""
+    import math
+    from collections import Counter
+
+    docs = {r["doc_id"]: r for r in load(spark, SF_ORACLE, "documents").collect()}
+    refs: dict[tuple, int] = {}
+    for r in docs.values():
+        key = (r["lang"], r["source"])
+        refs[key] = min(refs.get(key, r["doc_id"]), r["doc_id"])
+    rows = QUERIES["eval_bleu_pairs"](spark, SF_ORACLE).collect()
+    assert len(rows) == sum(1 for r in docs.values() if refs[(r["lang"], r["source"])] != r["doc_id"])
+    for r in rows:
+        cand = docs[r["doc_id"]]["text"].split(" ")
+        ref = docs[refs[(r["lang"], r["source"])]]["text"].split(" ")
+        cu, ru = Counter(cand), Counter(ref)
+        cb = Counter(zip(cand, cand[1:]))
+        rb = Counter(zip(ref, ref[1:]))
+        k1 = sum(min(c, ru[g]) for g, c in cu.items())
+        k2 = sum(min(c, rb[g]) for g, c in cb.items())
+        p1, p2 = k1 / len(cand), (k2 + 1.0) / (len(cand) - 1 + 1.0)
+        bp = min(1.0, math.exp(1.0 - len(ref) / len(cand)))
+        bleu = 0.0 if k1 == 0 else bp * math.sqrt(p1 * p2)
+        assert abs(r["bleu2"] - round(bleu, 6)) <= 1e-6, r
+        assert 0.0 <= r["bleu2"] <= 1.0
