@@ -4801,3 +4801,85 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_ttr.alias("pass_ttr"),
         (pass_len & pass_mwl & pass_stop & pass_ttr).alias("keep"),
     )
+
+
+@register(
+    "embeddings_centroid_drift",
+    oracle="""
+    WITH x AS (
+      SELECT label, vec_id % 2 AS half, u.pos AS pos,
+             CAST(embedding[u.pos] AS DOUBLE) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(pos)),
+    c AS (SELECT label, half, pos, avg(val) AS m
+          FROM x GROUP BY 1, 2, 3),
+    n AS (SELECT label, vec_id % 2 AS half, count(*) AS n
+          FROM embeddings GROUP BY 1, 2),
+    j AS (
+      SELECT a.label, a.pos, a.m AS ma, b.m AS mb
+      FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1),
+    s AS (
+      SELECT label, sum(ma * mb) AS dot,
+             sqrt(sum(ma * ma)) AS na, sqrt(sum(mb * mb)) AS nb,
+             sqrt(sum((ma - mb) * (ma - mb))) AS l2
+      FROM j GROUP BY 1)
+    SELECT s.label,
+           CAST(n0.n AS BIGINT) AS n_a, CAST(n1.n AS BIGINT) AS n_b,
+           round(s.dot / (s.na * s.nb), 6) AS centroid_cos,
+           round(s.l2, 6) AS centroid_l2
+    FROM s JOIN n n0 ON n0.label = s.label AND n0.half = 0
+           JOIN n n1 ON n1.label = s.label AND n1.half = 1
+    """,
+)
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-version drift monitor: split the corpus into two
+    batches (vec_id parity standing in for old-model vs new-model
+    vectors), compute each label's per-batch centroid, and report the
+    cosine and L2 gap between the two centroids — the cheap check a
+    serving pipeline runs before swapping in a re-embedded corpus
+    (a label whose centroid moved is a label whose ANN index and
+    thresholds are stale).
+
+    Scale: ONE posexplode feeds a (label, half, dim)-keyed avg — the
+    map-side-combinable shape, shuffling labels x 2 x d rows
+    regardless of corpus size; centroid joins and the final cos/L2
+    fold run on that metadata-sized table. No vector ever crosses the
+    wire un-aggregated."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("label", "half", "pos", F.col("v").cast("double").alias("val"))
+    c = x.groupBy("label", "half", "pos").agg(F.avg("val").alias("m"))
+    n = emb.groupBy("label", (F.col("vec_id") % 2).alias("half")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = c.filter(F.col("half") == 0).select("label", "pos", F.col("m").alias("ma"))
+    b = c.filter(F.col("half") == 1).select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pos_b"), F.col("m").alias("mb")
+    )
+    j = a.join(b, (a["label"] == b["label_b"]) & (a["pos"] == b["pos_b"]))
+    s = j.groupBy("label").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+        F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+        F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))).alias("l2"),
+    )
+    n0 = n.filter(F.col("half") == 0).select(
+        F.col("label").alias("l0"), F.col("n").alias("n_a")
+    )
+    n1 = n.filter(F.col("half") == 1).select(
+        F.col("label").alias("l1"), F.col("n").alias("n_b")
+    )
+    return (
+        s.join(F.broadcast(n0), s["label"] == n0["l0"])
+        .join(F.broadcast(n1), s["label"] == n1["l1"])
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cos"),
+            F.round("l2", 6).alias("centroid_l2"),
+        )
+    )

@@ -1639,3 +1639,82 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ge.cast("long").alias("n_ge"),
         F.round((1.0 + ge) / (1.0 + _PERM_K), 6).alias("p_value"),
     )
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "stat_cuped_adjustment",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             avg(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}' THEN value END) AS x,
+             avg(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN value END) AS y
+      FROM events GROUP BY 1),
+    b AS (SELECT user_id, user_id % 2 AS arm, x, y FROM u
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+    g AS (SELECT avg(x) AS mx,
+                 (avg(x*y) - avg(x)*avg(y)) / (avg(x*x) - avg(x)*avg(x)) AS theta
+          FROM b),
+    a AS (SELECT b.arm, b.y, b.y - g.theta * (b.x - g.mx) AS yadj
+          FROM b CROSS JOIN g)
+    SELECT CAST(arm AS INT) AS arm, CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 6) AS mean_y,
+           round(avg(yadj), 6) AS mean_y_adj,
+           round(avg(y*y) - avg(y)*avg(y), 6) AS var_y,
+           round(avg(yadj*yadj) - avg(yadj)*avg(yadj), 6) AS var_y_adj,
+           round(1.0 - (avg(yadj*yadj) - avg(yadj)*avg(yadj))
+                       / (avg(y*y) - avg(y)*avg(y)), 6) AS var_reduction
+    FROM a GROUP BY 1
+    """,
+)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (the public Deng et al. controlled-
+    experiment technique every experimentation platform ships): adjust
+    each unit's post-period metric Y by theta*(X - mean(X)) where X is
+    the unit's PRE-period metric and theta = cov(X,Y)/var(X) pooled
+    across arms — removing pre-existing between-user variance so the
+    same experiment needs fewer users for the same power. Emits per-arm
+    raw vs adjusted means/variances and the realized variance
+    reduction.
+
+    Scale: one user-grain conditional rollup over the event stream
+    (map-side combinable), a 1-row pooled theta/mean combine over the
+    per-user table (declared single-partition; per-user rows are
+    |users|, already reduced), broadcast back for the map-side
+    adjustment, then a 2-row per-arm agg. Population moments via
+    sufficient sums; outputs rounded at 6dp."""
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts") < split, F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("ts") >= split, F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    g = u.agg(
+        F.avg("x").alias("mx"),
+        (
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+        ).alias("theta"),
+    )
+    a = u.crossJoin(F.broadcast(g)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("yadj"),
+    )
+    var_y = F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+    var_adj = F.avg(F.col("yadj") * F.col("yadj")) - F.avg("yadj") * F.avg("yadj")
+    return a.groupBy(F.col("arm").cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("y"), 6).alias("mean_y"),
+        F.round(F.avg("yadj"), 6).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+        F.round(1.0 - var_adj / var_y, 6).alias("var_reduction"),
+    )

@@ -983,3 +983,62 @@ def table_log_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("spend"),
         )
     )
+
+
+@register(
+    "table_log_clone_shallow",
+    oracle="""
+    WITH f AS (SELECT o_orderkey AS k, o_totalprice AS p
+               FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN k % 2 = 1 THEN p * 2 ELSE p END), 2) AS total_price
+    FROM f
+    UNION ALL
+    SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN k % 2 = 1 THEN p * 2 ELSE p END), 2) AS total_price
+    FROM f WHERE NOT (k % 2 = 0 AND k % 4 = 0)
+    """,
+)
+def table_log_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow (zero-copy) clone — Delta's CLONE SHALLOW / Iceberg's
+    snapshot-ref pattern: the clone's v0 commit ADDs the source's live
+    data objects BY REFERENCE (relative paths into the source table),
+    copying no bytes; the clone then diverges independently (its v1
+    drops the even-key object and adds a k%4!=0 rewrite) while the
+    source keeps serving its own latest version untouched. The whole
+    clone operation is O(#live objects) driver-side metadata — which
+    is the point at 100 TB: branching a petabyte table costs a log
+    write, not a copy.
+
+    Output reads BOTH tables' latest versions and emits per-side
+    row/price totals; tests/test_r8_ops.py additionally pins the
+    zero-copy property (the clone's live set still references a
+    source-owned object, and the clone dir holds no copy of it) and
+    source-isolation (cloning + diverging didn't change the source's
+    live set)."""
+    src = _build_table(spark, sf_dir)
+    clone = _sf_scratch(spark, "txn_clone", sf_dir)
+    if not os.path.exists(os.path.join(clone, "log", "00000001.json")):
+        live = _live_objects(src)  # [files/p0 (even), files/p2 (odd x2)]
+        rel = [os.path.relpath(p, clone) for p in live]
+        _commit(clone, 0, [{"op": "add", "path": r} for r in rel])
+        kept = spark.read.parquet(live[0]).filter(F.col("o_orderkey") % 4 != 0)
+        kept.select(*_COLS).write.mode("overwrite").parquet(
+            os.path.join(clone, "files", "c0")
+        )
+        _commit(
+            clone,
+            1,
+            [{"op": "remove", "path": rel[0]}, {"op": "add", "path": "files/c0"}],
+        )
+    source_df = spark.read.parquet(*_live_objects(src)).select(*_COLS)
+    clone_df = spark.read.parquet(*_live_objects(clone)).select(*_COLS)
+
+    def rollup(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select("side", "n_rows", "total_price")
+
+    return rollup(source_df, "source").unionAll(rollup(clone_df, "clone"))

@@ -292,6 +292,8 @@ _SINGLE_PARTITION_OK = {
     "stat_benjamini_hochberg",  # 1-row grand-total combine + windows over the 5-row p table
     "stat_permutation_shift",   # 1-row observed-stats combine + final combine over K-row perm table
     "ts_ljung_box",          # 1-row mean/denominator combines + windows over the 7-row rho table
+    "table_log_clone_shallow",  # two 1-row per-side summary combines (count/sum)
+    "stat_cuped_adjustment",    # 1-row pooled theta/mean combine over the per-user table
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

@@ -1015,3 +1015,91 @@ def test_bleu_pairs_matches_pure_python(spark):
         bleu = 0.0 if k1 == 0 else bp * math.sqrt(p1 * p2)
         assert abs(r["bleu2"] - round(bleu, 6)) <= 1e-6, r
         assert 0.0 <= r["bleu2"] <= 1.0
+
+
+def test_clone_shallow_is_zero_copy_and_isolated(spark):
+    """The clone's live set must still reference a SOURCE-owned object
+    (zero-copy: no bytes under the clone dir for it), and building +
+    diverging the clone must leave the source's live set exactly as it
+    was (isolation)."""
+    import os
+
+    from basis_spark.operators.table_log import _build_table, _live_objects
+    from basis_spark.operators.scans import _sf_scratch
+
+    QUERIES["table_log_clone_shallow"](spark, SF_ORACLE).collect()
+    src = _build_table(spark, SF_ORACLE)
+    clone = _sf_scratch(spark, "txn_clone", SF_ORACLE)
+    src_live = {os.path.realpath(p) for p in _live_objects(src)}
+    clone_live = {os.path.realpath(p) for p in _live_objects(clone)}
+    shared = src_live & clone_live
+    assert shared, "clone no longer references any source object"
+    for p in shared:  # zero-copy: the shared object lives under src, not clone
+        assert p.startswith(os.path.realpath(src)), p
+        assert not p.startswith(os.path.realpath(clone)), p
+    # isolation: source still serves exactly its own v1 objects
+    assert src_live == {
+        os.path.realpath(os.path.join(src, "files", "p0")),
+        os.path.realpath(os.path.join(src, "files", "p2")),
+    }
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    """theta/adjusted variance recomputed with numpy from the same
+    per-user pre/post rollup must match at 6dp. On this fixture the
+    pre-period covariate is UNINFORMATIVE (event values are drawn
+    independently of the user), so the honest expectation is a
+    realized reduction near zero — CUPED's documented no-harm regime —
+    not a win; the test pins |reduction| small and the pooled-mean
+    preservation identity (adjustment averages to zero pooled)."""
+    import numpy as np
+
+    from basis_spark.operators.stats import _CUPED_SPLIT
+
+    rows = {r["arm"]: r for r in QUERIES["stat_cuped_adjustment"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {0, 1}
+    ev = load(spark, SF_ORACLE, "events").collect()
+    pre: dict[int, list] = {}
+    post: dict[int, list] = {}
+    for e in ev:
+        (pre if e["ts"].isoformat() < _CUPED_SPLIT else post).setdefault(
+            e["user_id"], []
+        ).append(e["value"])
+    users = sorted(set(pre) & set(post))
+    x = np.array([np.mean(pre[u]) for u in users])
+    y = np.array([np.mean(post[u]) for u in users])
+    theta = ((x * y).mean() - x.mean() * y.mean()) / ((x * x).mean() - x.mean() ** 2)
+    yadj = y - theta * (x - x.mean())
+    arm = np.array([u % 2 for u in users])
+    for a in (0, 1):
+        ya, yj = y[arm == a], yadj[arm == a]
+        assert rows[a]["n_users"] == len(ya)
+        assert abs(rows[a]["var_y"] - round(float(ya.var()), 6)) <= 1e-5
+        assert abs(rows[a]["var_y_adj"] - round(float(yj.var()), 6)) <= 1e-5
+        assert abs(rows[a]["var_reduction"]) < 0.05  # uninformative X: ~no-op
+    pooled_y = sum(rows[a]["n_users"] * rows[a]["mean_y"] for a in (0, 1))
+    pooled_adj = sum(rows[a]["n_users"] * rows[a]["mean_y_adj"] for a in (0, 1))
+    assert abs(pooled_y - pooled_adj) <= 1e-3  # adjustment sums to zero pooled
+
+
+def test_centroid_drift_matches_numpy(spark):
+    """Per-label centroid cosine/L2 recomputed with numpy over the
+    parity split must agree at 6dp; counts must partition the label."""
+    import numpy as np
+
+    rows = {r["label"]: r for r in QUERIES["embeddings_centroid_drift"](spark, SF_ORACLE).collect()}
+    emb = load(spark, SF_ORACLE, "embeddings").collect()
+    by: dict[tuple, list] = {}
+    for e in emb:
+        by.setdefault((e["label"], e["vec_id"] % 2), []).append(
+            np.array(e["embedding"], dtype=np.float64)
+        )
+    for lbl, r in rows.items():
+        a = np.mean(by[(lbl, 0)], axis=0)
+        b = np.mean(by[(lbl, 1)], axis=0)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        l2 = float(np.linalg.norm(a - b))
+        assert abs(r["centroid_cos"] - round(cos, 6)) <= 1e-5, lbl
+        assert abs(r["centroid_l2"] - round(l2, 6)) <= 1e-5, lbl
+        assert r["n_a"] == len(by[(lbl, 0)]) and r["n_b"] == len(by[(lbl, 1)])
+        assert -1.0 <= r["centroid_cos"] <= 1.0
