@@ -6290,3 +6290,184 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_stat") > F.col("crit_95")).alias("reject"),
         )
     )
+
+
+_GRANGER_F_CRIT = 3.841459  # F(1, inf) == chi2(1) 95% line — the large-n
+                            # approximation, honest for the ~2400-day series
+
+
+@register(
+    "ts_granger_lite",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM orders GROUP BY 1),
+    st AS (SELECT round(avg(rev), 4) AS mr,
+                  round(sqrt(avg(rev*rev) - avg(rev)*avg(rev)), 4) AS sr,
+                  round(avg(cnt), 4) AS mc,
+                  round(sqrt(avg(cnt*cnt) - avg(cnt)*avg(cnt)), 4) AS sc
+           FROM daily),
+    z AS (SELECT day, round((rev - mr) / sr, 6) AS zr,
+                 round((cnt - mc) / sc, 6) AS zc
+          FROM daily CROSS JOIN st),
+    rn AS (SELECT zr, zc, row_number() OVER (ORDER BY day) AS i FROM z),
+    p AS (SELECT a.zr AS y, b.zr AS y1, b.zc AS x1
+          FROM rn a JOIN rn b ON b.i = a.i - 1),
+    mu AS (SELECT avg(y) AS my, avg(y1) AS my1, avg(x1) AS mx1,
+                  count(*) AS n FROM p),
+    s AS (SELECT round(sum((y1-my1)*(y1-my1)), 6) AS s11,
+                 round(sum((x1-mx1)*(x1-mx1)), 6) AS s22,
+                 round(sum((y1-my1)*(x1-mx1)), 6) AS s12,
+                 round(sum((y1-my1)*(y-my)), 6) AS s1y,
+                 round(sum((x1-mx1)*(y-my)), 6) AS s2y,
+                 round(sum((y-my)*(y-my)), 6) AS syy,
+                 max(n) AS n
+          FROM p CROSS JOIN mu)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(syy - s1y*s1y/s11, 6) AS rss_restricted,
+           round(syy - ((s1y*s22 - s2y*s12)*s1y + (s2y*s11 - s1y*s12)*s2y)
+                       / (s11*s22 - s12*s12), 6) AS rss_unrestricted,
+           round(((syy - s1y*s1y/s11)
+                  - (syy - ((s1y*s22 - s2y*s12)*s1y + (s2y*s11 - s1y*s12)*s2y)
+                           / (s11*s22 - s12*s12)))
+                 / ((syy - ((s1y*s22 - s2y*s12)*s1y + (s2y*s11 - s1y*s12)*s2y)
+                           / (s11*s22 - s12*s12)) / (n - 3)), 6) AS f_stat,
+           (round(((syy - s1y*s1y/s11)
+                  - (syy - ((s1y*s22 - s2y*s12)*s1y + (s2y*s11 - s1y*s12)*s2y)
+                           / (s11*s22 - s12*s12)))
+                 / ((syy - ((s1y*s22 - s2y*s12)*s1y + (s2y*s11 - s1y*s12)*s2y)
+                           / (s11*s22 - s12*s12)) / (n - 3)), 6)
+            > {_GRANGER_F_CRIT}) AS reject
+    FROM s
+    """,
+)
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen at lag 1: does yesterday's order COUNT
+    improve today's REVENUE forecast beyond yesterday's revenue? F-test
+    of the unrestricted AR-X regression y_t ~ y_(t-1) + x_(t-1) against
+    the restricted y_t ~ y_(t-1), both fit by closed-form centered
+    normal equations over the standardized daily series — the lead-lag
+    triage step before investing in a real multivariate forecaster.
+
+    Numerics are staged for engine agreement: the daily rollup rounds
+    at 4dp, standardization constants round at 4dp, z-scores at 6dp
+    (so every downstream product is a product of IDENTICAL doubles),
+    and each sufficient statistic rounds at 6dp before the closed-form
+    fold — unit-scale sums over ~2400 rows carry ~1e-12 error, far
+    inside the rounding. Scale: one orders rollup, 1-row combines over
+    the day spine (declared single-partition), an ordinal-shift join,
+    one sufficient-stats agg; the F arithmetic is a 1-row expression."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    st = daily.agg(
+        F.round(F.avg("rev"), 4).alias("mr"),
+        F.round(F.sqrt(F.avg(F.col("rev") * F.col("rev")) - F.avg("rev") * F.avg("rev")), 4).alias("sr"),
+        F.round(F.avg("cnt"), 4).alias("mc"),
+        F.round(F.sqrt(F.avg(F.col("cnt") * F.col("cnt")) - F.avg("cnt") * F.avg("cnt")), 4).alias("sc"),
+    )
+    z = daily.crossJoin(F.broadcast(st)).select(
+        "day",
+        F.round((F.col("rev") - F.col("mr")) / F.col("sr"), 6).alias("zr"),
+        F.round((F.col("cnt") - F.col("mc")) / F.col("sc"), 6).alias("zc"),
+    )
+    rn = z.select("zr", "zc", F.row_number().over(Window.orderBy("day")).alias("i"))
+    a = rn.select(F.col("zr").alias("y"), (F.col("i") - 1).alias("j"))
+    b = rn.select(F.col("zr").alias("y1"), F.col("zc").alias("x1"), F.col("i").alias("j"))
+    p = a.join(b, "j").select("y", "y1", "x1")
+    mu = p.agg(
+        F.avg("y").alias("my"),
+        F.avg("y1").alias("my1"),
+        F.avg("x1").alias("mx1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s = (
+        p.crossJoin(F.broadcast(mu))
+        .agg(
+            F.round(F.sum((F.col("y1") - F.col("my1")) * (F.col("y1") - F.col("my1"))), 6).alias("s11"),
+            F.round(F.sum((F.col("x1") - F.col("mx1")) * (F.col("x1") - F.col("mx1"))), 6).alias("s22"),
+            F.round(F.sum((F.col("y1") - F.col("my1")) * (F.col("x1") - F.col("mx1"))), 6).alias("s12"),
+            F.round(F.sum((F.col("y1") - F.col("my1")) * (F.col("y") - F.col("my"))), 6).alias("s1y"),
+            F.round(F.sum((F.col("x1") - F.col("mx1")) * (F.col("y") - F.col("my"))), 6).alias("s2y"),
+            F.round(F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))), 6).alias("syy"),
+            F.max("n").alias("n"),
+        )
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    bu = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    cu = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    rss_r = F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11")
+    rss_u = F.col("syy") - (bu * F.col("s1y") + cu * F.col("s2y"))
+    f_stat = F.round((rss_r - rss_u) / (rss_u / (F.col("n") - 3)), 6)
+    return s.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(rss_r, 6).alias("rss_restricted"),
+        F.round(rss_u, 6).alias("rss_unrestricted"),
+        f_stat.alias("f_stat"),
+        (f_stat > _GRANGER_F_CRIT).alias("reject"),
+    )
+
+
+_NOISY_TOPK = 3
+
+
+@register(
+    "privacy_dp_noisy_topk",
+    oracle=f"""
+    WITH g AS (
+        SELECT p_type, CAST(count(*) AS DOUBLE) AS n FROM part GROUP BY 1),
+    u AS (
+        SELECT p_type, n,
+               CAST(('0x' || substring(md5('dp-topk-7' || p_type), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM g),
+    s AS (
+        SELECT p_type, n,
+               round(n + 2.0 * (-ln(-ln(u))), 4) AS noisy_score
+        FROM u),
+    r AS (
+        SELECT p_type, n, noisy_score,
+               row_number() OVER (ORDER BY noisy_score DESC, p_type) AS rnk
+        FROM s)
+    SELECT CAST(rnk AS INT) AS rnk, p_type, noisy_score
+    FROM r WHERE rnk <= {_NOISY_TOPK}
+    """,
+)
+def privacy_dp_noisy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private top-k selection via the Gumbel trick
+    (one-shot report-noisy-max, the exponential mechanism's sampling
+    form): each category's count gets Gumbel noise -ln(-ln(u)) at
+    scale 2/eps and the k highest NOISY scores are released — the DP
+    way to answer "what are the most common categories" without the
+    counts themselves leaking membership. Like
+    privacy_dp_laplace_counts, the noise is SEEDED and REPLAYABLE
+    (u from md5(seed || key)): a rerun must release the same top-k,
+    and determinism is what makes the key strict-oracle-checkable.
+
+    Scale: one hash agg over |categories| groups, map-side noise, a
+    top-k over the category-sized table (WindowGroupLimit) — the data
+    never leaves the first aggregation. True counts ride along for
+    the pytest utility check; a production release would drop them."""
+    g = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp-topk-7"), F.col("p_type"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    s = g.select(
+        "p_type", "n", F.round(F.col("n") + 2.0 * (-F.log(-F.log(u))), 4).alias("noisy_score")
+    )
+    w = Window.orderBy(F.desc("noisy_score"), F.asc("p_type"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NOISY_TOPK)
+        .select(F.col("rnk").cast("int").alias("rnk"), "p_type", "noisy_score")
+    )

@@ -1042,3 +1042,57 @@ def table_log_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("side", "n_rows", "total_price")
 
     return rollup(source_df, "source").unionAll(rollup(clone_df, "clone"))
+
+
+@register(
+    "table_log_orphan_files",
+    oracle="""
+    SELECT 'files/p0' AS rel_path, 'live' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'files/p1' AS rel_path, 'orphan' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'files/p2' AS rel_path, 'live' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1
+    """,
+)
+def table_log_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage fsck for the commit-log table: diff the objects that
+    EXIST under the table's files/ prefix against the objects the log
+    says are LIVE, and report each with its row count — the audit that
+    finds space leaked by failed writers, interrupted OPTIMIZE jobs,
+    and pre-vacuum update debris (here: files/p1, stranded when v1
+    replaced it). Vacuum deletes; THIS op is the read-only preview a
+    storage team runs first, because an orphan might also be a commit
+    that never got written.
+
+    The listing/diff is O(#objects) driver-side metadata, exactly like
+    log replay; row counts come from one parquet count per object
+    (parallel scans, no shuffle). Uses its own table build (subdir
+    txn_orphan) so other table_log keys' extra objects can't leak into
+    the listing."""
+    table_dir = _build_table(spark, sf_dir, subdir="txn_orphan")
+    files_root = os.path.join(table_dir, "files")
+    on_disk = sorted(os.listdir(files_root))
+    live = {
+        os.path.relpath(p, table_dir) for p in _live_objects(table_dir)
+    }
+    out = None
+    for name in on_disk:
+        rel = os.path.join("files", name)
+        status = "live" if rel in live else "orphan"
+        part = (
+            spark.read.parquet(os.path.join(table_dir, rel))
+            .agg(
+                F.lit(rel).alias("rel_path"),
+                F.lit(status).alias("status"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            .select("rel_path", "status", "n_rows")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

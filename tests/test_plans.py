@@ -294,6 +294,8 @@ _SINGLE_PARTITION_OK = {
     "ts_ljung_box",          # 1-row mean/denominator combines + windows over the 7-row rho table
     "table_log_clone_shallow",  # two 1-row per-side summary combines (count/sum)
     "stat_cuped_adjustment",    # 1-row pooled theta/mean combine over the per-user table
+    "ts_granger_lite",       # 1-row standardization/moments/F combines over the day spine
+    "table_log_orphan_files",   # three 1-row per-object count combines unioned
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

@@ -1103,3 +1103,63 @@ def test_centroid_drift_matches_numpy(spark):
         assert abs(r["centroid_l2"] - round(l2, 6)) <= 1e-5, lbl
         assert r["n_a"] == len(by[(lbl, 0)]) and r["n_b"] == len(by[(lbl, 1)])
         assert -1.0 <= r["centroid_cos"] <= 1.0
+
+
+def test_granger_lite_matches_numpy_ols(spark):
+    """Refit both regressions with numpy lstsq over the SAME
+    standardized series and check RSS and the F statistic at 4dp
+    (lstsq uses a different solve path, so exact 6dp equality is not
+    the contract - the closed-form normal equations are)."""
+    import numpy as np
+
+    [r] = QUERIES["ts_granger_lite"](spark, SF_ORACLE).collect()
+    daily = sorted(
+        load(spark, SF_ORACLE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"), F.count(F.lit(1)).alias("cnt"))
+        .collect(),
+        key=lambda x: x["day"],
+    )
+    rev = np.array([d["rev"] for d in daily])
+    cnt = np.array([d["cnt"] for d in daily], dtype=float)
+    zr = np.round((rev - round(rev.mean(), 4)) / round(rev.std(), 4), 6)
+    zc = np.round((cnt - round(cnt.mean(), 4)) / round(cnt.std(), 4), 6)
+    y, y1, x1 = zr[1:], zr[:-1], zc[:-1]
+    n = len(y)
+    assert r["n_obs"] == n
+    one = np.ones(n)
+    rss_r = np.linalg.lstsq(np.c_[one, y1], y, rcond=None)[1][0]
+    rss_u = np.linalg.lstsq(np.c_[one, y1, x1], y, rcond=None)[1][0]
+    assert abs(r["rss_restricted"] - rss_r) <= 1e-3
+    assert abs(r["rss_unrestricted"] - rss_u) <= 1e-3
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    assert abs(r["f_stat"] - f) <= 1e-3
+    assert r["reject"] == (r["f_stat"] > 3.841459)
+
+
+def test_noisy_topk_is_replayable_and_plausible(spark):
+    """Two runs must release the SAME top-k (seeded noise - the DP
+    release contract), ranks must be dense 1..k, and every released
+    category must be within noise range of the true top counts."""
+    a = QUERIES["privacy_dp_noisy_topk"](spark, SF_ORACLE).collect()
+    b = QUERIES["privacy_dp_noisy_topk"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r["rnk"] for r in a) == [1, 2, 3]
+    true = {
+        r["p_type"]: r["n"]
+        for r in load(spark, SF_ORACLE, "part").groupBy("p_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in a:
+        # Gumbel(scale 2) noise is essentially within [-6, 14]
+        assert abs(r["noisy_score"] - true[r["p_type"]]) < 20.0, r
+
+
+def test_orphan_files_preview_matches_vacuum_semantics(spark):
+    """Exactly one orphan (files/p1, stranded by the v1 rewrite), live
+    set matches the log replay, and counts partition the fixture:
+    p0 + p1 rows == the original v0 table."""
+    rows = {r["rel_path"]: r for r in QUERIES["table_log_orphan_files"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {"files/p0", "files/p1", "files/p2"}
+    assert rows["files/p1"]["status"] == "orphan"
+    assert rows["files/p0"]["status"] == rows["files/p2"]["status"] == "live"
+    assert rows["files/p1"]["n_rows"] == rows["files/p2"]["n_rows"]  # same odd keys
