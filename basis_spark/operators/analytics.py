@@ -6471,3 +6471,93 @@ def privacy_dp_noisy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NOISY_TOPK)
         .select(F.col("rnk").cast("int").alias("rnk"), "p_type", "noisy_score")
     )
+
+
+_BOT_MAX_DAILY = 7
+_BOT_NIGHT_SHARE = 0.29
+_BOT_ERROR_SHARE = 0.25
+
+
+@register(
+    "event_bot_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2),
+    mx AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_daily FROM d GROUP BY 1),
+    u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(CASE WHEN extract(hour FROM ts) < 6 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS night_share,
+               round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS error_share
+        FROM events GROUP BY 1)
+    SELECT u.user_id, u.n_events, mx.max_daily, u.night_share, u.error_share,
+           (mx.max_daily >= {_BOT_MAX_DAILY}) AS hit_burst,
+           (u.night_share >= {_BOT_NIGHT_SHARE}) AS hit_night,
+           (u.error_share >= {_BOT_ERROR_SHARE}) AS hit_error,
+           CAST((CASE WHEN mx.max_daily >= {_BOT_MAX_DAILY} THEN 1 ELSE 0 END)
+              + (CASE WHEN u.night_share >= {_BOT_NIGHT_SHARE} THEN 1 ELSE 0 END)
+              + (CASE WHEN u.error_share >= {_BOT_ERROR_SHARE} THEN 1 ELSE 0 END)
+              AS INT) AS bot_score,
+           ((CASE WHEN mx.max_daily >= {_BOT_MAX_DAILY} THEN 1 ELSE 0 END)
+          + (CASE WHEN u.night_share >= {_BOT_NIGHT_SHARE} THEN 1 ELSE 0 END)
+          + (CASE WHEN u.error_share >= {_BOT_ERROR_SHARE} THEN 1 ELSE 0 END)
+            >= 2) AS flagged
+    FROM u JOIN mx ON mx.user_id = u.user_id
+    """,
+)
+def event_bot_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot/abuse triage over the event stream — the cheap
+    first-pass filter every ingestion pipeline runs before expensive
+    models: per user, a daily-burst rule (max events in any single
+    day), an odd-hours rule (share of 00:00-06:00 activity) and an
+    error-rate rule, each a calibrated threshold flag; users firing
+    >= 2 of 3 rules are flagged for review. Thresholds sit at the
+    fixture's ~p85 so every rule fires both ways (pinned in pytest,
+    same policy as text_gopher_quality_rules).
+
+    Scale: two user-keyed aggregations (the daily-max needs its own
+    (user, day) rollup first — both map-side combinable) joined on
+    user_id; flags are map-side arithmetic. Shares are 6dp-rounded
+    BEFORE the >= compare so flags can't flip on float noise."""
+    ev = load(spark, sf_dir, "events")
+    mx = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("max_daily"))
+        .withColumnRenamed("user_id", "uid_mx")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.when(F.hour("ts") < 6, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("night_share"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("error_share"),
+    )
+    j = u.join(mx, F.col("user_id") == F.col("uid_mx"))
+    hit_burst = F.col("max_daily") >= _BOT_MAX_DAILY
+    hit_night = F.col("night_share") >= _BOT_NIGHT_SHARE
+    hit_error = F.col("error_share") >= _BOT_ERROR_SHARE
+    score = (
+        hit_burst.cast("int") + hit_night.cast("int") + hit_error.cast("int")
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "max_daily",
+        "night_share",
+        "error_share",
+        hit_burst.alias("hit_burst"),
+        hit_night.alias("hit_night"),
+        hit_error.alias("hit_error"),
+        score.cast("int").alias("bot_score"),
+        (score >= 2).alias("flagged"),
+    )

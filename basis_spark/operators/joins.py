@@ -2400,3 +2400,72 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / F.col("d")), 6).alias("harmonic"),
         )
     )
+
+
+def _adamic_adar_oracle() -> str:
+    """Link-prediction candidates = 2-hop pairs (u < w) that share a
+    common neighbor but are NOT already edges; score = sum over common
+    neighbors v of 1/ln(deg(v))."""
+    return (
+        _PROX_E_CTE
+        + """,
+    adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+                         UNION ALL SELECT v AS a, u AS b FROM e),
+    deg AS MATERIALIZED (SELECT a AS n, count(*) AS d FROM adj GROUP BY 1),
+    wedge AS (
+        SELECT a1.b AS u, a2.b AS w, a1.a AS v
+        FROM adj a1 JOIN adj a2 ON a1.a = a2.a AND a1.b < a2.b),
+    cand AS (
+        SELECT wg.u, wg.w,
+               CAST(count(*) AS BIGINT) AS common,
+               round(sum(1.0 / ln(deg.d)), 6) AS adamic_adar
+        FROM wedge wg JOIN deg ON deg.n = wg.v
+        WHERE deg.d >= 2
+        GROUP BY wg.u, wg.w)
+    SELECT c.u, c.w, c.common, c.adamic_adar
+    FROM cand c LEFT JOIN e ON e.u = c.u AND e.v = c.w
+    WHERE e.u IS NULL"""
+    )
+
+
+@register("graph_adamic_adar", oracle=_adamic_adar_oracle())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the proximity graph: score
+    every NON-edge 2-hop pair (u, w) by sum over their common
+    neighbors v of 1/ln(deg(v)) — rare shared neighbors count more
+    than hubs, the classic "people you may know" / entity-resolution
+    candidate ranker. Complements graph_jaccard_neighbors, which
+    scores EXISTING edges.
+
+    Scale: candidates come from wedge enumeration — one self-join of
+    the adjacency list on the MIDDLE node (sum-of-deg^2 work, the same
+    bound as triangle counting; grid blocking keeps the underlying
+    graph sparse), then a (u, w)-keyed agg and an anti-join against
+    the edge list to drop already-connected pairs. Hub middles
+    (1/ln(deg) small) contribute least, which is also why production
+    AA implementations cap or sample super-hub wedges; the fixture
+    graph has none. Degree-1 middles are excluded (ln 1 = 0 is a
+    division singularity, and a sole neighbor predicts nothing)."""
+    edges = proximity_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("a", "n")
+    a1 = adj.select(F.col("a").alias("v"), F.col("b").alias("u"))
+    a2 = adj.select(F.col("a").alias("v2"), F.col("b").alias("w"))
+    wedge = a1.join(a2, (F.col("v") == F.col("v2")) & (F.col("u") < F.col("w")))
+    # NB: deg is node-sized — no broadcast hint; size-based strategy
+    # (AQE) broadcasts it on the fixture and shuffles it at 100 TB.
+    cand = (
+        wedge.join(deg.filter(F.col("d") >= 2), F.col("v") == F.col("n"))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+    )
+    return cand.join(
+        edges.withColumnRenamed("u", "eu").withColumnRenamed("v", "ev"),
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
+    )

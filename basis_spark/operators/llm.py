@@ -4883,3 +4883,85 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l2", 6).alias("centroid_l2"),
         )
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bg,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i])) AS w1
+      FROM d),
+    bc AS (SELECT lang, bg, count(*) AS cb FROM bi GROUP BY 1, 2),
+    uc AS (SELECT lang, w1, count(*) AS cu FROM bi GROUP BY 1, 2),
+    v  AS (SELECT lang, count(DISTINCT w1) AS vocab FROM bi GROUP BY 1)
+    SELECT bi.doc_id, bi.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-avg(ln((bc.cb + 1.0) / (uc.cu + v.vocab)))), 6)
+               AS ppl_bigram
+    FROM bi JOIN bc ON bc.lang = bi.lang AND bc.bg = bi.bg
+            JOIN uc ON uc.lang = bi.lang AND uc.w1 = bi.w1
+            JOIN v  ON v.lang = bi.lang
+    GROUP BY 1, 2
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM perplexity under the corpus's own
+    per-language bigram LM with add-1 smoothing — one Markov order up
+    from text_perplexity_bucket's unigram model, which is blind to
+    word-order scrambling (a shuffled document keeps its unigram ppl
+    but its bigram ppl explodes; that gap is a standard
+    machine-generated-text and boilerplate signal).
+    p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V); ppl = exp(-mean log p) over
+    the document's bigrams.
+
+    Scale: ONE bigram explode feeds the (lang, bigram) and
+    (lang, w1) count aggregates (map-side combinable); both count
+    tables are vocabulary-sized, joined back onto the bigram stream,
+    then one doc_id shuffle for the per-doc mean. Same
+    aggregate-join-reduce shape as the unigram key — nothing
+    data-sized is broadcast or collected."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    bi = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS bg,"
+                "             element_at(toks, i) AS w1))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+    bc = bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cb"))
+    uc = (
+        bi.groupBy("lang", "w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .withColumnRenamed("lang", "lang_u")
+        .withColumnRenamed("w1", "w1_u")
+    )
+    v = (
+        bi.groupBy("lang")
+        .agg(F.countDistinct("w1").alias("vocab"))
+        .withColumnRenamed("lang", "lang_v")
+    )
+    return (
+        bi.join(bc, ["lang", "bg"])
+        .join(uc, (F.col("lang") == F.col("lang_u")) & (F.col("w1") == F.col("w1_u")))
+        .join(F.broadcast(v), F.col("lang") == F.col("lang_v"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.exp(-F.avg(F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab"))))),
+                6,
+            ).alias("ppl_bigram"),
+        )
+    )

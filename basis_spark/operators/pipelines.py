@@ -2067,3 +2067,61 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (the DuckDB-pioneered shorthand Spark adopted in
+    4.0: sort by every SELECT item left-to-right) — the report-query
+    idiom that makes output order deterministic without naming
+    columns. Both engines must expand ALL to the same sort key list;
+    the group is status x priority (bounded), so the global sort the
+    clause implies runs on a metadata-sized aggregate, which is the
+    only context this repo ever allows a global ORDER BY in (the
+    result-compare is order-insensitive; the key exists to pin the
+    ANALYZER expansion, and the tiny sorted relation is the posture
+    that survives 100 TB)."""
+    tag = _sf_tag(sf_dir)
+    view = f"oba_orders_{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM {view}
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (text)
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (...) (Spark 4.x; DuckDB spells it EXCLUDE) —
+    the wide-table idiom for "everything but the payload": project a
+    200-column table minus its blob/text columns without enumerating
+    198 names. The value at 100 TB is that EXCEPT resolves at ANALYSIS
+    time into an explicit projection, so column pruning still reaches
+    the parquet scan (ReadSchema drops the excluded column exactly as
+    if it had been listed) — asserted in tests/test_plans.py."""
+    tag = _sf_tag(sf_dir)
+    view = f"sse_docs_{tag}"
+    load(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(f"SELECT * EXCEPT (text) FROM {view} WHERE doc_id < 50")

@@ -1346,3 +1346,51 @@ def win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("us").over(w)))
         ).cast("long").alias("wau_7d"),
     )
+
+
+_TOP_PCT = 0.10
+
+
+@register(
+    "win_top_percent_per_group",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS pr
+        FROM orders)
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(pr, 6) AS pct_rank
+    FROM r WHERE pr <= {_TOP_PCT}
+    """,
+)
+def win_top_percent_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p% per group — the proportional cousin of top-k: keep every
+    order in the highest {_TOP_PCT:.0%} of its priority class by
+    price. Unlike a fixed k, the cut adapts to group size, which is
+    what tiering/outreach/audit-sampling policies actually specify.
+    percent_rank = (rank-1)/(n-1) is deterministic here because the
+    ordering carries the unique key as tie-break; the filter compares
+    the UNROUNDED rank on both engines (exact integer ratio), with
+    6dp rounding only on output. One exchange on the group key; the
+    window never sees more than a group's rows per task, and there is
+    no global sort anywhere."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") <= _TOP_PCT)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round("pr", 6).alias("pct_rank"),
+        )
+    )

@@ -620,3 +620,17 @@ def test_merge_hint_is_honored(spark):
     plan = _plan(joins.join_hint_merge(spark, SF_ORACLE))
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_star_except_still_prunes_columns(spark):
+    """SELECT * EXCEPT must resolve to an explicit projection at
+    analysis time: the parquet ReadSchema must NOT contain the
+    excluded text column (the whole point of the idiom on wide
+    tables — exclusion that defeated pruning would read the payload
+    bytes it exists to skip)."""
+    from basis_spark.operators import pipelines
+
+    plan = _plan(pipelines.sql_star_except(spark, SF_ORACLE))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("text" not in ln for ln in read_schema)
+    assert any("doc_id" in ln for ln in read_schema)

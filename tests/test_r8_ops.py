@@ -1163,3 +1163,117 @@ def test_orphan_files_preview_matches_vacuum_semantics(spark):
     assert rows["files/p1"]["status"] == "orphan"
     assert rows["files/p0"]["status"] == rows["files/p2"]["status"] == "live"
     assert rows["files/p1"]["n_rows"] == rows["files/p2"]["n_rows"]  # same odd keys
+
+
+def test_order_by_all_expands_left_to_right(spark):
+    """The collected result must arrive sorted by every output column
+    left-to-right — the ALL expansion contract (result-compare is
+    order-insensitive, so only this test sees the order)."""
+    rows = [tuple(r) for r in QUERIES["sql_order_by_all"](spark, SF_ORACLE).collect()]
+    assert rows == sorted(rows)
+    assert len(rows) >= 6
+
+
+def test_star_except_drops_exactly_the_excluded_column(spark):
+    df = QUERIES["sql_star_except"](spark, SF_ORACLE)
+    full = set(load(spark, SF_ORACLE, "documents").columns)
+    assert set(df.columns) == full - {"text"}
+
+
+def test_top_percent_adapts_to_group_size(spark):
+    """Per group: every kept row's price >= every dropped row's price
+    (with key tie-break), and the kept count tracks ~10% of the group
+    (floor/ceil window; percent_rank counts the top row as 0)."""
+    rows = QUERIES["win_top_percent_per_group"](spark, SF_ORACLE).collect()
+    orders = load(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_grp: dict[str, list] = {}
+    for o in orders:
+        by_grp.setdefault(o["o_orderpriority"], []).append(o)
+    kept: dict[str, set] = {}
+    for r in rows:
+        kept.setdefault(r["o_orderpriority"], set()).add(r["o_orderkey"])
+    for g, members in by_grp.items():
+        n = len(members)
+        k = len(kept.get(g, ()))
+        # pct_rank <= p keeps floor(p*(n-1)) + 1 rows exactly
+        assert k == int(0.10 * (n - 1)) + 1, (g, n, k)
+        ranked = sorted(members, key=lambda o: (-o["o_totalprice"], o["o_orderkey"]))
+        assert {o["o_orderkey"] for o in ranked[:k]} == kept[g]
+
+
+def test_bigram_perplexity_matches_pure_python(spark):
+    """Exact recompute: per-language bigram/context Counters + add-1
+    smoothing in pure Python must reproduce every doc's ppl at 6dp,
+    and n_bigrams must be n_words - 1. (No bigram-vs-unigram ordering
+    assert: on this 31-word vocabulary the bigram LM is BETTER on
+    average — contexts aren't sparse — which is itself evidence the
+    operator models order, not just frequency.)"""
+    import math
+    from collections import Counter
+
+    rows = QUERIES["text_bigram_perplexity"](spark, SF_ORACLE).collect()
+    docs = load(spark, SF_ORACLE, "documents").collect()
+    bc: dict[str, Counter] = {}
+    uc: dict[str, Counter] = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        bc.setdefault(d["lang"], Counter()).update(zip(t, t[1:]))
+        uc.setdefault(d["lang"], Counter()).update(t[:-1])
+    vocab = {lang: len(c) for lang, c in uc.items()}
+    text_by_id = {d["doc_id"]: d for d in docs}
+    assert len(rows) == len(docs)
+    for r in rows:
+        d = text_by_id[r["doc_id"]]
+        t = d["text"].split(" ")
+        assert r["n_bigrams"] == len(t) - 1
+        lp = [
+            math.log((bc[d["lang"]][(a, b)] + 1.0) / (uc[d["lang"]][a] + vocab[d["lang"]]))
+            for a, b in zip(t, t[1:])
+        ]
+        ppl = math.exp(-sum(lp) / len(lp))
+        assert abs(r["ppl_bigram"] - round(ppl, 6)) <= 1e-5, r
+
+
+def test_bot_rules_every_rule_bites_and_score_is_sum(spark):
+    rows = QUERIES["event_bot_rules"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["bot_score"] == int(r["hit_burst"]) + int(r["hit_night"]) + int(r["hit_error"])
+        assert r["flagged"] == (r["bot_score"] >= 2)
+    for f in ["hit_burst", "hit_night", "hit_error"]:
+        assert {r[f] for r in rows} == {True, False}, f
+    flagged = sum(r["flagged"] for r in rows)
+    assert 0 < flagged < len(rows)
+
+
+def test_adamic_adar_matches_python_and_excludes_edges(spark):
+    """AA scores recomputed from the edge list in pure Python must
+    match at 6dp; no candidate pair may already be an edge; hub
+    middles must contribute less than rare middles."""
+    import math
+
+    from basis_spark.operators.joins import proximity_edges
+
+    rows = QUERIES["graph_adamic_adar"](spark, SF_ORACLE).collect()
+    edges = {(e["u"], e["v"]) for e in proximity_edges(spark, SF_ORACLE).collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect: dict[tuple, float] = {}
+    for v, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for k in range(i + 1, len(ns)):
+                pair = (ns[i], ns[k])
+                expect[pair] = expect.get(pair, 0.0) + 1.0 / math.log(len(adj[v]))
+    expect = {p: s for p, s in expect.items() if p not in edges}
+    got = {(r["u"], r["w"]): r["adamic_adar"] for r in rows}
+    assert set(got) == set(expect)
+    for p, s in expect.items():
+        assert abs(got[p] - round(s, 6)) <= 1e-6, p
+    assert all((r["u"], r["w"]) not in edges for r in rows)
