@@ -6561,3 +6561,108 @@ def event_bot_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("int").alias("bot_score"),
         (score >= 2).alias("flagged"),
     )
+
+
+@register(
+    "ts_pacf_durbin",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    st AS (SELECT count(*) AS n, avg(rev) AS m FROM daily),
+    den AS (SELECT sum((rev - m) * (rev - m)) AS denom FROM daily CROSS JOIN st),
+    rn AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS i FROM daily),
+    pairs AS (
+        SELECT g.k AS lag, a.rev AS x, b.rev AS y
+        FROM rn a JOIN (SELECT unnest(generate_series(1, 3)) AS k) g ON true
+        JOIN rn b ON b.i = a.i - g.k),
+    rho AS (
+        SELECT lag, round(sum((x - m) * (y - m)) / denom, 6) AS r
+        FROM pairs CROSS JOIN st CROSS JOIN den GROUP BY lag, denom, m),
+    piv AS (
+        SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+               max(CASE WHEN lag = 2 THEN r END) AS r2,
+               max(CASE WHEN lag = 3 THEN r END) AS r3,
+               (SELECT n FROM st) AS n
+        FROM rho),
+    d AS (
+        SELECT n, r1, r2, r3,
+               r1 AS p1,
+               (r2 - r1*r1) / (1 - r1*r1) AS p2,
+               r1 * (1 - (r2 - r1*r1) / (1 - r1*r1)) AS a21
+        FROM piv),
+    f AS (
+        SELECT n, r1, r2, r3, p1, p2,
+               (r3 - a21*r2 - p2*r1) / (1 - a21*r1 - p2*r2) AS p3
+        FROM d)
+    SELECT CAST(u.lag AS INT) AS lag,
+           round(CASE u.lag WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS pacf,
+           round(1.96 / sqrt(n), 6) AS se_bound,
+           (abs(round(CASE u.lag WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6))
+            > round(1.96 / sqrt(n), 6)) AS significant
+    FROM f CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) u
+    """,
+)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 via the Durbin-Levinson
+    recursion unrolled in closed form — the AR-order diagnostic read
+    next to the ACF (an AR(p) series' PACF cuts off after lag p, while
+    its ACF decays; ts_autocorrelation/ts_ljung_box cannot make that
+    call). phi_11 = rho1; phi_22 = (rho2-rho1^2)/(1-rho1^2);
+    phi_33 from the order-2 coefficients. Significance band is the
+    standard +-1.96/sqrt(n).
+
+    Scale: identical skeleton to ts_ljung_box — the data-sized stage
+    is one day rollup; rho's 1-row mean/denominator combines are
+    declared single-partition; Durbin-Levinson then runs on a PIVOTED
+    1-row table of the three 6dp-ROUNDED rho values (identical inputs
+    on both engines -> identical closed-form arithmetic)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    st = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("rev").alias("m"))
+    den = daily.crossJoin(F.broadcast(st)).agg(
+        F.sum((F.col("rev") - F.col("m")) * (F.col("rev") - F.col("m"))).alias("denom")
+    )
+    rn = daily.select("day", "rev", F.row_number().over(Window.orderBy("day")).alias("i"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    left = rn.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("rev").alias("x"), (F.col("i") - F.col("lag")).alias("j")
+    )
+    right = rn.select(F.col("i").alias("j"), F.col("rev").alias("y"))
+    rho = (
+        left.join(right, "j")
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag", "denom", "m")
+        .agg(F.round(F.sum((F.col("x") - F.col("m")) * (F.col("y") - F.col("m"))) / F.first("denom"), 6).alias("r"))
+    )
+    piv = rho.crossJoin(F.broadcast(st.select("n"))).groupBy("n").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    p1 = F.col("r1")
+    p2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (1 - F.col("r1") * F.col("r1"))
+    a21 = F.col("r1") * (1 - p2)
+    p3 = (F.col("r3") - a21 * F.col("r2") - p2 * F.col("r1")) / (
+        1 - a21 * F.col("r1") - p2 * F.col("r2")
+    )
+    base = piv.select(
+        "n", p1.alias("p1"), p2.alias("p2"), p3.alias("p3")
+    ).crossJoin(F.broadcast(lags))
+    pacf = F.round(
+        F.when(F.col("lag") == 1, F.col("p1"))
+        .when(F.col("lag") == 2, F.col("p2"))
+        .otherwise(F.col("p3")),
+        6,
+    )
+    se = F.round(1.96 / F.sqrt(F.col("n")), 6)
+    return base.select(
+        F.col("lag").cast("int").alias("lag"),
+        pacf.alias("pacf"),
+        se.alias("se_bound"),
+        (F.abs(pacf) > se).alias("significant"),
+    )

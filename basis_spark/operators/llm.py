@@ -4965,3 +4965,109 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl_bigram"),
         )
     )
+
+
+_TUNE_SAMPLE_MAX_ID = 100     # bounded calibration sample (tune on a
+                              # labeled sample, never the corpus)
+_TUNE_TRUE_JAC = 0.5
+_TUNE_GRID = [(64, 4), (32, 8), (16, 16), (8, 32)]  # b x r, K = 256
+
+
+def _band_tuning_oracle() -> str:
+    configs = ", ".join(f"({b}, {r})" for b, r in _TUNE_GRID)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, length(text) - 1)]) AS sh
+      FROM documents WHERE doc_id < {_TUNE_SAMPLE_MAX_ID}),
+    pairs AS (
+      SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)), 6) AS jac
+      FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang),
+    g AS (SELECT * FROM (VALUES {configs}) t(b, r))
+    SELECT CAST(g.b AS INT) AS n_bands, CAST(g.r AS INT) AS rows_per_band,
+           CAST(sum(CASE WHEN p.jac >= {_TUNE_TRUE_JAC} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_pairs,
+           round(avg(CASE WHEN p.jac >= {_TUNE_TRUE_JAC}
+                 THEN 1.0 - pow(1.0 - pow(p.jac, g.r), g.b) END), 6)
+               AS expected_recall,
+           round(avg(CASE WHEN p.jac < {_TUNE_TRUE_JAC}
+                 THEN 1.0 - pow(1.0 - pow(p.jac, g.r), g.b) END), 6)
+               AS expected_fp_rate
+    FROM pairs p CROSS JOIN g
+    GROUP BY g.b, g.r
+    """
+
+
+@register("dedup_minhash_band_tuning", oracle=_band_tuning_oracle())
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding design table — the meta-operator behind every
+    banded dedup key in this repo: for each (bands b, rows r) split of
+    a K=256 signature, the expected LSH candidate recall over the
+    TRUE near-dup pairs of a bounded calibration sample
+    (P[candidate] = 1-(1-J^r)^b per pair, the standard S-curve) and
+    the expected false-candidate rate over the non-dup pairs. This is
+    how b x r gets chosen BEFORE burning a 100 TB pass with the wrong
+    geometry: steep-enough S-curve at the target threshold, acceptable
+    FP mass below it.
+
+    Scale contract: the quadratic exact-Jaccard join runs ONLY on the
+    declared calibration sample (doc_id < {100}, lang-blocked) — the
+    same "label a sample, tune, then deploy banded" workflow the
+    docstrings of dedup_near_minhash/dedup_ngram_jaccard assume. The
+    grid fold is |sample pairs| x 4 map-side arithmetic into a 4-row
+    agg."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _TUNE_SAMPLE_MAX_ID) & (F.length("text") >= 3))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("sh"),
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("i"), F.col("lang").alias("lang_a"), F.col("sh").alias("sa")
+    )
+    b_ = docs.select(
+        F.col("doc_id").alias("j"), F.col("lang").alias("lang_b"), F.col("sh").alias("sb")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")),
+        6,
+    )
+    pairs = (
+        a.join(b_, (F.col("i") < F.col("j")) & (F.col("lang_a") == F.col("lang_b")))
+        .select(jac.alias("jac"))
+    )
+    grid = spark.createDataFrame(_TUNE_GRID, "b int, r int")
+    prob = 1.0 - F.pow(1.0 - F.pow(F.col("jac"), F.col("r")), F.col("b"))
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("b", "r")
+        .agg(
+            F.sum(F.when(F.col("jac") >= _TUNE_TRUE_JAC, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.round(
+                F.avg(F.when(F.col("jac") >= _TUNE_TRUE_JAC, prob)), 6
+            ).alias("expected_recall"),
+            F.round(
+                F.avg(F.when(F.col("jac") < _TUNE_TRUE_JAC, prob)), 6
+            ).alias("expected_fp_rate"),
+        )
+        .select(
+            F.col("b").cast("int").alias("n_bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+            "n_true_pairs",
+            "expected_recall",
+            "expected_fp_rate",
+        )
+    )

@@ -1718,3 +1718,76 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_adj, 6).alias("var_y_adj"),
         F.round(1.0 - var_adj / var_y, 6).alias("var_reduction"),
     )
+
+
+_MCNEMAR_THR = 250.0
+
+
+@register(
+    "stat_mcnemar_paired",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}'
+                      AND value > {_MCNEMAR_THR} THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      AND value > {_MCNEMAR_THR} THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           round(CASE WHEN sum(CASE WHEN x <> y THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE CAST((sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END))
+                        * (sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END))
+                        AS DOUBLE)
+                      / sum(CASE WHEN x <> y THEN 1 ELSE 0 END) END, 6) AS chi2,
+           round(CASE WHEN sum(CASE WHEN x <> y THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE greatest(abs(CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)) - 1.0, 0.0)
+                    * greatest(abs(CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)) - 1.0, 0.0)
+                      / sum(CASE WHEN x <> y THEN 1 ELSE 0 END) END, 6) AS chi2_cc
+    FROM u
+    """,
+)
+def stat_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did the share of
+    users with a high-value event (> {250}) CHANGE between the pre and
+    post halves of the month? Only the discordant cells matter —
+    chi2 = (b-c)^2/(b+c) with b = yes->no and c = no->yes — which is
+    what makes it the right test for before/after on the SAME units
+    (a two-proportion z-test would wrongly treat the halves as
+    independent samples). Emits the continuity-corrected variant
+    alongside (Edwards' (|b-c|-1)^2/(b+c)).
+
+    Scale: ONE user-keyed conditional max rollup (map-side
+    combinable) then a 1-row combine of four cell counts (declared
+    single-partition). The statistic is exact integer arithmetic with
+    one final division — nothing to round until output."""
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("ts") < split) & (F.col("value") > _MCNEMAR_THR), 1).otherwise(0)
+        ).alias("x"),
+        F.max(
+            F.when((F.col("ts") >= split) & (F.col("value") > _MCNEMAR_THR), 1).otherwise(0)
+        ).alias("y"),
+    )
+    b = F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0))
+    c = F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0))
+    disc = F.sum(F.when(F.col("x") != F.col("y"), 1).otherwise(0))
+    chi2 = F.when(disc == 0, F.lit(0.0)).otherwise(
+        ((b - c) * (b - c)).cast("double") / disc
+    )
+    cc = F.greatest(F.abs((b - c).cast("double")) - 1.0, F.lit(0.0))
+    chi2_cc = F.when(disc == 0, F.lit(0.0)).otherwise(cc * cc / disc)
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2_cc, 6).alias("chi2_cc"),
+    )

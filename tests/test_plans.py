@@ -296,6 +296,8 @@ _SINGLE_PARTITION_OK = {
     "stat_cuped_adjustment",    # 1-row pooled theta/mean combine over the per-user table
     "ts_granger_lite",       # 1-row standardization/moments/F combines over the day spine
     "table_log_orphan_files",   # three 1-row per-object count combines unioned
+    "ts_pacf_durbin",        # same spine as ts_ljung_box: 1-row mean/denominator combines
+    "stat_mcnemar_paired",   # 1-row combine of four cell counts over the per-user table
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine
