@@ -6666,3 +6666,108 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.alias("se_bound"),
         (F.abs(pacf) > se).alias("significant"),
     )
+
+
+def _theta_groups(pdf):
+    """Theta-method pass over one ordered series: SES (alpha = 0.5,
+    exact dyadic) over the theta-line z = 2y - (a + b*rn), with the
+    1-step-ahead combination forecast 0.5*ses + 0.5*(a + b*(rn+1)).
+    a and b arrive 6dp-ROUNDED (identical on both engines); y and rn
+    are exact integers; every expression below is written in the same
+    operand order as the DuckDB recursive CTE, so the emitted doubles
+    are bit-identical with NO output rounding (the holt/ewma
+    determinism contract)."""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    zs, sess, fc1s = [], [], []
+    ses = None
+    for y, rn, a, b in zip(pdf["y"], pdf["rn"], pdf["a"], pdf["b"]):
+        z = 2.0 * float(y) - (a + b * rn)
+        ses = z if ses is None else 0.5 * z + 0.5 * ses
+        zs.append(z)
+        sess.append(ses)
+        fc1s.append(0.5 * ses + 0.5 * (a + b * (rn + 1)))
+    pdf["z"] = zs
+    pdf["ses"] = sess
+    pdf["fc1"] = fc1s
+    return pdf[["event_type", "d", "y", "z", "ses", "fc1"]]
+
+
+@register(
+    "ts_theta_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT event_type, d, y,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    AS DOUBLE) AS rn
+        FROM daily),
+    ols AS (
+        SELECT event_type,
+               round((avg(rn * y) - avg(rn) * avg(y))
+                     / (avg(rn * rn) - avg(rn) * avg(rn)), 6) AS b,
+               round(avg(y) - (avg(rn * y) - avg(rn) * avg(y))
+                              / (avg(rn * rn) - avg(rn) * avg(rn)) * avg(rn), 6)
+                   AS a
+        FROM seq GROUP BY 1),
+    zs AS (
+        SELECT s.event_type, s.d, s.y, s.rn, o.a, o.b,
+               2.0 * s.y - (o.a + o.b * s.rn) AS z
+        FROM seq s JOIN ols o ON o.event_type = s.event_type),
+    th AS (
+        SELECT event_type, d, y, rn, a, b, z, z AS ses
+        FROM zs WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.d, s.y, s.rn, s.a, s.b, s.z,
+               0.5 * s.z + 0.5 * t.ses AS ses
+        FROM th t JOIN zs s
+          ON s.event_type = t.event_type AND s.rn = t.rn + 1)
+    SELECT event_type, CAST(d AS TIMESTAMP) AS d, y, z, ses,
+           0.5 * ses + 0.5 * (a + b * (rn + 1)) AS fc1
+    FROM th
+    """,
+)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theta method (Assimakopoulos & Nikolopoulos — the M3
+    benchmark winner, equivalent to SES with drift): per series, fit
+    the linear trend, double the deviations around it (theta = 2 line
+    z = 2y - trendline), SES-smooth z with alpha = 0.5, and combine
+    the SES level with the trend extrapolation for the 1-step
+    forecast 0.5*ses + 0.5*(a + b*(rn+1)) — a third forecasting
+    posture beside seasonal-naive (ts_forecast_snaive) and trend
+    smoothing (ts_holt_linear/ts_holt_winters).
+
+    Determinism staging: OLS a/b are closed-form sums over exact
+    integer (rn, y) pairs — identical doubles — ROUNDED at 6dp before
+    use; z then mixes only identical operands; SES is dyadic; output
+    is raw doubles under the holt contract (no 6dp ties to disagree
+    on). Scale: per-series ordered applyInPandas with one-float
+    state; the OLS is a per-series agg broadcast back; series are
+    calendar-bounded and keys distribute — the same contract as every
+    sequential-recursion key in this repo."""
+    import pandas as pd  # noqa: F401  (applyInPandas boundary)
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("rn", F.row_number().over(w).cast("double"))
+    slope = (
+        F.avg(F.col("rn") * F.col("y")) - F.avg("rn") * F.avg("y")
+    ) / (F.avg(F.col("rn") * F.col("rn")) - F.avg("rn") * F.avg("rn"))
+    ols = seq.groupBy(F.col("event_type").alias("et")).agg(
+        F.round(slope, 6).alias("b"),
+        F.round(F.avg("y") - slope * F.avg("rn"), 6).alias("a"),
+    )
+    joined = seq.join(F.broadcast(ols), seq["event_type"] == ols["et"]).select(
+        "event_type", "d", "y", "rn", "a", "b"
+    )
+    return joined.groupBy("event_type").applyInPandas(
+        _theta_groups,
+        schema="event_type string, d timestamp, y double, z double,"
+        " ses double, fc1 double",
+    )

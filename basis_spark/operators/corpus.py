@@ -1779,3 +1779,89 @@ def eval_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))), 6))
         .alias("bleu2"),
     )
+
+
+@register(
+    "eval_rouge1_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+    ref AS (
+      SELECT lang, source, min(doc_id) AS ref_id FROM d GROUP BY 1, 2),
+    uni AS (SELECT doc_id, unnest(toks) AS g FROM d),
+    uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+    cand AS (
+      SELECT d.doc_id, d.lang, d.source, r.ref_id, len(d.toks) AS c_len
+      FROM d JOIN ref r ON d.lang = r.lang AND d.source = r.source
+      WHERE d.doc_id <> r.ref_id),
+    rlen AS (SELECT doc_id AS ref_id, len(toks) AS r_len FROM d),
+    overlap AS (
+      SELECT cand.doc_id, sum(least(a.c, b.c)) AS ov
+      FROM cand JOIN uc a ON a.doc_id = cand.doc_id
+                JOIN uc b ON b.doc_id = cand.ref_id AND b.g = a.g
+      GROUP BY 1)
+    SELECT cand.doc_id, cand.lang, cand.source,
+           round(coalesce(overlap.ov, 0) / CAST(rlen.r_len AS DOUBLE), 6)
+               AS rouge1_recall,
+           round(coalesce(overlap.ov, 0) / CAST(cand.c_len AS DOUBLE), 6)
+               AS rouge1_precision,
+           CASE WHEN coalesce(overlap.ov, 0) = 0 THEN 0.0
+                ELSE round(2.0 * coalesce(overlap.ov, 0)
+                           / (rlen.r_len + cand.c_len), 6) END AS rouge1_f1
+    FROM cand JOIN rlen ON rlen.ref_id = cand.ref_id
+    LEFT JOIN overlap ON overlap.doc_id = cand.doc_id
+    """,
+)
+def eval_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 (the public Lin 2004 recall-oriented summary metric)
+    over the same candidate/reference pairing as eval_bleu_pairs:
+    clipped unigram overlap divided by the REFERENCE length (recall —
+    what ROUGE exists for, where BLEU divides by the candidate),
+    plus precision and the F1 that the 2*ov/(|r|+|c|) identity gives
+    for clipped-count overlap. Reporting BLEU and ROUGE side by side
+    on the same pairs is the standard generation-eval table.
+
+    Scale: identical posture to eval_bleu_pairs — one unigram explode
+    and (doc, gram) agg; the clipping join touches only the
+    one-doc-per-group reference slice (broadcastable at any corpus
+    size); everything downstream is per-doc arithmetic on integer
+    ratios (bit-identical doubles before the 6dp output rounding)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("toks")
+    )
+    ref = d.groupBy("lang", "source").agg(F.min("doc_id").alias("ref_id"))
+    uni = d.select("doc_id", F.explode("toks").alias("g"))
+    uc = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    cand = (
+        d.join(F.broadcast(ref), ["lang", "source"])
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select("doc_id", "lang", "source", "ref_id", F.size("toks").alias("c_len"))
+    )
+    a = uc.select(F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("ca"))
+    b = uc.select(F.col("doc_id").alias("rid"), "g", F.col("c").alias("cb"))
+    overlap = (
+        cand.select("doc_id", "ref_id")
+        .join(a, F.col("doc_id") == F.col("cand_id"))
+        .join(F.broadcast(b), (F.col("rid") == F.col("ref_id")) & (a["g"] == b["g"]))
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("ca", "cb")).alias("ov"))
+    )
+    rlen = d.select(F.col("doc_id").alias("ref_id"), F.size("toks").alias("r_len"))
+    m = (
+        cand.join(F.broadcast(rlen), "ref_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source", "c_len", "r_len",
+            F.coalesce("ov", F.lit(0)).alias("ov"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(F.col("ov") / F.col("r_len").cast("double"), 6).alias("rouge1_recall"),
+        F.round(F.col("ov") / F.col("c_len").cast("double"), 6).alias("rouge1_precision"),
+        F.when(F.col("ov") == 0, F.lit(0.0))
+        .otherwise(F.round(2.0 * F.col("ov") / (F.col("r_len") + F.col("c_len")), 6))
+        .alias("rouge1_f1"),
+    )

@@ -5071,3 +5071,69 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_fp_rate",
         )
     )
+
+
+_MATTR_WIN = 20
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id, len(toks) AS n_words,
+             CASE WHEN len(toks) < {_MATTR_WIN}
+                  THEN [round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / len(toks), 6)]
+                  ELSE list_transform(
+                      generate_series(1, len(toks) - {_MATTR_WIN} + 1),
+                      i -> round(CAST(len(list_distinct(toks[i:i+{_MATTR_WIN} - 1]))
+                                 AS DOUBLE) / {_MATTR_WIN}, 6))
+             END AS wins
+      FROM d)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(wins) AS BIGINT) AS n_windows,
+           round(list_sum(wins) / len(wins), 6) AS mattr
+    FROM w
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — Moving-Average Type-Token Ratio (Covington & McFall's
+    public fix for plain TTR's length bias: long documents mechanically
+    repeat words, so corpus-level TTR comparisons are confounded by
+    length; averaging the TTR of every {_MATTR_WIN}-token sliding
+    window makes diversity comparable across lengths). Documents
+    shorter than the window fall back to their plain TTR (one window).
+
+    Scale: pure map-side array arithmetic — transform over a sequence
+    of window starts, slice, array_distinct — no explode, no shuffle,
+    no UDF; a 100 TB corpus pays one scan. Per-window TTRs are
+    6dp-rounded integer ratios (identical on both engines) BEFORE the
+    mean, so the one float summation is over identical operands."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    wins = F.when(
+        F.size("toks") < _MATTR_WIN,
+        F.array(
+            F.round(
+                F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
+            )
+        ),
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(toks) - {_MATTR_WIN} + 1),"
+            f" i -> round(CAST(size(array_distinct(slice(toks, i, {_MATTR_WIN})))"
+            f" AS DOUBLE) / {_MATTR_WIN}, 6))"
+        )
+    )
+    w = d.select("doc_id", F.size("toks").cast("long").alias("n_words"), wins.alias("wins"))
+    return w.select(
+        "doc_id",
+        "n_words",
+        F.size("wins").cast("long").alias("n_windows"),
+        F.round(
+            F.aggregate("wins", F.lit(0.0), lambda s, v: s + v) / F.size("wins"), 6
+        ).alias("mattr"),
+    )

@@ -1791,3 +1791,4 @@ def stat_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.round(chi2_cc, 6).alias("chi2_cc"),
     )
+

@@ -1357,3 +1357,79 @@ def test_band_tuning_scurve_is_monotone_in_geometry(spark):
     assert shallow["expected_fp_rate"] > 0.5
     assert deployed["expected_recall"] < 0.5
     assert deployed["expected_fp_rate"] < 0.1
+
+
+def test_rouge1_matches_pure_python_and_brackets_bleu(spark):
+    """ROUGE-1 recomputed with Counters must match at 6dp; F1 must be
+    the harmonic mean of the emitted precision/recall (up to rounding)
+    and sit between min and max of them."""
+    from collections import Counter
+
+    docs = {r["doc_id"]: r for r in load(spark, SF_ORACLE, "documents").collect()}
+    refs: dict[tuple, int] = {}
+    for r in docs.values():
+        key = (r["lang"], r["source"])
+        refs[key] = min(refs.get(key, r["doc_id"]), r["doc_id"])
+    for r in QUERIES["eval_rouge1_pairs"](spark, SF_ORACLE).collect():
+        cand = docs[r["doc_id"]]["text"].split(" ")
+        ref = docs[refs[(r["lang"], r["source"])]]["text"].split(" ")
+        cu, ru = Counter(cand), Counter(ref)
+        ov = sum(min(c, ru[g]) for g, c in cu.items())
+        assert abs(r["rouge1_recall"] - round(ov / len(ref), 6)) <= 1e-6, r
+        assert abs(r["rouge1_precision"] - round(ov / len(cand), 6)) <= 1e-6, r
+        assert abs(r["rouge1_f1"] - round(2 * ov / (len(ref) + len(cand)), 6)) <= 1e-6
+        if ov:
+            lo = min(r["rouge1_recall"], r["rouge1_precision"])
+            hi = max(r["rouge1_recall"], r["rouge1_precision"])
+            assert lo - 1e-9 <= r["rouge1_f1"] <= hi + 1e-9
+
+
+def test_mattr_is_length_stable_unlike_ttr(spark):
+    """The metric's reason to exist: plain TTR falls with document
+    length on this fixture (repeating 31-word vocabulary) while MATTR
+    must stay comparatively flat — correlation with n_words must be
+    weaker for MATTR than for TTR; windows count must be
+    max(1, n-W+1)."""
+    import numpy as np
+
+    from basis_spark.operators.llm import _MATTR_WIN
+
+    rows = QUERIES["text_mattr_diversity"](spark, SF_ORACLE).collect()
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_ORACLE, "documents").collect()}
+    n = np.array([r["n_words"] for r in rows], dtype=float)
+    mattr = np.array([r["mattr"] for r in rows])
+    ttr = np.array([len(set(docs[r["doc_id"]].split(" "))) / r["n_words"] for r in rows])
+    for r in rows:
+        assert r["n_windows"] == max(1, r["n_words"] - _MATTR_WIN + 1)
+        assert 0.0 < r["mattr"] <= 1.0
+    assert abs(np.corrcoef(n, mattr)[0, 1]) < abs(np.corrcoef(n, ttr)[0, 1])
+
+
+def test_theta_forecast_matches_python_recursion(spark):
+    """Replay the whole theta pipeline (OLS -> theta line -> SES ->
+    combination forecast) in pure Python per series and require
+    bit-identical doubles (the holt determinism contract: no output
+    rounding anywhere)."""
+    rows = QUERIES["ts_theta_forecast"](spark, SF_ORACLE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) == 5
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["d"])
+        ys = [r["y"] for r in rs]
+        nn = len(ys)
+        rn = list(range(1, nn + 1))
+        mrn = sum(rn) / nn
+        my = sum(ys) / nn
+        mrny = sum(i * y for i, y in zip(rn, ys)) / nn
+        mrn2 = sum(i * i for i in rn) / nn
+        b = round((mrny - mrn * my) / (mrn2 - mrn * mrn), 6)
+        a = round(my - (mrny - mrn * my) / (mrn2 - mrn * mrn) * mrn, 6)
+        ses = None
+        for i, r in enumerate(rs):
+            z = 2.0 * ys[i] - (a + b * (i + 1))
+            ses = z if ses is None else 0.5 * z + 0.5 * ses
+            assert r["z"] == z, (et, i)
+            assert r["ses"] == ses, (et, i)
+            assert r["fc1"] == 0.5 * ses + 0.5 * (a + b * (i + 2)), (et, i)
