@@ -6771,3 +6771,233 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, d timestamp, y double, z double,"
         " ses double, fc1 double",
     )
+
+
+_BINSEG_MARGIN = 5  # smallest admissible segment length
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1),
+    st AS (SELECT count(*) AS n, round(avg(rev), 4) AS m,
+                  round(sqrt(avg(rev*rev) - avg(rev)*avg(rev)), 4) AS sd
+           FROM daily),
+    z AS (SELECT day, round((rev - m) / sd, 6) AS z,
+                 row_number() OVER (ORDER BY day) AS i
+          FROM daily CROSS JOIN st),
+    pre AS (
+        SELECT day, i, z,
+               sum(z) OVER (ORDER BY i) AS s1,
+               sum(z*z) OVER (ORDER BY i) AS s2
+        FROM z),
+    tot AS (SELECT (SELECT s1 FROM pre ORDER BY i DESC LIMIT 1) AS t1,
+                   max(i) AS n,
+                   (SELECT s2 FROM pre ORDER BY i DESC LIMIT 1) AS t2
+            FROM pre),
+    cand AS (
+        SELECT p.day, p.i,
+               round((t2 - (p.s2 - p.s1*p.s1/p.i)
+                         - ((t2 - p.s2) - (t1 - p.s1)*(t1 - p.s1)/(n - p.i)))
+                     - (t2 - t1*t1/n), 6) AS delta_sse
+        FROM pre p CROSS JOIN tot
+        WHERE p.i BETWEEN {_BINSEG_MARGIN} AND n - {_BINSEG_MARGIN}),
+    best AS (
+        SELECT day, i, delta_sse,
+               row_number() OVER (ORDER BY delta_sse DESC, i) AS rnk
+        FROM cand)
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           CAST(best.i AS BIGINT) AS split_index,
+           best.day AS split_day,
+           best.delta_sse
+    FROM best CROSS JOIN tot WHERE best.rnk = 1
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection (the first split of
+    the classic BinSeg/PELT family): the day that maximizes the SSE
+    reduction of modeling the standardized daily-revenue series as two
+    constant segments instead of one — delta(k) = SSE_total -
+    (SSE_left(k) + SSE_right(k)), all three from running prefix sums.
+    Complements ts_cusum_changepoint (which detects; this LOCATES the
+    argmax split with its variance-explained mass).
+
+    Determinism staging (the granger discipline): 4dp rollup -> 4dp
+    standardization -> 6dp z-scores, so prefix sums run over identical
+    unit-scale doubles (~1e-12 error against a 6dp rounding of
+    delta); the argmax orders by (rounded delta DESC, i). Scale: one
+    orders rollup; prefix sums are a window over the calendar-bounded
+    day spine (declared single-partition with the other spine keys);
+    the argmax is a WindowGroupLimit-able rank over the same spine."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rev"), 4).alias("m"),
+        F.round(
+            F.sqrt(F.avg(F.col("rev") * F.col("rev")) - F.avg("rev") * F.avg("rev")), 4
+        ).alias("sd"),
+    )
+    z = daily.crossJoin(F.broadcast(st)).select(
+        "day",
+        F.round((F.col("rev") - F.col("m")) / F.col("sd"), 6).alias("z"),
+        F.col("n"),
+    )
+    wi = Window.orderBy("day")
+    wcum = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        z.withColumn("i", F.row_number().over(wi))
+        .withColumn("s1", F.sum("z").over(wcum))
+        .withColumn("s2", F.sum(F.col("z") * F.col("z")).over(wcum))
+    )
+    # totals = the prefix sums AT the last index (max(s1) would be the
+    # running-max, which differs whenever z-sums dip negative — a bug
+    # the pure-Python contract test caught that the oracle could not,
+    # both engines having mirrored the same mistake)
+    tot = pre.agg(
+        F.max(F.struct("i", "s1")).getField("s1").alias("t1"),
+        F.max(F.struct("i", "s2")).getField("s2").alias("t2"),
+        F.max("i").alias("nn"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("i") >= _BINSEG_MARGIN) & (F.col("i") <= F.col("nn") - _BINSEG_MARGIN)
+        )
+        .select(
+            "day",
+            "i",
+            "nn",
+            F.round(
+                (
+                    F.col("t2")
+                    - (F.col("s2") - F.col("s1") * F.col("s1") / F.col("i"))
+                    - (
+                        (F.col("t2") - F.col("s2"))
+                        - (F.col("t1") - F.col("s1"))
+                        * (F.col("t1") - F.col("s1"))
+                        / (F.col("nn") - F.col("i"))
+                    )
+                )
+                - (F.col("t2") - F.col("t1") * F.col("t1") / F.col("nn")),
+                6,
+            ).alias("delta_sse"),
+        )
+    )
+    wbest = Window.orderBy(F.desc("delta_sse"), F.asc("i"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wbest))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("nn").cast("long").alias("n_days"),
+            F.col("i").cast("long").alias("split_index"),
+            F.col("day").alias("split_day"),
+            "delta_sse",
+        )
+    )
+
+
+@register(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    ev AS (
+        SELECT t0.user_id,
+               round(epoch(coalesce(p.tp, le.tl) - t0.t0) / 3600.0, 4) AS dur_h,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM t0
+        LEFT JOIN (SELECT e.user_id, min(e.ts) AS tp FROM events e
+                   JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t0
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id) p
+          ON t0.user_id = p.user_id
+        JOIN (SELECT user_id, max(ts) AS tl FROM events GROUP BY user_id) le
+          ON t0.user_id = le.user_id),
+    n AS (SELECT count(*) AS n0 FROM ev),
+    d AS (SELECT dur_h, count(*) AS d,
+                 count(*) FILTER (WHERE observed = 1) AS de
+          FROM ev GROUP BY dur_h),
+    r AS (
+        SELECT dur_h, de,
+               n0 - coalesce(sum(d) OVER (ORDER BY dur_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        FROM d, n)
+    SELECT dur_h, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(de AS BIGINT) AS d_events,
+           round(sum(CAST(de AS DOUBLE) / at_risk)
+                 OVER (ORDER BY dur_h), 6) AS cum_hazard,
+           round(sum(CAST(de AS DOUBLE) / (at_risk * at_risk))
+                 OVER (ORDER BY dur_h), 6) AS hazard_var,
+           round(exp(-sum(CAST(de AS DOUBLE) / at_risk)
+                 OVER (ORDER BY dur_h)), 6) AS na_survival
+    FROM r
+    WHERE de > 0
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for the same time-to-purchase
+    process as survival_kaplan_meier — the estimator of choice when
+    the HAZARD (instantaneous conversion intensity) is the quantity
+    of interest rather than the survival curve, with its standard
+    variance sum(d/n^2) and the exp(-H) survival transform (which
+    upper-bounds KM, a relationship the contract test pins). Same
+    scaffold: one user_id shuffle to durations, a distinct-duration
+    risk table, cumulative sums as window expressions over the
+    (declared single-partition) duration spine — never an iteration."""
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    base = (
+        t0.join(p, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            F.round(
+                (F.unix_micros(F.coalesce("tp", "tl")) - F.unix_micros("t0")).cast(
+                    "double"
+                )
+                / 3.6e9,
+                4,
+            ).alias("dur_h"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    n0 = base.agg(F.count(F.lit(1)).alias("n0"))
+    d = base.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("observed").alias("de")
+    )
+    wprev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.crossJoin(F.broadcast(n0)).select(
+        "dur_h",
+        "de",
+        (
+            F.col("n0") - F.coalesce(F.sum("d").over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    haz = F.col("de").cast("double") / F.col("at_risk")
+    hvar = F.col("de").cast("double") / (F.col("at_risk") * F.col("at_risk"))
+    return (
+        r.select(
+            "dur_h",
+            F.col("at_risk").cast("long").alias("at_risk"),
+            F.col("de").cast("long").alias("d_events"),
+            F.round(F.sum(haz).over(wcum), 6).alias("cum_hazard"),
+            F.round(F.sum(hvar).over(wcum), 6).alias("hazard_var"),
+            F.round(F.exp(-F.sum(haz).over(wcum)), 6).alias("na_survival"),
+        )
+        .filter(F.col("d_events") > 0)
+    )

@@ -1565,3 +1565,58 @@ def source_csv_sniffed_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("label")).alias("label_chars"),
         F.round(F.sum("val"), 2).alias("sum_val"),
     )
+
+
+@register(
+    "maintenance_clustering_depth",
+    oracle=f"""
+    WITH rg AS (
+      SELECT CAST(row_group_id AS BIGINT) AS rg,
+             CAST(stats_min_value AS BIGINT) AS lo,
+             CAST(stats_max_value AS BIGINT) AS hi
+      FROM parquet_metadata('{_ORACLE_SF_DIR}/orders.parquet')
+      WHERE path_in_schema = 'o_orderkey')
+    SELECT a.rg AS row_group, a.lo AS min_key, a.hi AS max_key,
+           CAST(count(*) AS BIGINT) AS depth
+    FROM rg a JOIN rg b ON b.lo <= a.hi AND b.hi >= a.lo
+    GROUP BY a.rg, a.lo, a.hi
+    """,
+)
+def maintenance_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit from footer zone maps — the metric an
+    OPTIMIZE/Z-ORDER scheduler reads to decide whether a table is
+    worth re-clustering: for each row group, how many row groups'
+    [min, max] key ranges overlap it (depth 1 = perfectly clustered,
+    every range-predicate scan touches the minimum set; high depth =
+    interleaved writes have destroyed skipping). Pure metadata: the
+    interval self-join runs on the footer-sized (row_groups) relation,
+    never on data — at 100 TB the same audit is footers-in,
+    #files-sized relation out (the scan_parquet_rowgroup_stats
+    fan-out posture), and the overlap join can bucketize by key range
+    if #files itself gets large."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema == "o_orderkey" and col.statistics is not None:
+                rows.append((rg, int(col.statistics.min), int(col.statistics.max)))
+    rgdf = spark.createDataFrame(rows, "rg long, lo long, hi long")
+    b = rgdf.select(
+        F.col("rg").alias("rg_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+    )
+    return (
+        rgdf.join(
+            F.broadcast(b),
+            (F.col("lo_b") <= F.col("hi")) & (F.col("hi_b") >= F.col("lo")),
+        )
+        .groupBy(
+            F.col("rg").alias("row_group"),
+            F.col("lo").alias("min_key"),
+            F.col("hi").alias("max_key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("depth"))
+    )

@@ -298,6 +298,8 @@ _SINGLE_PARTITION_OK = {
     "table_log_orphan_files",   # three 1-row per-object count combines unioned
     "ts_pacf_durbin",        # same spine as ts_ljung_box: 1-row mean/denominator combines
     "stat_mcnemar_paired",   # 1-row combine of four cell counts over the per-user table
+    "ts_changepoint_binseg",  # prefix-sum/argmax windows over the calendar-bounded day spine
+    "survival_nelson_aalen",  # risk-table windows over the bounded duration spine (same as KM)
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

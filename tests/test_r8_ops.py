@@ -1433,3 +1433,74 @@ def test_theta_forecast_matches_python_recursion(spark):
             assert r["z"] == z, (et, i)
             assert r["ses"] == ses, (et, i)
             assert r["fc1"] == 0.5 * ses + 0.5 * (a + b * (i + 2)), (et, i)
+
+
+def test_clustering_depth_bounds_and_self_overlap(spark):
+    """Every row group overlaps itself (depth >= 1), depth <= number
+    of row groups, and recomputing depths from the emitted intervals
+    must agree (the oracle checks values; this checks internal
+    consistency of the interval semantics)."""
+    rows = QUERIES["maintenance_clustering_depth"](spark, SF_ORACLE).collect()
+    assert rows
+    n = len(rows)
+    iv = {r["row_group"]: (r["min_key"], r["max_key"]) for r in rows}
+    for r in rows:
+        lo, hi = iv[r["row_group"]]
+        expect = sum(1 for lo2, hi2 in iv.values() if lo2 <= hi and hi2 >= lo)
+        assert r["depth"] == expect and 1 <= r["depth"] <= n, r
+
+
+def test_binseg_split_is_argmax_of_python_scan(spark):
+    """Recompute delta(k) for every admissible split in pure Python
+    over the same standardized series and require the operator's split
+    to be the argmax (ties to smallest k)."""
+    [r] = QUERIES["ts_changepoint_binseg"](spark, SF_ORACLE).collect()
+    daily = sorted(
+        load(spark, SF_ORACLE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .collect(),
+        key=lambda x: x["day"],
+    )
+    xs = [d["rev"] for d in daily]
+    n = len(xs)
+    m = round(sum(xs) / n, 4)
+    sd = round((sum(x * x for x in xs) / n - (sum(xs) / n) ** 2) ** 0.5, 4)
+    zs = [round((x - m) / sd, 6) for x in xs]
+    t1, t2 = sum(zs), sum(z * z for z in zs)
+    best = None
+    s1 = s2 = 0.0
+    for k in range(1, n + 1):
+        s1 += zs[k - 1]
+        s2 += zs[k - 1] ** 2
+        if not (5 <= k <= n - 5):
+            continue
+        sse_l = s2 - s1 * s1 / k
+        sse_r = (t2 - s2) - (t1 - s1) ** 2 / (n - k)
+        delta = round((t2 - sse_l - sse_r) - (t2 - t1 * t1 / n), 6)
+        if best is None or delta > best[1] + 1e-12:
+            best = (k, delta)
+    assert r["split_index"] == best[0]
+    assert abs(r["delta_sse"] - best[1]) <= 1e-4
+    assert r["n_days"] == n
+
+
+def test_nelson_aalen_brackets_kaplan_meier(spark):
+    """exp(-H(t)) >= KM S(t) at every event time (the classical
+    inequality), cum_hazard is nondecreasing, and the variance is
+    positive and nondecreasing."""
+    na = sorted(
+        QUERIES["survival_nelson_aalen"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["dur_h"],
+    )
+    km = {
+        r["dur_h"]: r["survival"]
+        for r in QUERIES["survival_kaplan_meier"](spark, SF_ORACLE).collect()
+    }
+    assert na and set(r["dur_h"] for r in na) == set(km)
+    prev_h, prev_v = -1.0, -1.0
+    for r in na:
+        assert r["cum_hazard"] >= prev_h - 1e-9
+        assert r["hazard_var"] >= max(prev_v, 0.0) - 1e-9
+        prev_h, prev_v = r["cum_hazard"], r["hazard_var"]
+        assert r["na_survival"] >= km[r["dur_h"]] - 1e-6, r
