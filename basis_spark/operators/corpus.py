@@ -1865,3 +1865,118 @@ def eval_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(2.0 * F.col("ov") / (F.col("r_len") + F.col("c_len")), 6))
         .alias("rouge1_f1"),
     )
+
+
+@register(
+    "corpus_filter_ablation",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS nw,
+             round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS mwl,
+             len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','a','of','to','and','in','is'], t)))
+                 AS stop_hits,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS ttr
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             NOT (nw BETWEEN 20 AND 90) AS f_len,
+             NOT (mwl >= 3.8 AND mwl <= 5.1) AS f_mwl,
+             (stop_hits < 1) AS f_stop,
+             (ttr < 0.3) AS f_ttr,
+             NOT (n_chars BETWEEN 100 AND 450) AS f_band
+      FROM s),
+    u AS (
+      SELECT 'len' AS filter_name, f_len AS fires,
+             (f_len AND NOT f_mwl AND NOT f_stop AND NOT f_ttr AND NOT f_band) AS unique_fire FROM f
+      UNION ALL
+      SELECT 'mwl', f_mwl,
+             (f_mwl AND NOT f_len AND NOT f_stop AND NOT f_ttr AND NOT f_band) FROM f
+      UNION ALL
+      SELECT 'stop', f_stop,
+             (f_stop AND NOT f_len AND NOT f_mwl AND NOT f_ttr AND NOT f_band) FROM f
+      UNION ALL
+      SELECT 'ttr', f_ttr,
+             (f_ttr AND NOT f_len AND NOT f_mwl AND NOT f_stop AND NOT f_band) FROM f
+      UNION ALL
+      SELECT 'band', f_band,
+             (f_band AND NOT f_len AND NOT f_mwl AND NOT f_stop AND NOT f_ttr) FROM f)
+    SELECT filter_name,
+           CAST(sum(CASE WHEN fires THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+           CAST(sum(CASE WHEN unique_fire THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uniquely_rejected,
+           round(sum(CASE WHEN fires THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS rejection_share
+    FROM u GROUP BY 1
+    """,
+)
+def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation report — the table a curation review reads
+    before changing a quality stack: for each of the five document
+    filters (the four Gopher rules plus the length-band filter), how
+    many documents it rejects TOTAL and how many it is the ONLY
+    filter to reject (its unique marginal value). A filter whose
+    unique-rejection count is ~0 is redundant and can be dropped
+    without changing the surviving corpus; one with a large unique
+    mass deserves its own precision audit before shipping.
+
+    Scale: one scan computes every per-doc signal map-side; the
+    5-way unpivot is a row expansion by a CONSTANT factor feeding one
+    filter-keyed agg (map-side combinable, 5-row result). Same
+    6dp-rounded-signal discipline as text_gopher_quality_rules so
+    fire/not-fire can't flip between engines."""
+    from basis_spark.operators.llm import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_STOP_HITS,
+        _GOPHER_MIN_TTR,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _GOPHER_STOPWORDS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    mwl = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks), 6
+    )
+    ttr = F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6)
+    f = docs.select(
+        (~F.size(toks).between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)).alias("f_len"),
+        (~((mwl >= _GOPHER_MWL_LO) & (mwl <= _GOPHER_MWL_HI))).alias("f_mwl"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            < _GOPHER_MIN_STOP_HITS
+        ).alias("f_stop"),
+        (ttr < _GOPHER_MIN_TTR).alias("f_ttr"),
+        (~F.col("n_chars").between(100, 450)).alias("f_band"),
+    )
+    names = ["len", "mwl", "stop", "ttr", "band"]
+    cols = ["f_len", "f_mwl", "f_stop", "f_ttr", "f_band"]
+    u = None
+    for name, col in zip(names, cols):
+        others = [c for c in cols if c != col]
+        uniq = F.col(col)
+        for c in others:
+            uniq = uniq & ~F.col(c)
+        part = f.select(
+            F.lit(name).alias("filter_name"),
+            F.col(col).alias("fires"),
+            uniq.alias("unique_fire"),
+        )
+        u = part if u is None else u.unionAll(part)
+    return u.groupBy("filter_name").agg(
+        F.sum(F.when(F.col("fires"), 1).otherwise(0)).cast("long").alias("n_rejected"),
+        F.sum(F.when(F.col("unique_fire"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_uniquely_rejected"),
+        F.round(
+            F.sum(F.when(F.col("fires"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("rejection_share"),
+    )

@@ -1620,3 +1620,58 @@ def maintenance_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("depth"))
     )
+
+
+@register(
+    "scan_parquet_encoding_stats",
+    oracle=f"""
+    SELECT CAST(row_group_id AS BIGINT) AS row_group,
+           path_in_schema AS column_name,
+           compression,
+           array_to_string(list_sort(string_split(encodings, ', ')), ',')
+               AS encodings,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+           CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes,
+           round(CAST(total_uncompressed_size AS DOUBLE)
+                 / total_compressed_size, 6) AS compression_ratio
+    FROM parquet_metadata('{_ORACLE_SF_DIR}/orders.parquet')
+    """,
+)
+def scan_parquet_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-encoding audit from the parquet footer: per column
+    chunk, the page encodings actually used (did the writer fall out
+    of dictionary encoding into PLAIN on a high-cardinality column?),
+    the codec, and the realized compression ratio — the numbers a
+    storage-layout review reads to decide re-encoding/re-sorting work,
+    companions to the zone-map audits (rowgroup_stats,
+    clustering_depth). Encodings are sorted before comparison so
+    reader-specific footer ordering cannot flake the contract.
+
+    Same metadata posture as the other footer keys: one footer read
+    driver-side here, the binaryFile + mapInPandas fan-out at 100 TB;
+    output stays (row_groups x columns)-sized either way."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            rows.append(
+                (
+                    rg,
+                    col.path_in_schema,
+                    col.compression,
+                    ",".join(sorted(col.encodings)),
+                    col.total_compressed_size,
+                    col.total_uncompressed_size,
+                    round(col.total_uncompressed_size / col.total_compressed_size, 6),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group long, column_name string, compression string,"
+        " encodings string, compressed_bytes long, uncompressed_bytes long,"
+        " compression_ratio double",
+    )

@@ -1792,3 +1792,85 @@ def stat_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2_cc, 6).alias("chi2_cc"),
     )
 
+
+
+_TOST_MARGIN = 2.0  # equivalence margin on the mean gap (value units)
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS grp,
+             count(*) AS n, avg(value) AS m,
+             (avg(value*value) - avg(value)*avg(value)) * count(*)
+                 / (count(*) - 1) AS v
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+    w AS (
+      SELECT max(CASE WHEN grp = 0 THEN m END)
+             - max(CASE WHEN grp = 1 THEN m END) AS diff,
+             sqrt(max(CASE WHEN grp = 0 THEN v / n END)
+                  + max(CASE WHEN grp = 1 THEN v / n END)) AS se,
+             CAST(max(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(max(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1
+      FROM g)
+    SELECT n0, n1, round(diff, 6) AS diff,
+           round(se, 6) AS se,
+           round((diff + {_TOST_MARGIN}) / se, 6) AS t_lower,
+           round(({_TOST_MARGIN} - diff) / se, 6) AS t_upper,
+           (round((diff + {_TOST_MARGIN}) / se, 6) > 1.644854
+            AND round(({_TOST_MARGIN} - diff) / se, 6) > 1.644854)
+               AS equivalent
+    FROM w
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, the Schuirmann
+    procedure): the inference a migration/rollout sign-off actually
+    needs — not "no significant difference" (absence of evidence) but
+    POSITIVE evidence that the two arms' means differ by less than a
+    declared margin. Both one-sided Welch z-statistics must clear the
+    one-sided 95% line (1.644854, pinned normal quantile — honest at
+    these df) for the arms to be declared equivalent within ±{2.0}.
+
+    Scale: one sufficient-stats agg over the filtered stream (map-side
+    combinable), a 2-row pivot, 1-row arithmetic (declared
+    single-partition). Statistics are 6dp-rounded BEFORE the threshold
+    compares so the verdict can't flip on float noise."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        (
+            (F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value"))
+            * F.count(F.lit(1))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+    )
+    w = g.agg(
+        (
+            F.max(F.when(F.col("grp") == 0, F.col("m")))
+            - F.max(F.when(F.col("grp") == 1, F.col("m")))
+        ).alias("diff"),
+        F.sqrt(
+            F.max(F.when(F.col("grp") == 0, F.col("v") / F.col("n")))
+            + F.max(F.when(F.col("grp") == 1, F.col("v") / F.col("n")))
+        ).alias("se"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("n1"),
+    )
+    t_lo = F.round((F.col("diff") + _TOST_MARGIN) / F.col("se"), 6)
+    t_hi = F.round((_TOST_MARGIN - F.col("diff")) / F.col("se"), 6)
+    return w.select(
+        "n0",
+        "n1",
+        F.round("diff", 6).alias("diff"),
+        F.round("se", 6).alias("se"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        ((t_lo > 1.644854) & (t_hi > 1.644854)).alias("equivalent"),
+    )

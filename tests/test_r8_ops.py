@@ -1504,3 +1504,66 @@ def test_nelson_aalen_brackets_kaplan_meier(spark):
         assert r["hazard_var"] >= max(prev_v, 0.0) - 1e-9
         prev_h, prev_v = r["cum_hazard"], r["hazard_var"]
         assert r["na_survival"] >= km[r["dur_h"]] - 1e-6, r
+
+
+def test_encoding_stats_cover_every_column_chunk(spark):
+    """One row per (row_group, column); ratios consistent with the
+    emitted byte counts; dictionary encoding present on the
+    low-cardinality status column."""
+    rows = QUERIES["scan_parquet_encoding_stats"](spark, SF_ORACLE).collect()
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{SF_ORACLE}/orders.parquet").metadata
+    assert len(rows) == md.num_row_groups * md.num_columns
+    for r in rows:
+        assert abs(
+            r["compression_ratio"] - round(r["uncompressed_bytes"] / r["compressed_bytes"], 6)
+        ) <= 1e-6
+    status = [r for r in rows if r["column_name"] == "o_orderstatus"]
+    assert status and all("RLE_DICTIONARY" in r["encodings"] for r in status)
+
+
+def test_tost_agrees_with_welch_inputs(spark):
+    """TOST's diff/se must match a numpy recompute from the raw
+    groups. On this fixture the click-vs-purchase mean gap (~2.64) is
+    LARGER than the ±2.0 margin, so the honest verdict is NOT
+    equivalent — and asymmetrically: the lower one-sided test clears
+    while the upper one fails (the gap is positive), which is exactly
+    the refusal TOST exists to give where a plain t-test would shrug
+    "not significant"."""
+    import numpy as np
+
+    [r] = QUERIES["stat_tost_equivalence"](spark, SF_ORACLE).collect()
+    ev = load(spark, SF_ORACLE, "events").collect()
+    a = np.array([e["value"] for e in ev if e["event_type"] == "click"])
+    b = np.array([e["value"] for e in ev if e["event_type"] == "purchase"])
+    diff = a.mean() - b.mean()
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert (r["n0"], r["n1"]) == (len(a), len(b))
+    assert abs(r["diff"] - round(float(diff), 6)) <= 1e-5
+    assert abs(r["se"] - round(float(se), 6)) <= 1e-5
+    assert r["equivalent"] == (r["t_lower"] > 1.644854 and r["t_upper"] > 1.644854)
+    assert not r["equivalent"]  # gap 2.64 exceeds the 2.0 margin
+    assert r["t_lower"] > 1.644854 and r["t_upper"] < 1.644854  # one-sided asymmetry
+
+
+def test_filter_ablation_accounts_every_rejection(spark):
+    """Unique rejections can never exceed total rejections per filter;
+    totals must match the per-key operators they ablate
+    (text_gopher_quality_rules flags, the kappa length band); and at
+    least one filter must carry nonzero unique mass (otherwise the
+    stack is fully redundant and the table would be flat zeros)."""
+    rows = {r["filter_name"]: r for r in QUERIES["corpus_filter_ablation"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {"len", "mwl", "stop", "ttr", "band"}
+    gopher = QUERIES["text_gopher_quality_rules"](spark, SF_ORACLE).collect()
+    expect = {
+        "len": sum(not r["pass_len"] for r in gopher),
+        "mwl": sum(not r["pass_mwl"] for r in gopher),
+        "stop": sum(not r["pass_stop"] for r in gopher),
+        "ttr": sum(not r["pass_ttr"] for r in gopher),
+    }
+    for name, n in expect.items():
+        assert rows[name]["n_rejected"] == n, name
+    for r in rows.values():
+        assert 0 <= r["n_uniquely_rejected"] <= r["n_rejected"]
+    assert any(r["n_uniquely_rejected"] > 0 for r in rows.values())
