@@ -7001,3 +7001,95 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d_events") > 0)
     )
+
+
+_DPQ_BIN = 100.0  # candidate granularity (acctbal bins)
+
+
+@register(
+    "privacy_dp_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(c_acctbal / {_DPQ_BIN}) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM customer GROUP BY 1),
+    n AS (SELECT sum(cnt) AS n FROM b),
+    c AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin) AS cum
+        FROM b),
+    s AS (
+        SELECT c.bin,
+               -abs(c.cum - n.n / 2.0) AS utility,
+               -abs(c.cum - n.n / 2.0) / 2.0
+               + 2.0 * (-ln(-ln(
+                   CAST(('0x' || substring(md5('dp-q-13' || CAST(c.bin AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0))) AS noisy
+        FROM c CROSS JOIN n),
+    t AS (
+        SELECT bin AS true_bin FROM (
+            SELECT bin, row_number() OVER (ORDER BY abs(cum - n.n / 2.0), bin) AS r
+            FROM c CROSS JOIN n) x WHERE r = 1)
+    SELECT s.bin AS released_bin,
+           round(CAST(s.bin * {_DPQ_BIN} AS DOUBLE), 2) AS bin_lo,
+           round(CAST((s.bin + 1) * {_DPQ_BIN} AS DOUBLE), 2) AS bin_hi,
+           t.true_bin,
+           round(s.utility, 6) AS utility
+    FROM s CROSS JOIN t
+    ORDER BY round(s.noisy, 4) DESC, s.bin LIMIT 1
+    """,
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median via the exponential mechanism
+    (utility = -|rank distance to the median|, sampled with the same
+    Gumbel trick as privacy_dp_noisy_topk) over value bins — the third
+    rung of the DP family: Laplace perturbs counts, noisy-max releases
+    a top-k, THIS releases a quantile without exposing any true rank.
+    Noise is seeded/replayable (md5(seed || bin)), so the release is
+    rerun-stable and strict-oracle-checkable; the true median bin
+    rides along for the pytest utility-loss check (a production
+    release drops it).
+
+    Scale: one bin rollup (map-side combinable, |bins| rows), a
+    cumulative window over the bin spine, map-side noise, and a
+    top-1 (TakeOrderedAndProject). The noisy argmax compares
+    4dp-ROUNDED scores with a bin tie-break so the release can't flip
+    on float noise."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.floor(F.col("c_acctbal") / _DPQ_BIN).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = c.agg(F.sum("cnt").alias("n"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cc = c.withColumn("cum", F.sum("cnt").over(wcum)).crossJoin(F.broadcast(n))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp-q-13"), F.col("bin").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    utility = -F.abs(F.col("cum") - F.col("n") / 2.0)
+    s = cc.select(
+        "bin",
+        utility.alias("utility"),
+        (utility / 2.0 + 2.0 * (-F.log(-F.log(u)))).alias("noisy"),
+    )
+    wt = Window.orderBy(F.abs(F.col("cum") - F.col("n") / 2.0), F.asc("bin"))
+    t = (
+        cc.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") == 1)
+        .select(F.col("bin").alias("true_bin"))
+    )
+    wrel = Window.orderBy(F.desc(F.round("noisy", 4)), F.asc("bin"))
+    return (
+        s.withColumn("rr", F.row_number().over(wrel))
+        .filter(F.col("rr") == 1)
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("bin").alias("released_bin"),
+            F.round(F.col("bin") * _DPQ_BIN, 2).alias("bin_lo"),
+            F.round((F.col("bin") + 1) * _DPQ_BIN, 2).alias("bin_hi"),
+            "true_bin",
+            F.round("utility", 6).alias("utility"),
+        )
+    )

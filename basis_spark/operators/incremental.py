@@ -735,3 +735,44 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(purchases, cond, "left").select(
         "click_id", "user_id", "purchase_id", "purchase_value"
     )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    r AS (SELECT ws, event_type, n,
+                 row_number() OVER (PARTITION BY ws
+                                    ORDER BY n DESC, event_type) AS rnk
+          FROM c)
+    SELECT ws, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour — the 'trending now' query.
+    Ranking is not supported INSIDE a streaming aggregation, so the
+    production shape (mirrored by streaming.jobs.stream_topk_counts
+    and pinned equal by tests/test_stream_batch_equiv.py) is the
+    standard two-stage split: the streaming stage maintains the
+    (window, key) counts — incremental, watermark-boundable state —
+    and the rank-and-prune runs DOWNSTREAM on the emitted aggregate,
+    which is windows x event-types sized, not event-sized. This batch
+    form is the hash-checked equivalent: one (window, type) agg, one
+    WindowGroupLimit rank over the aggregate."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    wr = Window.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("ws", "event_type", F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )

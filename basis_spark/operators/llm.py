@@ -5137,3 +5137,118 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("wins", F.lit(0.0), lambda s, v: s + v) / F.size("wins"), 6
         ).alias("mattr"),
     )
+
+
+_CALIB_K = 16  # minhash permutations for the estimator-quality check
+
+
+@register(
+    "dedup_minhash_estimator_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, length(text) - 1)]) AS sh
+      FROM documents WHERE doc_id < {_TUNE_SAMPLE_MAX_ID}),
+    mh AS (
+      SELECT s.doc_id, k.k,
+             min(md5(CAST(k.k AS VARCHAR) || ':' || u.g)) AS mh
+      FROM s, unnest(s.sh) AS u(g),
+           (SELECT unnest(range({_CALIB_K})) AS k) k
+      GROUP BY s.doc_id, k.k),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)), 6) AS jac
+      FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang),
+    est AS (
+      SELECT p.i, p.j, p.jac,
+             round(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                   / CAST({_CALIB_K} AS DOUBLE), 6) AS est_j
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.i
+      JOIN mh mb ON mb.doc_id = p.j AND mb.k = ma.k
+      GROUP BY p.i, p.j, p.jac)
+    SELECT CAST(floor(jac * 10) AS INT) AS jac_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jac), 6) AS mean_exact,
+           round(avg(est_j), 6) AS mean_estimate,
+           round(avg(est_j) - avg(jac), 6) AS bias
+    FROM est GROUP BY 1
+    """,
+)
+def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the companion audit to
+    dedup_minhash_band_tuning: does the signature-agreement estimate
+    (matching minhashes / K) actually track exact Jaccard on THIS
+    corpus's shingle distribution? Per exact-Jaccard decile band, the
+    mean exact J, the mean K={_CALIB_K} estimate, and the realized
+    bias — the plot that justifies (or indicts) the signature length
+    before a production dedup trusts it. The estimator is unbiased in
+    theory (P[min-match] = J exactly); the finite-K bias per band is
+    what this table measures.
+
+    Determinism: 'permutations' are md5(k || ':' || shingle) with the
+    lexicographic min over hex strings — identical on both engines,
+    no RNG. Scale contract: like band_tuning, the exact-J quadratic
+    runs ONLY on the declared calibration sample; the signature
+    computation itself is the linear-time production shape (one
+    shingle explode x K, map-side min agg)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _TUNE_SAMPLE_MAX_ID) & (F.length("text") >= 3))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("sh"),
+        )
+    )
+    mh = (
+        docs.select("doc_id", F.explode("sh").alias("g"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(_CALIB_K - 1))))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("g")))
+            ).alias("mh")
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("i"), F.col("lang").alias("lang_a"), F.col("sh").alias("sa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("j"), F.col("lang").alias("lang_b"), F.col("sh").alias("sb")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")),
+        6,
+    )
+    pairs = a.join(
+        b, (F.col("i") < F.col("j")) & (F.col("lang_a") == F.col("lang_b"))
+    ).select("i", "j", jac.alias("jac"))
+    ma = mh.select(F.col("doc_id").alias("i"), F.col("k").alias("ka"), F.col("mh").alias("mha"))
+    mb = mh.select(F.col("doc_id").alias("j_b"), F.col("k").alias("kb"), F.col("mh").alias("mhb"))
+    est = (
+        pairs.join(ma, "i")
+        .join(mb, (F.col("j") == F.col("j_b")) & (F.col("ka") == F.col("kb")))
+        .groupBy("i", "j", "jac")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0))
+                / F.lit(float(_CALIB_K)),
+                6,
+            ).alias("est_j")
+        )
+    )
+    return est.groupBy(F.floor(F.col("jac") * 10).cast("int").alias("jac_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("jac"), 6).alias("mean_exact"),
+        F.round(F.avg("est_j"), 6).alias("mean_estimate"),
+        F.round(F.avg("est_j") - F.avg("jac"), 6).alias("bias"),
+    )

@@ -547,3 +547,29 @@ def stream_click_purchase_left_join(
         "click_id", "user_id", "click_ts", "purchase_id", "purchase_value"
     )
     return _run_to_memory(joined, "append")
+
+
+def stream_topk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of stream_topk_per_window: the stream maintains
+    ONLY the (window, event_type) counts (complete mode, same
+    trailing-window reasoning as stream_tumbling_counts); the top-3
+    rank runs on the emitted aggregate AFTER the stream — ranking
+    inside a streaming agg is unsupported, and doing it downstream on
+    the windows x types relation is the production two-stage shape."""
+    from pyspark.sql import Window
+
+    chunk_dir, _ = split_events_to_chunks(spark, sf_dir)
+    s = _read_stream(spark, chunk_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    counts = _run_to_memory(agg, "complete")
+    wr = Window.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("ws", "event_type", F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -1567,3 +1567,54 @@ def test_filter_ablation_accounts_every_rejection(spark):
     for r in rows.values():
         assert 0 <= r["n_uniquely_rejected"] <= r["n_rejected"]
     assert any(r["n_uniquely_rejected"] > 0 for r in rows.values())
+
+
+def test_stream_topk_ranks_are_dense_and_correct(spark):
+    """Per window: ranks are 1..3 (or fewer when fewer types exist),
+    counts nonincreasing in rank, and the top-1 matches a brute
+    recount of that window."""
+    rows = QUERIES["stream_topk_per_window"](spark, SF_ORACLE).collect()
+    by_ws: dict = {}
+    for r in rows:
+        by_ws.setdefault(r["ws"], []).append(r)
+    ev = load(spark, SF_ORACLE, "events").collect()
+    from collections import Counter
+
+    truth: dict = {}
+    for e in ev:
+        ws = e["ts"].replace(minute=0, second=0, microsecond=0)
+        truth.setdefault(ws, Counter())[e["event_type"]] += 1
+    assert set(by_ws) == set(truth)
+    for ws, rs in by_ws.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i]["n"] >= rs[i + 1]["n"] for i in range(len(rs) - 1))
+        best_n = max(truth[ws].values())
+        expect_top = min(t for t, c in truth[ws].items() if c == best_n)
+        assert (rs[0]["event_type"], rs[0]["n"]) == (expect_top, best_n), ws
+
+
+def test_dp_quantile_release_is_replayable_and_near_median(spark):
+    """Two runs release the same bin (seeded noise); the utility-loss
+    |released - true| must be small (the exponential mechanism
+    concentrates near the argmax — on this fixture within a few
+    bins)."""
+    [a] = QUERIES["privacy_dp_quantile"](spark, SF_ORACLE).collect()
+    [b] = QUERIES["privacy_dp_quantile"](spark, SF_ORACLE).collect()
+    assert tuple(a) == tuple(b)
+    assert abs(a["released_bin"] - a["true_bin"]) <= 5
+    assert a["bin_hi"] - a["bin_lo"] == 100.0
+
+
+def test_minhash_calibration_is_unbiased_within_mc_error(spark):
+    """Across bands the estimate must track exact J: |bias| bounded by
+    ~2 standard errors of a K=16 Bernoulli mean over the band's pairs,
+    estimates in [0,1], and bands must cover the sample's J range."""
+    rows = QUERIES["dedup_minhash_estimator_calibration"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mean_estimate"] <= 1.0
+        p = max(min(r["mean_exact"], 1 - 1e-9), 1e-9)
+        se = (p * (1 - p) / (16 * r["n_pairs"])) ** 0.5
+        assert abs(r["bias"]) <= max(3 * se, 0.08), r
+    assert len(rows) >= 3  # the sample spans several J deciles

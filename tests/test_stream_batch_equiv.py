@@ -223,3 +223,10 @@ def test_stream_left_outer_join_equals_batch_to_horizon(spark):
         if r[0] in old_ids
     ]
     assert s_null == b_null and len(b_null) > 0
+
+
+def test_stream_topk_equals_batch(spark):
+    stream = jobs.stream_topk_counts(spark, SF_SMALL)
+    batch = incremental.stream_topk_per_window(spark, SF_SMALL)
+    cols = ["ws", "event_type", "n", "rnk"]
+    assert _rows(stream, cols) == _rows(batch, cols)
