@@ -1408,3 +1408,66 @@ def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_samples long,"
         " mean_amp double, sum_abs long",
     )
+
+
+def _tile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "tile_row": [], "tile_col": [],
+            "luma_sum": [], "luma_min": [], "luma_max": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            w, h, px = decode_ppm(synth_ppm(int(doc_id)))
+            tiles: dict[tuple[int, int], list[int]] = {}
+            for i in range(w * h):
+                y = (77 * px[3 * i] + 150 * px[3 * i + 1] + 29 * px[3 * i + 2]) >> 8
+                tiles.setdefault((i // w // 4, (i % w) // 4), []).append(y)
+            for (tr, tc), ys in sorted(tiles.items()):
+                out["doc_id"].append(doc_id)
+                out["tile_row"].append(tr)
+                out["tile_col"].append(tc)
+                out["luma_sum"].append(sum(ys))
+                out["luma_min"].append(min(ys))
+                out["luma_max"].append(max(ys))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_image_tile_stats",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (i.range // 8) // 4 AS tile_row,
+             (i.range % 8) // 4 AS tile_col,
+             ((77 * ((d.doc_id * 31 + i.range) % 256)
+             + 150 * ((d.doc_id * 31 + i.range + 85) % 256)
+             + 29 * ((d.doc_id * 31 + i.range + 170) % 256)) // 256) AS y
+      FROM documents d, range(64) i)
+    SELECT doc_id, CAST(tile_row AS BIGINT) AS tile_row,
+           CAST(tile_col AS BIGINT) AS tile_col,
+           CAST(sum(y) AS BIGINT) AS luma_sum,
+           CAST(min(y) AS BIGINT) AS luma_min,
+           CAST(max(y) AS BIGINT) AS luma_max
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch/tile feature extraction over REAL PPM decodes — the
+    vision-transformer prep step: each 8x8 image splits into a 2x2
+    grid of 4x4 tiles and every tile emits integer luma sum/min/max
+    (per-tile exposure + contrast, the signals a multimodal curation
+    pass thresholds to drop flat or blown-out patches before paying
+    for embedding). Luma is the same exact fixed-point
+    (77R+150G+29B)>>8 as the histogram key, so the oracle recomputes
+    the decoder's output with pure integer SQL.
+
+    Scale: mapInPandas over Arrow batches of doc ids; per-doc output
+    is a CONSTANT 4 rows (tiles), so the stage is a bounded map-side
+    expansion with no shuffle at all — grouping happens inside the
+    UDF per image, never across images."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _tile_batches,
+        schema="doc_id long, tile_row long, tile_col long,"
+        " luma_sum long, luma_min long, luma_max long",
+    )

@@ -1874,3 +1874,98 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_hi.alias("t_upper"),
         ((t_lo > 1.644854) & (t_hi > 1.644854)).alias("equivalent"),
     )
+
+
+@register(
+    "stat_qini_uplift_deciles",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}' THEN 1 ELSE 0 END)
+                 AS score,
+             max(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1),
+    d AS (SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile FROM u),
+    g AS (
+      SELECT decile,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS x_t,
+             sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS x_c
+      FROM d GROUP BY 1)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+           CAST(x_t AS BIGINT) AS x_t, CAST(x_c AS BIGINT) AS x_c,
+           CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE round(CAST(x_t AS DOUBLE) / n_t
+                           - CAST(x_c AS DOUBLE) / n_c, 6) END AS uplift,
+           CASE WHEN sum(n_c) OVER w = 0 THEN NULL
+                ELSE round(sum(x_t) OVER w
+                     - sum(x_c) OVER w
+                       * (sum(n_t) OVER w / CAST(sum(n_c) OVER w AS DOUBLE)), 6)
+           END AS qini
+    FROM g
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def stat_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift-by-decile table — how targeting models are
+    evaluated: rank units by a score (here pre-period activity),
+    decile them, and per decile compare treatment vs control
+    conversion (uplift) plus the cumulative Qini curve
+    Q_k = cum(x_t) - cum(x_c) * cum(n_t)/cum(n_c) — the area under
+    which is the standard uplift-model metric. On this fixture the
+    arms are synthetic (user parity) so uplift ~ 0 per decile; the
+    pytest pins that honest null alongside the cell identities.
+
+    Scale: one user-grain rollup; the decile rank at 100 TB rides the
+    global_rank scaffold / approx cutpoints (this form uses the plain
+    ntile over the per-user table, declared single-partition like the
+    other per-user-spine windows); everything after is a 10-row
+    windowed fold."""
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("ts") >= split) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        "user_id", (F.col("user_id") % 2).alias("arm"), "score", "converted"
+    )
+    wd = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    d = u.withColumn("decile", F.ntile(10).over(wd))
+    g = d.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("x_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("x_c"),
+    )
+    wq = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("x_t").cast("long").alias("x_t"),
+        F.col("x_c").cast("long").alias("x_c"),
+        F.when(
+            (F.col("n_t") == 0) | (F.col("n_c") == 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.col("x_t").cast("double") / F.col("n_t")
+                - F.col("x_c").cast("double") / F.col("n_c"),
+                6,
+            )
+        ).alias("uplift"),
+        F.when(F.sum("n_c").over(wq) == 0, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.sum("x_t").over(wq)
+                - F.sum("x_c").over(wq)
+                * (F.sum("n_t").over(wq) / F.sum("n_c").over(wq).cast("double")),
+                6,
+            )
+        ).alias("qini"),
+    )

@@ -302,6 +302,7 @@ _SINGLE_PARTITION_OK = {
     "survival_nelson_aalen",  # risk-table windows over the bounded duration spine (same as KM)
     "stat_tost_equivalence",  # 2-row arm pivot -> 1-row TOST arithmetic (same as ttest_welch)
     "privacy_dp_quantile",   # cumulative/argmax windows over the |bins|-sized candidate spine
+    "stat_qini_uplift_deciles",  # ntile over the per-user rollup (global_rank is the 100 TB form)
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

@@ -1618,3 +1618,44 @@ def test_minhash_calibration_is_unbiased_within_mc_error(spark):
         se = (p * (1 - p) / (16 * r["n_pairs"])) ** 0.5
         assert abs(r["bias"]) <= max(3 * se, 0.08), r
     assert len(rows) >= 3  # the sample spans several J deciles
+
+
+def test_tile_stats_match_direct_decode(spark):
+    """Recompute every doc's tile stats straight from the synthetic
+    pixel formula; 4 tiles per doc; min <= mean <= max."""
+    rows = QUERIES["multimodal_image_tile_stats"](spark, SF_ORACLE).collect()
+    docs = [r["doc_id"] for r in load(spark, SF_ORACLE, "documents").select("doc_id").collect()]
+    assert len(rows) == 4 * len(docs)
+    got = {(r["doc_id"], r["tile_row"], r["tile_col"]): r for r in rows}
+    for d in docs[:50]:
+        tiles: dict = {}
+        for i in range(64):
+            y = (
+                77 * ((d * 31 + i) % 256)
+                + 150 * ((d * 31 + i + 85) % 256)
+                + 29 * ((d * 31 + i + 170) % 256)
+            ) >> 8
+            tiles.setdefault((i // 8 // 4, (i % 8) // 4), []).append(y)
+        for (tr, tc), ys in tiles.items():
+            r = got[(d, tr, tc)]
+            assert (r["luma_sum"], r["luma_min"], r["luma_max"]) == (
+                sum(ys), min(ys), max(ys)
+            ), (d, tr, tc)
+            assert r["luma_min"] <= r["luma_sum"] / 16 <= r["luma_max"]
+
+
+def test_qini_cells_partition_users_and_null_on_synthetic_arms(spark):
+    """Decile cells must partition the user base, the qini fold must
+    equal a pure-Python recompute from the cells, and on parity-split
+    arms (no real treatment) the final qini must be near zero relative
+    to the total conversion mass."""
+    rows = sorted(QUERIES["stat_qini_uplift_deciles"](spark, SF_ORACLE).collect(), key=lambda r: r["decile"])
+    n_users = load(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_users
+    ct = cc = nt = nc = 0
+    for r in rows:
+        ct += r["x_t"]; cc += r["x_c"]; nt += r["n_t"]; nc += r["n_c"]
+        if r["qini"] is not None and nc > 0:
+            assert abs(r["qini"] - round(ct - cc * (nt / nc), 6)) <= 1e-6, r
+    total_conv = ct + cc
+    assert abs(rows[-1]["qini"]) <= 0.2 * total_conv  # null-effect arms
