@@ -1980,3 +1980,93 @@ def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rejection_share"),
     )
+
+
+_BATCH_B = 16
+
+
+@register(
+    "corpus_length_batching_waste",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // {_BATCH_B}
+                 AS batch_sorted,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 32) AS batch_random
+      FROM d),
+    s AS (
+      SELECT 'length_sorted' AS strategy, batch_sorted AS batch_id,
+             count(*) AS n_docs, max(n_tok) AS max_tok, sum(n_tok) AS sum_tok
+      FROM ranked GROUP BY 2
+      UNION ALL
+      SELECT 'hash_random', batch_random,
+             count(*), max(n_tok), sum(n_tok)
+      FROM ranked GROUP BY 2)
+    SELECT strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_docs * max_tok) AS BIGINT) AS padded_tokens,
+           CAST(sum(sum_tok) AS BIGINT) AS real_tokens,
+           round(1.0 - sum(sum_tok) / CAST(sum(n_docs * max_tok) AS DOUBLE), 6)
+               AS padding_waste
+    FROM s GROUP BY 1
+    """,
+)
+def corpus_length_batching_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted batching vs random batching — the padding-waste
+    accounting behind every inference/training server's bucketing
+    decision: a batch pads every sequence to its longest member, so
+    sorting by length before batching (batch = rank // B) collapses
+    the waste that content-hash 'random' batches pay. Emits, per
+    strategy, the padded vs real token mass and the waste fraction —
+    the number that justifies adding a sort stage to a serving
+    pipeline (the pytest pins sorted-waste < random-waste).
+
+    Scale: the length-sorted rank at 100 TB rides the global_rank
+    scaffold (this form's window over the doc-grain table is the
+    sf-bounded stand-in, declared single-partition); the random
+    strategy is a pure map-side hash. Both fold to |batches|-row
+    aggregates then a 2-row summary."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.orderBy("n_tok", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "n_tok",
+        ((F.row_number().over(w) - 1) / _BATCH_B).cast("long").alias("batch_sorted"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 32
+        ).alias("batch_random"),
+    )
+
+    def fold(batch_col: str, name: str) -> DataFrame:
+        return (
+            ranked.groupBy(batch_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("n_tok").alias("max_tok"),
+                F.sum("n_tok").alias("sum_tok"),
+            )
+            .agg(
+                F.lit(name).alias("strategy"),
+                F.count(F.lit(1)).cast("long").alias("n_batches"),
+                F.sum(F.col("n_docs") * F.col("max_tok")).cast("long").alias("padded_tokens"),
+                F.sum("sum_tok").cast("long").alias("real_tokens"),
+                F.round(
+                    1.0
+                    - F.sum("sum_tok")
+                    / F.sum(F.col("n_docs") * F.col("max_tok")).cast("double"),
+                    6,
+                ).alias("padding_waste"),
+            )
+            .select("strategy", "n_batches", "padded_tokens", "real_tokens", "padding_waste")
+        )
+
+    return fold("batch_sorted", "length_sorted").unionAll(
+        fold("batch_random", "hash_random")
+    )

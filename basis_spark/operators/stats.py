@@ -1969,3 +1969,101 @@ def stat_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("qini"),
     )
+
+
+_BRIER_BINS = 10
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH p AS (
+      SELECT round(least(value, 100.0) / 100.0, 6) AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    n AS (SELECT count(*) AS n, avg(y) AS ybar FROM p),
+    b AS (
+      SELECT least(CAST(floor(pred * {_BRIER_BINS}) AS INT), {_BRIER_BINS} - 1)
+                 AS bin,
+             count(*) AS nk, avg(pred) AS pbar, avg(y) AS obar
+      FROM p GROUP BY 1),
+    parts AS (
+      SELECT (SELECT avg((pred - y) * (pred - y)) FROM p) AS brier,
+             (SELECT sum(nk * (pbar - obar) * (pbar - obar)) FROM b)
+                 / (SELECT n FROM n) AS reliability,
+             (SELECT sum(nk * (obar - (SELECT ybar FROM n))
+                              * (obar - (SELECT ybar FROM n))) FROM b)
+                 / (SELECT n FROM n) AS resolution,
+             (SELECT ybar * (1 - ybar) FROM n) AS uncertainty
+      )
+    SELECT round(brier, 6) AS brier,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round(uncertainty, 6) AS uncertainty,
+           round(reliability - resolution + uncertainty, 6) AS decomposed
+    FROM parts
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition — the classifier-
+    quality breakdown beyond a single number: brier = reliability
+    (calibration error mass) - resolution (how much the bins separate
+    outcomes) + uncertainty (the irreducible base-rate variance).
+    Complements eval_calibration_bins (which emits the per-bin table;
+    this emits the decomposition identities a model report quotes).
+    Predictions are the deterministic value/100 score (clipped to 1),
+    outcome = purchase — the fixture's stand-in for any scored binary.
+
+    The decomposition identity holds EXACTLY only when pbar per bin
+    equals the bin's true forecast values; with binned continuous
+    preds there is a small within-bin variance residual — the pytest
+    pins |brier - decomposed| to that residual's scale rather than
+    pretending exact equality. Scale: one scan feeds a 1-row moment
+    agg and a {_BRIER_BINS}-row bin agg (both map-side combinable);
+    everything else is arithmetic on those (declared
+    single-partition)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.select(
+        F.round(F.least(F.col("value"), F.lit(100.0)) / 100.0, 6).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    n = p.agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("ybar"))
+    b = p.groupBy(
+        F.least(
+            F.floor(F.col("pred") * _BRIER_BINS).cast("int"), F.lit(_BRIER_BINS - 1)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.avg("pred").alias("pbar"),
+        F.avg("y").alias("obar"),
+    )
+    brier = p.agg(
+        F.avg((F.col("pred") - F.col("y")) * (F.col("pred") - F.col("y"))).alias("brier")
+    )
+    parts = b.crossJoin(F.broadcast(n)).agg(
+        (
+            F.sum(
+                F.col("nk") * (F.col("pbar") - F.col("obar")) * (F.col("pbar") - F.col("obar"))
+            )
+            / F.max("n")
+        ).alias("reliability"),
+        (
+            F.sum(
+                F.col("nk") * (F.col("obar") - F.col("ybar")) * (F.col("obar") - F.col("ybar"))
+            )
+            / F.max("n")
+        ).alias("resolution"),
+        F.max(F.col("ybar") * (1 - F.col("ybar"))).alias("uncertainty"),
+    )
+    return (
+        brier.crossJoin(F.broadcast(parts))
+        .select(
+            F.round("brier", 6).alias("brier"),
+            F.round("reliability", 6).alias("reliability"),
+            F.round("resolution", 6).alias("resolution"),
+            F.round("uncertainty", 6).alias("uncertainty"),
+            F.round(
+                F.col("reliability") - F.col("resolution") + F.col("uncertainty"), 6
+            ).alias("decomposed"),
+        )
+    )

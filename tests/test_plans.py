@@ -303,6 +303,9 @@ _SINGLE_PARTITION_OK = {
     "stat_tost_equivalence",  # 2-row arm pivot -> 1-row TOST arithmetic (same as ttest_welch)
     "privacy_dp_quantile",   # cumulative/argmax windows over the |bins|-sized candidate spine
     "stat_qini_uplift_deciles",  # ntile over the per-user rollup (global_rank is the 100 TB form)
+    "corpus_length_batching_waste",  # length-rank window over the doc-grain table + 2x1-row summaries
+    "eval_brier_decomposition",  # 1-row moment combines over the bin/base-rate tables
+    "text_source_jsd",       # 1-row corpus-total combine over the vocab-sized count table
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

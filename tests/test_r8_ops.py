@@ -1659,3 +1659,67 @@ def test_qini_cells_partition_users_and_null_on_synthetic_arms(spark):
             assert abs(r["qini"] - round(ct - cc * (nt / nc), 6)) <= 1e-6, r
     total_conv = ct + cc
     assert abs(rows[-1]["qini"]) <= 0.2 * total_conv  # null-effect arms
+
+
+def test_length_batching_beats_random_and_conserves_tokens(spark):
+    """The operator's thesis: length-sorted batching wastes strictly
+    less padding than hash-random batching; both strategies conserve
+    the real token mass; waste fractions in [0, 1)."""
+    rows = {r["strategy"]: r for r in QUERIES["corpus_length_batching_waste"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {"length_sorted", "hash_random"}
+    total = load(spark, SF_ORACLE, "documents").select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    for r in rows.values():
+        assert r["real_tokens"] == total
+        assert r["padded_tokens"] >= r["real_tokens"]
+        assert 0.0 <= r["padding_waste"] < 1.0
+    assert rows["length_sorted"]["padding_waste"] < rows["hash_random"]["padding_waste"]
+
+
+def test_brier_decomposition_identity_and_numpy(spark):
+    """brier matches a numpy recompute exactly; the Murphy identity
+    holds up to the within-bin variance residual (binned continuous
+    preds); all components nonnegative."""
+    import numpy as np
+
+    [r] = QUERIES["eval_brier_decomposition"](spark, SF_ORACLE).collect()
+    ev = load(spark, SF_ORACLE, "events").collect()
+    pred = np.round(np.minimum([e["value"] for e in ev], 100.0) / 100.0, 6)
+    y = np.array([1.0 if e["event_type"] == "purchase" else 0.0 for e in ev])
+    assert abs(r["brier"] - round(float(np.mean((pred - y) ** 2)), 6)) <= 1e-6
+    for k in ("reliability", "resolution", "uncertainty"):
+        assert r[k] >= 0.0
+    # residual = within-bin pred variance; bins are 0.1 wide -> <= 0.01/4
+    assert abs(r["brier"] - r["decomposed"]) <= 0.0025 + 1e-6
+
+
+def test_source_jsd_bounds_and_scipy_free_reference(spark):
+    """JSD in [0, ln 2]; recompute one source's divergence with plain
+    Counters (including absent-word closed form) and match at 6dp."""
+    import math
+    from collections import Counter
+
+    rows = {r["source"]: r for r in QUERIES["text_source_jsd"](spark, SF_ORACLE).collect()}
+    docs = load(spark, SF_ORACLE, "documents").collect()
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        corpus.update(t)
+        per_src.setdefault(d["source"], Counter()).update(t)
+    tq = sum(corpus.values())
+    for src, cnt in list(per_src.items())[:5]:
+        tp = sum(cnt.values())
+        jsd = 0.0
+        q_cov = 0.0
+        for w, c in cnt.items():
+            p, q = c / tp, corpus[w] / tq
+            m = (p + q) / 2
+            jsd += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+            q_cov += 0.5 * q
+        jsd += 0.5 * (1.0 - q_cov) * math.log(2.0)
+        assert abs(rows[src]["jsd"] - round(jsd, 6)) <= 1e-5, src
+        assert rows[src]["n_tokens"] == tp
+    for r in rows.values():
+        assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
