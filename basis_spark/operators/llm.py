@@ -5334,3 +5334,64 @@ def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jsd_partial") + 0.5 * (1.0 - F.col("q_covered")) * math.log(2.0), 6
         ).alias("jsd"),
     )
+
+
+_HARDNEG_K = 5
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH d AS (
+      SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+             e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> x[1]::DOUBLE * x[2]::DOUBLE)), 6) AS cos
+      FROM embeddings q JOIN embeddings e
+        ON e.vec_id <> q.vec_id AND e.label <> q.label
+      WHERE q.vec_id < 20),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY cos DESC, neg_id) AS rn FROM d)
+    SELECT q_vec_id, q_label, neg_id, neg_label, cos, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= {_HARDNEG_K}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data step that
+    turns a labeled corpus into triplets: for each anchor query, the
+    top-k most-similar vectors with a DIFFERENT label (maximally
+    confusing negatives; random negatives are too easy and the
+    encoder stops learning). Same bounded-anchor broadcast +
+    WindowGroupLimit shape as eval_retrieval_precision_at_k, with the
+    label-disagreement predicate pushed INTO the join so same-label
+    pairs never materialize. Cosines round to 6dp before ranking;
+    ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("q_vec_id")) & (F.col("label") != F.col("q_label")),
+    ).select(
+        "q_vec_id",
+        "q_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.round(dot, 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HARDNEG_K)
+        .select(
+            "q_vec_id", "q_label", "neg_id", "neg_label", "cos",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -1471,3 +1471,67 @@ def multimodal_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, tile_row long, tile_col long,"
         " luma_sum long, luma_min long, luma_max long",
     )
+
+
+_SILENCE_THR = 800  # |amplitude| >= THR counts as signal
+
+
+def _trim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "n_samples": [], "first_loud": [],
+            "last_loud": [], "n_kept": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            _rate, n, samples = decode_wav(make_wav(synth_wav_samples(int(doc_id))))
+            loud = [k for k, s in enumerate(samples) if abs(s) >= _SILENCE_THR]
+            first = loud[0] if loud else -1
+            last = loud[-1] if loud else -1
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["first_loud"].append(first)
+            out["last_loud"].append(last)
+            out["n_kept"].append(last - first + 1 if loud else 0)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_silence_trim",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id, k.range AS k,
+             ((d.doc_id * 37 + k.range * 11) % 2001) - 1000 AS amp
+      FROM documents d, range(64) k),
+    loud AS (
+      SELECT doc_id,
+             min(CASE WHEN abs(amp) >= {_SILENCE_THR} THEN k END) AS first_loud,
+             max(CASE WHEN abs(amp) >= {_SILENCE_THR} THEN k END) AS last_loud
+      FROM s GROUP BY 1)
+    SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
+           CAST(coalesce(first_loud, -1) AS BIGINT) AS first_loud,
+           CAST(coalesce(last_loud, -1) AS BIGINT) AS last_loud,
+           CAST(CASE WHEN first_loud IS NULL THEN 0
+                     ELSE last_loud - first_loud + 1 END AS BIGINT) AS n_kept
+    FROM loud
+    """,
+)
+def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim over REAL PCM WAV decodes — the
+    first preprocessing step of every speech pipeline (silence carries
+    no training signal but costs the same bytes/compute): per clip,
+    the first and last samples whose |amplitude| clears the threshold
+    and the span kept after trimming. Runs on the same decode path as
+    the RMS-frames key; the oracle replays the synthetic generator's
+    pure integer arithmetic, so a decoder regression (wrong
+    endianness, off-by-one sample) flips first/last indices and
+    hash-fails.
+
+    Scale: mapInPandas over Arrow doc batches, one output row per
+    clip, no shuffle; at 100 TB this is the same embarrassingly
+    parallel decode-and-summarize pass as every multimodal key."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        _trim_batches,
+        schema="doc_id long, n_samples long, first_loud long,"
+        " last_loud long, n_kept long",
+    )

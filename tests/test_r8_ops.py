@@ -1723,3 +1723,55 @@ def test_source_jsd_bounds_and_scipy_free_reference(spark):
         assert rows[src]["n_tokens"] == tp
     for r in rows.values():
         assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
+
+
+def test_hard_negatives_exclude_anchor_label_and_order(spark):
+    """No mined negative may share the anchor's label, ranks are dense
+    1..k, cosines nonincreasing, and the top negative matches a brute
+    numpy scan."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["similarity_hard_negatives"](spark, SF_ORACLE).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["neg_label"] != r["q_label"], r
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    assert len(by_q) == 20
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = list(t.column("vec_id").to_pylist())
+    labels = list(t.column("label").to_pylist())
+    idx = {v: i for i, v in enumerate(ids)}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i]["cos"] >= rs[i + 1]["cos"] for i in range(len(rs) - 1))
+        ql = labels[idx[q]]
+        cos = X @ X[idx[q]]
+        cand = [
+            (round(float(cos[i]), 6), ids[i])
+            for i in range(len(ids))
+            if ids[i] != q and labels[i] != ql
+        ]
+        best = max(cand, key=lambda t: (t[0], -t[1]))
+        assert (rs[0]["cos"], rs[0]["neg_id"]) == best, q
+
+
+def test_silence_trim_matches_generator(spark):
+    """first/last/kept recomputed from the synthetic PCM formula for
+    every doc; kept span brackets every loud sample."""
+    rows = QUERIES["multimodal_audio_silence_trim"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        loud = [
+            k
+            for k in range(64)
+            if abs(((d * 37 + k * 11) % 2001) - 1000) >= 800
+        ]
+        if loud:
+            assert (r["first_loud"], r["last_loud"]) == (loud[0], loud[-1]), d
+            assert r["n_kept"] == loud[-1] - loud[0] + 1
+        else:
+            assert (r["first_loud"], r["last_loud"], r["n_kept"]) == (-1, -1, 0)
