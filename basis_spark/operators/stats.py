@@ -2067,3 +2067,98 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decomposed"),
         )
     )
+
+
+@register(
+    "stat_posthoc_pairwise_bonferroni",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             sum(value * value) AS ss, sum(value) AS s
+      FROM events GROUP BY 1),
+    pool AS (
+      SELECT sum(ss - s * s / n) / sum(n - 1) AS mse,
+             count(*) AS k
+      FROM g),
+    pairs AS (
+      SELECT a.event_type AS grp_a, b.event_type AS grp_b,
+             a.m - b.m AS diff,
+             sqrt(pool.mse * (1.0 / a.n + 1.0 / b.n)) AS se,
+             pool.k * (pool.k - 1) / 2 AS m_tests
+      FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN pool)
+    SELECT grp_a, grp_b,
+           round(diff, 6) AS diff,
+           round(se, 6) AS se,
+           round(abs(diff) / se, 6) AS z_stat,
+           round(2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * (abs(diff) / se)))), 6)
+               AS p_raw,
+           round(least(1.0,
+                 CAST(m_tests AS DOUBLE)
+                 * 2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * (abs(diff) / se))))), 6)
+               AS p_bonferroni,
+           (round(least(1.0,
+                 CAST(m_tests AS DOUBLE)
+                 * 2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * (abs(diff) / se))))), 6)
+            <= 0.05) AS reject
+    FROM pairs
+    """,
+)
+def stat_posthoc_pairwise_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc pairwise comparisons after a significant one-way ANOVA
+    (stat_anova_oneway says SOME group mean differs; THIS says which
+    pairs): all k(k-1)/2 group-pair mean gaps tested against the
+    pooled within-group variance, with the Bonferroni family-wise
+    correction (p * m, capped at 1) — the conservative cousin of
+    Tukey's HSD that needs no studentized-range table, so it stays
+    closed-form and engine-exact. p-values use the same logistic
+    normal-CDF approximation as stat_benjamini_hochberg (honest at
+    these per-group n).
+
+    Scale: one sufficient-stats agg over the stream (map-side
+    combinable), a 1-row pooled-variance combine (declared
+    single-partition), then a |groups|^2 self-join on the 5-row group
+    table — all metadata-sized after the single scan."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum("value").alias("s"),
+    )
+    pool = g.agg(
+        (
+            F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / F.sum(F.col("n") - 1)
+        ).alias("mse"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    a = g.select(
+        F.col("event_type").alias("grp_a"), F.col("n").alias("na"), F.col("m").alias("ma")
+    )
+    b = g.select(
+        F.col("event_type").alias("grp_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(pool))
+        .select(
+            "grp_a",
+            "grp_b",
+            (F.col("ma") - F.col("mb")).alias("diff"),
+            F.sqrt(F.col("mse") * (1.0 / F.col("na") + 1.0 / F.col("nb"))).alias("se"),
+            (F.col("k") * (F.col("k") - 1) / 2).alias("m_tests"),
+        )
+    )
+    z = F.abs(F.col("diff")) / F.col("se")
+    p_raw = 2.0 * (1.0 - 1.0 / (1.0 + F.exp(-1.702 * z)))
+    p_bonf = F.round(F.least(F.lit(1.0), F.col("m_tests").cast("double") * p_raw), 6)
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round("diff", 6).alias("diff"),
+        F.round("se", 6).alias("se"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(p_raw, 6).alias("p_raw"),
+        p_bonf.alias("p_bonferroni"),
+        (p_bonf <= 0.05).alias("reject"),
+    )

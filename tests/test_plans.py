@@ -306,6 +306,7 @@ _SINGLE_PARTITION_OK = {
     "corpus_length_batching_waste",  # length-rank window over the doc-grain table + 2x1-row summaries
     "eval_brier_decomposition",  # 1-row moment combines over the bin/base-rate tables
     "text_source_jsd",       # 1-row corpus-total combine over the vocab-sized count table
+    "stat_posthoc_pairwise_bonferroni",  # 1-row pooled-variance combine over the 5-row group table
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

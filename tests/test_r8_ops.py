@@ -1775,3 +1775,30 @@ def test_silence_trim_matches_generator(spark):
             assert r["n_kept"] == loud[-1] - loud[0] + 1
         else:
             assert (r["first_loud"], r["last_loud"], r["n_kept"]) == (-1, -1, 0)
+
+
+def test_posthoc_pairs_cover_and_match_numpy(spark):
+    """All k(k-1)/2 pairs present; diff/se match a numpy pooled-MSE
+    recompute; Bonferroni p = min(1, m*p_raw); reject iff p <= .05."""
+    import numpy as np
+
+    rows = QUERIES["stat_posthoc_pairwise_bonferroni"](spark, SF_ORACLE).collect()
+    ev = load(spark, SF_ORACLE, "events").collect()
+    groups: dict[str, list] = {}
+    for e in ev:
+        groups.setdefault(e["event_type"], []).append(e["value"])
+    k = len(groups)
+    assert len(rows) == k * (k - 1) // 2
+    mse = sum(
+        float(np.sum((np.array(v) - np.mean(v)) ** 2)) for v in groups.values()
+    ) / sum(len(v) - 1 for v in groups.values())
+    for r in rows:
+        a, b = groups[r["grp_a"]], groups[r["grp_b"]]
+        diff = float(np.mean(a) - np.mean(b))
+        se = (mse * (1 / len(a) + 1 / len(b))) ** 0.5
+        assert abs(r["diff"] - round(diff, 6)) <= 1e-5
+        assert abs(r["se"] - round(se, 6)) <= 1e-5
+        # operator multiplies the UNROUNDED p_raw; comparing against
+        # m * rounded(p_raw) carries up to m * 5e-7 slack
+        assert abs(r["p_bonferroni"] - round(min(1.0, len(rows) * r["p_raw"]), 6)) <= 1e-5
+        assert r["reject"] == (r["p_bonferroni"] <= 0.05)
