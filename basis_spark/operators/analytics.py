@@ -7093,3 +7093,128 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("utility", 6).alias("utility"),
         )
     )
+
+
+@register(
+    "stat_g_test_loglik",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+               count(*) AS obs
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, dow, obs,
+               sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+               sum(obs) OVER (PARTITION BY dow) AS col_tot,
+               sum(obs) OVER () AS n
+        FROM o)
+    SELECT round(2.0 * sum(obs * ln(obs
+               / (CAST(row_tot AS DOUBLE) * col_tot / n))), 6) AS g_stat,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM m WHERE obs > 0
+    """,
+)
+def stat_g_test_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (log-likelihood ratio, 2*sum O*ln(O/E))
+    over the same event_type x ISO-weekday contingency table as
+    stat_chi_square — the modern recommendation where chi-square is a
+    second-order approximation (they agree asymptotically; G is
+    additive across partitions of the table, which chi2 is not, so
+    drill-downs decompose exactly). Zero cells contribute zero (the
+    x*ln x -> 0 limit), handled identically by the obs > 0 filter on
+    both engines.
+
+    Same scale shape as the chi2 key: one bounded-key contingency agg,
+    marginal windows over the tiny table, a 1-row combine (declared
+    single-partition via the shared stat_chi_square class)."""
+    ev = load(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    # dayofweek is 1=Sunday; convert to ISO (1=Monday..7=Sunday) to
+    # mirror DuckDB's isodow
+    o = o.select(
+        "event_type",
+        F.when(F.col("_d") == 1, 7).otherwise(F.col("_d") - 1).cast("int").alias("dow"),
+        "obs",
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wa = Window.partitionBy()
+    m = o.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wa).alias("n"),
+    ).filter(F.col("obs") > 0)
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.round(2.0 * F.sum(F.col("obs") * F.log(F.col("obs") / e)), 6).alias("g_stat"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+_DP_CLIP = 200.0  # clipping bound for the DP mean (sensitivity = C/n)
+
+
+@register(
+    "privacy_dp_clipped_mean",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(least(value, {_DP_CLIP})) AS clipped_mean,
+               sum(CASE WHEN value > {_DP_CLIP} THEN 1 ELSE 0 END) AS n_clipped
+        FROM events GROUP BY 1),
+    u AS (
+        SELECT event_type, n, clipped_mean, n_clipped,
+               CAST(('0x' || substring(md5('dp-mean-5' || event_type), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM g)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           round(clipped_mean
+                 - ({_DP_CLIP} / n)
+                   * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1 - 2 * abs(u - 0.5)), 6) AS dp_mean
+    FROM u
+    """,
+)
+def privacy_dp_clipped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEAN via clip-then-Laplace (eps = 1):
+    clipping each contribution to C bounds one record's influence, so
+    the mean's sensitivity is C/n and Laplace(C/n) noise suffices —
+    the mechanism behind every DP aggregate release that isn't a pure
+    count (the laplace key covers counts; sums/means need the clip
+    argument, and the released report carries n_clipped so analysts
+    can see the bias the clip introduces). Noise is seeded/replayable
+    (md5(seed || key)), the family's standing contract.
+
+    Scale: one hash agg over |groups|, map-side noise — identical
+    posture to the other three DP keys."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.least(F.col("value"), F.lit(_DP_CLIP))).alias("clipped_mean"),
+        F.sum(F.when(F.col("value") > _DP_CLIP, 1).otherwise(0)).alias("n_clipped"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp-mean-5"), F.col("event_type"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    sign = F.when(u >= 0.5, 1.0).otherwise(-1.0)
+    noise = -(_DP_CLIP / F.col("n")) * sign * F.log(1 - 2 * F.abs(u - 0.5))
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_clipped").cast("long").alias("n_clipped"),
+        F.round(F.col("clipped_mean") + noise, 6).alias("dp_mean"),
+    )

@@ -1096,3 +1096,85 @@ def table_log_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@register(
+    "table_log_schema_enforcement",
+    oracle="""
+    SELECT 'drifted_rename' AS batch_name, 'rejected' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS version_after
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'drifted_type', 'rejected',
+           CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'conforming', 'committed',
+           CAST(count(*) AS BIGINT), CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def table_log_schema_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema enforcement on append — the table-format guarantee that
+    separates a governed table from a directory of parquet: a writer
+    whose batch drifts from the committed schema (renamed column,
+    narrowed type) is REJECTED before any commit lands, while a
+    conforming batch commits normally. Emits one audit row per
+    attempted append with the decision and the table version after it
+    — the write-side quarantine report (the read-side analogue is
+    parse_try_cast_quarantine).
+
+    Enforcement compares the batch's Spark schema against the
+    committed table schema (names + types, order-insensitive) as
+    DRIVER-SIDE metadata — rejection costs zero data movement, which
+    is the point at 100 TB: the cheap gate runs before the expensive
+    write. Isolated table build (subdir txn_enforce) so other
+    table_log keys' objects never leak in."""
+    table_dir = _build_table(spark, sf_dir, subdir="txn_enforce")
+    committed = spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+    committed_schema = {(f.name, f.dataType.simpleString()) for f in committed.schema.fields}
+
+    orders = load(spark, sf_dir, "orders")
+    open_o = orders.filter(F.col("o_orderstatus") == "O")
+    batches = [
+        (
+            "drifted_rename",
+            open_o.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("order_key"),  # renamed column
+                "o_custkey",
+                "o_totalprice",
+            ),
+        ),
+        (
+            "drifted_type",
+            open_o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("int"),  # narrowed type
+            ),
+        ),
+        (
+            "conforming",
+            orders.filter(F.col("o_orderstatus") == "P").select(*_COLS),
+        ),
+    ]
+    version = max(rec["version"] for rec in _read_log(table_dir))
+    out_rows = []
+    for name, batch in batches:
+        batch_schema = {(f.name, f.dataType.simpleString()) for f in batch.schema.fields}
+        if batch_schema == committed_schema:
+            path = os.path.join("files", f"append_{name}")
+            batch.write.mode("overwrite").parquet(os.path.join(table_dir, path))
+            try:
+                _commit(table_dir, version + 1, [{"op": "add", "path": path}])
+                version += 1
+                status = "committed"
+            except CommitConflict:
+                status = "committed"  # already appended by a prior run
+                version = max(rec["version"] for rec in _read_log(table_dir))
+        else:
+            status = "rejected"
+        out_rows.append((name, status, batch.count(), version))
+    return spark.createDataFrame(
+        out_rows, "batch_name string, status string, n_rows long, version_after long"
+    )

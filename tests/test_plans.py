@@ -307,6 +307,7 @@ _SINGLE_PARTITION_OK = {
     "eval_brier_decomposition",  # 1-row moment combines over the bin/base-rate tables
     "text_source_jsd",       # 1-row corpus-total combine over the vocab-sized count table
     "stat_posthoc_pairwise_bonferroni",  # 1-row pooled-variance combine over the 5-row group table
+    "stat_g_test_loglik",    # marginal windows + 1-row combine over the types x 7 table (chi2 class)
     "ts_decompose_trend_seasonal",  # ordered window over the per-day rollup (calendar-bounded)
     "ts_max_drawdown",       # same calendar-bounded per-day spine
     "ts_cusum_changepoint",  # same spine + 1-row mean combine

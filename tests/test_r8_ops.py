@@ -1802,3 +1802,75 @@ def test_posthoc_pairs_cover_and_match_numpy(spark):
         # m * rounded(p_raw) carries up to m * 5e-7 slack
         assert abs(r["p_bonferroni"] - round(min(1.0, len(rows) * r["p_raw"]), 6)) <= 1e-5
         assert r["reject"] == (r["p_bonferroni"] <= 0.05)
+
+
+def test_g_test_tracks_chi_square(spark):
+    """G and chi2 are asymptotically equivalent on the same table: same
+    dof, and the statistics agree within ~15% on these cell counts; G
+    recomputed with scipy-free Python matches at 4dp."""
+    import math
+    from collections import Counter
+
+    [g] = QUERIES["stat_g_test_loglik"](spark, SF_ORACLE).collect()
+    [c] = QUERIES["stat_chi_square"](spark, SF_ORACLE).collect()
+    assert g["dof"] == c["dof"]
+    assert abs(g["g_stat"] - c["chi2"]) <= 0.15 * max(g["g_stat"], c["chi2"])
+    ev = load(spark, SF_ORACLE, "events").collect()
+    cells = Counter((e["event_type"], e["ts"].isoweekday()) for e in ev)
+    rows = Counter()
+    cols = Counter()
+    for (t, d), n in cells.items():
+        rows[t] += n
+        cols[d] += n
+    n_tot = sum(cells.values())
+    gg = 2.0 * sum(
+        o * math.log(o / (rows[t] * cols[d] / n_tot)) for (t, d), o in cells.items()
+    )
+    assert abs(g["g_stat"] - round(gg, 6)) <= 1e-4
+    assert g["n_cells"] == len(cells)
+
+
+def test_dp_clipped_mean_bias_and_replayability(spark):
+    """Same release on rerun; |dp_mean - true clipped mean| bounded by
+    plausible Laplace(C/n) noise; n_clipped matches a recount."""
+    a = sorted(map(tuple, QUERIES["privacy_dp_clipped_mean"](spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, QUERIES["privacy_dp_clipped_mean"](spark, SF_ORACLE).collect()))
+    assert a == b
+    ev = load(spark, SF_ORACLE, "events").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for e in ev:
+        vals[e["event_type"]].append(e["value"])
+    for et, n, n_clipped, dp_mean in a:
+        v = vals[et]
+        assert n == len(v)
+        assert n_clipped == sum(1 for x in v if x > 200.0)
+        clipped = sum(min(x, 200.0) for x in v) / len(v)
+        # Laplace(b=C/n): |noise| < 10*b except w.p. ~5e-5
+        assert abs(dp_mean - clipped) <= 10 * 200.0 / n, et
+
+
+def test_schema_enforcement_rejects_without_committing(spark):
+    """Rejected batches must leave the log untouched (no version
+    advance, no orphan object under files/append_*), and the
+    conforming append must be readable in the new snapshot."""
+    import os
+
+    from basis_spark.operators.scans import _sf_scratch
+    from basis_spark.operators.table_log import _COLS, _live_objects, _read_log
+
+    rows = {r["batch_name"]: r for r in QUERIES["table_log_schema_enforcement"](spark, SF_ORACLE).collect()}
+    assert rows["drifted_rename"]["status"] == "rejected"
+    assert rows["drifted_type"]["status"] == "rejected"
+    assert rows["conforming"]["status"] == "committed"
+    assert rows["conforming"]["version_after"] == 2
+    table_dir = _sf_scratch(spark, "txn_enforce", SF_ORACLE)
+    versions = [rec["version"] for rec in _read_log(table_dir)]
+    assert versions == [0, 1, 2]  # exactly ONE append landed
+    files = os.listdir(os.path.join(table_dir, "files"))
+    assert sorted(f for f in files if f.startswith("append_")) == ["append_conforming"]
+    snap = spark.read.parquet(*_live_objects(table_dir)).select(*_COLS)
+    p_rows = load(spark, SF_ORACLE, "orders").filter(F.col("o_orderstatus") == "P").count()
+    base = spark.read.parquet(*_live_objects(table_dir, as_of=1)).count()
+    assert snap.count() == base + p_rows
