@@ -1158,23 +1158,39 @@ def table_log_schema_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderstatus") == "P").select(*_COLS),
         ),
     ]
-    version = max(rec["version"] for rec in _read_log(table_dir))
+    # version_after is DETERMINISTIC across re-invocations (the r7
+    # cache-test lesson: same-session reruns must not mutate state
+    # again): rejections report the base build's version (they leave
+    # the log untouched); the accepted batch reports the version of
+    # ITS append commit, found in the log if a prior call in this
+    # session already landed it.
+    log = _read_log(table_dir)
+    base_version = max(
+        rec["version"]
+        for rec in log
+        if not any(a.get("path", "").startswith("files/append_") for a in rec["actions"])
+    )
     out_rows = []
     for name, batch in batches:
         batch_schema = {(f.name, f.dataType.simpleString()) for f in batch.schema.fields}
-        if batch_schema == committed_schema:
-            path = os.path.join("files", f"append_{name}")
+        path = os.path.join("files", f"append_{name}")
+        if batch_schema != committed_schema:
+            out_rows.append((name, "rejected", batch.count(), base_version))
+            continue
+        existing = next(
+            (
+                rec["version"]
+                for rec in _read_log(table_dir)
+                for a in rec["actions"]
+                if a.get("path") == path
+            ),
+            None,
+        )
+        if existing is None:
             batch.write.mode("overwrite").parquet(os.path.join(table_dir, path))
-            try:
-                _commit(table_dir, version + 1, [{"op": "add", "path": path}])
-                version += 1
-                status = "committed"
-            except CommitConflict:
-                status = "committed"  # already appended by a prior run
-                version = max(rec["version"] for rec in _read_log(table_dir))
-        else:
-            status = "rejected"
-        out_rows.append((name, status, batch.count(), version))
+            existing = max(rec["version"] for rec in _read_log(table_dir)) + 1
+            _commit(table_dir, existing, [{"op": "add", "path": path}])
+        out_rows.append((name, "committed", batch.count(), existing))
     return spark.createDataFrame(
         out_rows, "batch_name string, status string, n_rows long, version_after long"
     )
