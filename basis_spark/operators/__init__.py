@@ -75,73 +75,73 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 )
 
 # ---------------------------------------------------------------------
-# ROUND-8 DRIVER WINDOW (the first 50 keys the driver verifies).
+# ROUND-9 DRIVER WINDOW (the first 50 keys the driver verifies).
 # All 50 are strict-oracle keys that tools/driver_verified_keys.json
 # records as never driver-verified under any round's accounting
-# (rounds r1-r4 reconstruction + CORRECTNESS_r05.json and
-# CORRECTNESS_r07.json fold-ins = 299 cumulative verified; this window
-# fronts 50 of the 152 never-verified strict keys, prioritized per the
-# r7 verdict: the table_log second wave, SQL analyzer surfaces, the
-# classical-stats tail, the graph second wave, multimodal codecs and
-# shard plumbing, the r7 late adds (skyline/percentile-scaffold/PQ/BPE),
-# the dq_* data-quality family, the streaming second wave, and the
-# window/interval tail). After the r8 build waves (30 new strict keys
-# + the pca_power strict promotion) 173 strict + 8 rows-only
-# never-verified keys remain for r9+ beyond this window — recompute
-# from driver_verified_keys.json ∪ CORRECTNESS_r08. tests/test_survey_contract.py ratchets this window:
+# (rounds r1-r4 reconstruction + CORRECTNESS_r05.json,
+# CORRECTNESS_r07.json, and CORRECTNESS_r08.json fold-ins = 349
+# cumulative verified out of 577; this window fronts 50 of the 220
+# never-verified strict keys, prioritized per the r8 verdict: the
+# table_log tail, the r8 classical-stats waves (G-test, SPRT, CUPED,
+# Qini, TOST) plus the stats tail, corpus/tokenizer/packing keys, the
+# privacy-DP family, the minhash calibration pair, and the
+# window/time-series tails). After this window 170 strict + 8
+# rows-only never-verified keys remain for r10+ — recompute from
+# driver_verified_keys.json ∪ CORRECTNESS_r09.
+# tests/test_survey_contract.py ratchets this window:
 # len==50, every key registered, every key strict-oracle, none already
 # verified, and it must equal driver_verified_keys.json's "front".
 _ROTATION_FRONT = [
-    "table_log_optimize",
-    "table_log_branch",
-    "table_log_change_feed",
-    "table_log_concurrent_commit",
-    "table_log_delete_where",
-    "sql_window_clause",
-    "sql_pivot_syntax",
-    "sql_unpivot_syntax",
-    "sql_subquery_surfaces",
-    "sql_execute_immediate",
-    "sql_filter_clause",
-    "stat_spearman_rho",
-    "stat_kendall_tau_b",
-    "stat_levene_variance",
-    "stat_fisher_hypergeom",
-    "stat_effect_size_cohens_d",
-    "stat_bootstrap_poisson_ci",
-    "graph_bfs_distance",
-    "graph_label_propagation",
-    "graph_local_clustering",
-    "graph_sssp_weighted_bounded",
-    "graph_assortativity",
-    "multimodal_bmp_decode",
-    "multimodal_gif_decode",
-    "multimodal_image_histogram",
-    "multimodal_audio_rms_frames",
-    "multimodal_tar_shard_read",
-    "win_skyline_pareto_2d",
-    "agg_percentile_exact_scaffold",
-    "scan_nested_struct_pruning",
-    "ts_croston_intermittent",
-    "embeddings_pq_quantize",
-    "embeddings_pq_recall",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_apply",
-    "dq_drift_psi",
-    "dq_expectations_report",
-    "dq_fk_discovery",
-    "dq_outlier_iqr_report",
-    "dq_referential_orphans",
-    "dq_alert_rules",
-    "stream_join_left_outer",
-    "stream_lateness_profile",
-    "stream_static_enrich",
-    "stream_session_dynamic_gap",
-    "win_gaps_islands_ranges",
-    "win_match_recognize_funnel",
-    "win_topk_with_ties",
-    "interval_merge_overlaps",
-    "incremental_scd2",
+    "table_log_clone_shallow",
+    "table_log_file_skipping",
+    "table_log_orphan_files",
+    "table_log_restore",
+    "table_log_schema_enforcement",
+    "stat_g_test_loglik",
+    "stat_sprt_sequential",
+    "stat_cuped_adjustment",
+    "stat_qini_uplift_deciles",
+    "stat_tost_equivalence",
+    "stat_benjamini_hochberg",
+    "stat_cohens_kappa",
+    "stat_cramers_v",
+    "stat_jarque_bera",
+    "stat_kruskal_wallis",
+    "stat_mcnemar_paired",
+    "stat_permutation_shift",
+    "stat_posthoc_pairwise_bonferroni",
+    "stat_power_sample_size",
+    "stat_proportions_ztest",
+    "stat_ratio_metric_delta",
+    "stat_theil_sen_slope",
+    "stat_wilson_interval",
+    "pipeline_tokenizer_release",
+    "pack_tokens_nextfit",
+    "corpus_dsir_weights",
+    "chunk_fixed_tokens",
+    "chunk_docs_overlap",
+    "corpus_doc_length_deciles",
+    "corpus_quality_logreg",
+    "corpus_span_corruption",
+    "privacy_dp_clipped_mean",
+    "privacy_dp_noisy_topk",
+    "privacy_dp_quantile",
+    "privacy_dp_laplace_counts",
+    "privacy_pseudonymize_consistent",
+    "dedup_minhash_band_tuning",
+    "dedup_minhash_estimator_calibration",
+    "win_bollinger_bands",
+    "win_moving_distinct",
+    "win_rsi_sma",
+    "win_running_distinct",
+    "win_top_percent_per_group",
+    "ts_changepoint_binseg",
+    "ts_seasonal_esd_anomalies",
+    "ts_theta_forecast",
+    "ts_ljung_box",
+    "ts_periodogram",
+    "ts_pacf_durbin",
+    "ts_rolling_corr",
 ]
 assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
 

@@ -4980,7 +4980,8 @@ def _band_tuning_oracle() -> str:
       SELECT doc_id, lang,
              list_distinct([substring(text, i, 3)
                             for i in range(1, length(text) - 1)]) AS sh
-      FROM documents WHERE doc_id < {_TUNE_SAMPLE_MAX_ID}),
+      FROM documents
+      WHERE doc_id < {_TUNE_SAMPLE_MAX_ID} AND length(text) >= 3),
     pairs AS (
       SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / len(list_distinct(a.sh || b.sh)), 6) AS jac
@@ -5149,7 +5150,8 @@ _CALIB_K = 16  # minhash permutations for the estimator-quality check
       SELECT doc_id, lang,
              list_distinct([substring(text, i, 3)
                             for i in range(1, length(text) - 1)]) AS sh
-      FROM documents WHERE doc_id < {_TUNE_SAMPLE_MAX_ID}),
+      FROM documents
+      WHERE doc_id < {_TUNE_SAMPLE_MAX_ID} AND length(text) >= 3),
     mh AS (
       SELECT s.doc_id, k.k,
              min(md5(CAST(k.k AS VARCHAR) || ':' || u.g)) AS mh

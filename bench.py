@@ -254,20 +254,25 @@ def main() -> None:
             # median-of-warm number would time cache probes, not the
             # algorithm (round-2 verdict). Primary = COLD (caches
             # cleared, full index build + re-rank in one fused job),
-            # median of 3 cold builds; the warm median-of-5 is
-            # reported alongside as *_warm.
+            # median of 5 cold builds; the warm median-of-5 is
+            # reported alongside as *_warm. Like every other query,
+            # the FIRST execution of the exact action being timed is
+            # untimed: r8's cold median-of-3 had IQR 0.60 s because
+            # the first timed cold build paid whole-stage-codegen JIT
+            # for the cold plan (the old warm-up only exercised the
+            # memoized warm path), and with only 3 samples that
+            # contaminated run dragged the median.
             from basis_spark.operators.llm import clear_minhash_caches
-
-            QUERIES[key](spark, SF_DIR).collect()  # codegen/JVM warm-up
 
             def _cold():
                 clear_minhash_caches()
                 QUERIES[key](spark, SF_DIR).collect()
 
-            runs = _timed(_cold, 3)
+            _cold()  # untimed cold warm-up: codegen/JVM JIT for the cold plan
+            runs = _timed(_cold, 5)
             if max(runs) / min(runs) > SPREAD_RERUN:
                 reruns.append(label)
-                runs += _timed(_cold, 3)
+                runs += _timed(_cold, 5)
             times[label] = round(_median(runs), 4)
             iqrs[label] = round(_iqr(runs), 4)
             warm = _timed(lambda: QUERIES[key](spark, SF_DIR).collect(), 5)
