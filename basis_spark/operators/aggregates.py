@@ -828,11 +828,34 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_count_min")  # approximate -> rows-only; bounds in test_tolerance.py
+_CMS_ORACLE = """
+    WITH rows_ AS (SELECT unnest(range(4)) AS r),
+    cells AS (
+        SELECT r.r,
+               CAST(('0x' || substring(
+                   md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 256 AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events e CROSS JOIN rows_ r
+        GROUP BY 1, 2),
+    probe AS (
+        SELECT k.user_id, r.r,
+               CAST(('0x' || substring(
+                   md5(CAST(r.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 256 AS b
+        FROM (SELECT DISTINCT user_id FROM events) k CROSS JOIN rows_ r)
+    SELECT p.user_id, min(c.c) AS est
+    FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.user_id
+    """
+
+
+@register("sketch_count_min", oracle=_CMS_ORACLE)
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode/Muthukrishnan) per-user event counts:
     d=4 hash rows x w=256 counters, est(k) = min_d counter[d][h_d(k)].
     Always >= the true count; excess is bounded by ~N/w per row w.h.p.
+    (the Markov bound is asserted in tests/test_tolerance.py).
 
     The sketch itself is the scale story: the counter table is d*w rows
     TOTAL regardless of stream size (one map-side-combined shuffle on
@@ -840,21 +863,47 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a d*w-sized union — the mergeable-summaries contract that lets a
     100 TB stream keep heavy-hitter counts in KBs of state. The probe
     joins the distinct-key table to the broadcast counter table and
-    takes the min across rows. Hashes are seeded xxhash64 —
-    deterministic, so the rows-only tier is stable run to run."""
+    takes the min across rows.
+
+    Promoted from the rows-only tier in r9 (the r8 LSH precedent): the
+    row hashes are md5-derived — h_r(k) = first 8 hex digits of
+    md5(r || ':' || k) mod w — which DuckDB recomputes bit-identically,
+    so the ENTIRE sketch (counter table, probe, min) is strict
+    hash-checked; the error-bound pytest remains as quality evidence.
+    (xxhash64 would be cheaper per row, but it has no DuckDB twin; the
+    hash cost is per-event map-side and amortizes into the scan.)"""
     D, W = 4, 256
     ev = load(spark, sf_dir, "events")
     rows = F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("r")
+
+    def bucket(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"), F.lit(":"), key_col.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % W
+        )
+
     cells = (
         ev.select("user_id", rows)
-        .select("user_id", "r", F.pmod(F.xxhash64("user_id", "r"), F.lit(W)).alias("b"))
+        .select("user_id", "r", bucket(F.col("user_id")).alias("b"))
         .groupBy("r", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     keys = ev.select("user_id").distinct()
-    probe = keys.select(
-        "user_id", rows
-    ).select("user_id", "r", F.pmod(F.xxhash64("user_id", "r"), F.lit(W)).alias("b"))
+    probe = keys.select("user_id", rows).select(
+        "user_id", "r", bucket(F.col("user_id")).alias("b")
+    )
     return (
         probe.join(F.broadcast(cells), ["r", "b"])
         .groupBy("user_id")
