@@ -181,19 +181,37 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_broadcast",
     oracle="""
-    SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+    SELECT n_name, count(*) AS n_cust,
+           CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 100.0
+               AS avg_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit broadcast hint — plan asserted in tests/test_plans.py.
+    # avg_bal is computed over EXACT integer cents with a floor-based
+    # half-up, not engine round(avg(...), 2): the r9 sf0.001 sweep
+    # caught a group whose float avg landed exactly on a 2dp midpoint
+    # (4201.315), where Spark's shortest-decimal HALF_UP said .32 and
+    # DuckDB's binary-value rounding said .31. Exact cents also makes
+    # the money sum order-independent — the right posture at any SF.
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (
+                F.floor(
+                    F.sum(cents) / F.count(F.lit(1)).cast("double") + 0.5
+                ).cast("long")
+                / 100.0
+            ).alias("avg_bal"),
+        )
     )
 
 

@@ -691,31 +691,53 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_rolling_regression",
     oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS x
+        FROM events)
     SELECT event_id,
-           round(regr_slope(value, epoch(CAST(ts AS TIMESTAMP)) / 3600.0) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+           round(regr_slope(value, x) OVER (
+               PARTITION BY user_id ORDER BY x
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS slope
-    FROM events
+    FROM seq
     """,
 )
 def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling linear-regression slope (value vs hours) over the last 7
-    events per user — trend detection as a windowed aggregate, no
-    iteration and no UDF: regr_slope runs inside the bounded ROWS frame
-    on both engines with the identical covariance formula. The x-axis
-    is rescaled to hours so slopes are O(1) and the 6-dp round is far
-    outside float accumulation noise."""
+    """Rolling linear-regression slope (value vs per-user event ordinal)
+    over the last 7 events per user — trend detection as a windowed
+    aggregate, no iteration and no UDF: regr_slope runs inside the
+    bounded ROWS frame on both engines with the identical covariance
+    formula.
+
+    The x-axis is the event SEQUENCE NUMBER (row_number over the same
+    total order the frame uses), not wall-clock hours — deliberately,
+    for conditioning: the r9 sf0.001 sweep caught a user whose 7-event
+    frame spanned seconds, making var(x-in-hours) ~ 1e-7 h^2; both
+    engines' co-moment accumulators are stable but not bit-identical,
+    and the ~1e-9 relative disagreement amplified through the tiny
+    denominator to 3e-5 on a |slope| ~ 6.9e3 — past the 6dp round. With
+    consecutive small-integer x the frame's var(x) is exactly 4.0 (full
+    frames), the x sums are exact in both engines, slopes stay O(value
+    scale), and the 6dp round sits far outside cross-engine noise at
+    every SF and every event spacing. (A per-hour trend on irregular
+    near-simultaneous events is statistically degenerate anyway; the
+    ordinal trend is the robust screen.) Ordering is total (event_id
+    tie-break), so x is deterministic. One user_id exchange serves both
+    the row_number and the regression frame."""
     ev = load(spark, sf_dir, "events")
-    w = (
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id", "user_id", "value", F.row_number().over(order_w).alias("x")
+    )
+    frame_w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("x")
         .rowsBetween(-6, Window.currentRow)
     )
-    return ev.select(
+    return seq.select(
         "event_id",
-        F.round(F.expr("regr_slope(value, unix_micros(ts) / 3.6e9)").over(w), 6).alias(
-            "slope"
-        ),
+        F.round(F.expr("regr_slope(value, x)").over(frame_w), 6).alias("slope"),
     )
 
 
