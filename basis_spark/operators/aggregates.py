@@ -1285,7 +1285,10 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
            round(count(*) / sum(1.0 / o_totalprice), 4) AS harm_mean,
-           round(avg(o_totalprice), 4) AS arith_mean
+           CAST(floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS DOUBLE) * CAST(100 AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS arith_mean
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1299,17 +1302,28 @@ def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both are single-pass associative reductions — exp(avg(ln x)) and
     n/sum(1/x) — so they partial-aggregate map-side exactly like sum;
     one priority-keyed exchange total. Positive-domain contract
-    (o_totalprice > 0 in the fixture and in TPC-H); rounded at 4
-    decimals, ~1e-11 above the cross-engine libm/summation-order
-    noise floor."""
+    (o_totalprice > 0 in the fixture and in TPC-H); geo/harm are
+    rounded at 4 decimals, ~1e-11 above the cross-engine libm/
+    summation-order noise floor (transcendental values never sit ON a
+    decimal midpoint); the ARITHMETIC mean of 2dp money CAN land
+    exactly on a 4dp midpoint, so it uses the exact-cents
+    floor-half-up form (the join_broadcast divergence class, r9)."""
     o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.exp(F.avg(F.log("o_totalprice"))), 4).alias("geo_mean"),
         F.round(
             F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("o_totalprice")), 4
         ).alias("harm_mean"),
-        F.round(F.avg("o_totalprice"), 4).alias("arith_mean"),
+        (
+            F.floor(
+                F.sum(cents).cast("double") * 100.0
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("arith_mean"),
     )
 
 

@@ -1074,7 +1074,10 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(o_orderdate AS DATE) AS day,
                round(sum(o_totalprice), 4) AS rev
         FROM orders GROUP BY 1),
-    m AS (SELECT round(avg(rev), 4) AS mu FROM daily),
+    m AS (SELECT CAST(floor(CAST(sum(CAST(round(rev * 10000) AS BIGINT))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                            + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE)
+                     AS mu FROM daily),
     c AS (
         SELECT day, sum(rev - mu) OVER (ORDER BY day) AS cusum
         FROM daily, m)
@@ -1094,7 +1097,20 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 4).alias("rev")
     )
-    mu = daily.agg(F.round(F.avg("rev"), 4).alias("mu"))
+    # mu via the exact-1e-4-grid floor-half-up mean (rev is 4dp-exact);
+    # round(avg, 4) can land on a 4dp midpoint where engine round()
+    # semantics diverge (join_broadcast class, r9). The cusum re-round
+    # below is safe: its true value lives ON the 1e-4 grid.
+    mu = daily.agg(
+        (
+            F.floor(
+                F.sum(F.round(F.col("rev") * 10000).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("mu")
+    )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     c = daily.crossJoin(F.broadcast(mu)).select(
         "day", F.sum(F.col("rev") - F.col("mu")).over(w).alias("cusum")
@@ -1820,12 +1836,18 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     g AS (
         SELECT user_id,
-               round(epoch(ts - lag(ts) OVER (PARTITION BY user_id
-                                              ORDER BY ts, event_id)), 4) AS gap_s
+               CAST(floor(CAST(CAST(round(epoch(ts - lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                          * 1000000) AS BIGINT) AS DOUBLE)
+                          / CAST(100 AS DOUBLE) + 0.5) AS BIGINT)
+                   / CAST(10000 AS DOUBLE) AS gap_s
         FROM e)
     SELECT user_id,
            CAST(count(gap_s) AS BIGINT) AS n_gaps,
-           round(avg(gap_s), 4) AS mean_gap_s,
+           CAST(floor(CAST(sum(CAST(round(gap_s * 10000) AS BIGINT))
+                           AS DOUBLE) / CAST(count(gap_s) AS DOUBLE)
+                      + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS mean_gap_s,
            round(quantile_disc(gap_s, 0.5), 4) AS p50_gap_s,
            round(quantile_disc(gap_s, 0.9), 4) AS p90_gap_s
     FROM g WHERE gap_s IS NOT NULL
@@ -1848,17 +1870,36 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     n_bound = ev.count()  # conservative: worst single group <= total rows
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap quantized on the exact integer-micros grid with floor-half-up:
+    # round(micros/1e6, 4) hits exact 5dp midpoints whenever the micros
+    # diff ends in '50', where Spark's shortest-repr HALF_UP and
+    # DuckDB's binary-value round disagree (first seen in the r9 sf0.1
+    # sweep — the 6dp micro grid has 100x more midpoint mass than money).
     g = ev.select(
         "user_id",
-        F.round(
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double")
-            / 1e6,
-            4,
+        (
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                .cast("double")
+                / 100.0
+                + 0.5
+            ).cast("long")
+            / 10000.0
         ).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
+    # mean over exact 1e-4-grid integers with floor-half-up: a mean of
+    # 4dp-exact gaps can land exactly on a 4dp midpoint where engine
+    # round() semantics diverge (join_broadcast class, r9).
     return g.groupBy("user_id").agg(
         F.count("gap_s").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        (
+            F.floor(
+                F.sum(F.round(F.col("gap_s") * 10000).cast("long")).cast("double")
+                / F.count("gap_s").cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("mean_gap_s"),
         F.round(scaled_percentile("gap_s", 0.5, n_bound, disc=True), 4).alias(
             "p50_gap_s"
         ),
@@ -2019,8 +2060,13 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
     s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
                  CAST(max(n) AS BIGINT) AS max_n,
-                 round(avg(n), 4) AS avg_n,
-                 round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+                 CAST(floor(CAST(sum(n) AS DOUBLE) * CAST(10000 AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+                     / CAST(10000 AS DOUBLE) AS avg_n,
+                 CAST(floor(CAST(max(n) AS DOUBLE) * CAST(10000 AS DOUBLE)
+                            * CAST(count(*) AS DOUBLE)
+                            / CAST(sum(n) AS DOUBLE) + 0.5) AS BIGINT)
+                     / CAST(10000 AS DOUBLE) AS skew_ratio
           FROM c),
     top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 5)
     SELECT s.n_keys, s.max_n, s.avg_n, s.skew_ratio,
@@ -2037,11 +2083,31 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row summary combine, and a TakeOrdered top-5 joined back."""
     ev = load(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # avg_n and skew_ratio are integer ratios, which can terminate
+    # exactly on a 4dp midpoint; both use the floor-half-up form over
+    # exact integer sums (join_broadcast divergence class, r9), with
+    # the ratio rearranged to max*n_keys/sum so every operand is exact.
     s = c.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_n"),
-        F.round(F.avg("n"), 4).alias("avg_n"),
-        F.round(F.max("n").cast("double") / F.avg("n"), 4).alias("skew_ratio"),
+        (
+            F.floor(
+                F.sum("n").cast("double") * 10000.0
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("avg_n"),
+        (
+            F.floor(
+                F.max("n").cast("double")
+                * 10000.0
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("n").cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("skew_ratio"),
     )
     top = c.orderBy(F.desc("n"), F.asc("user_id")).limit(5)
     return s.crossJoin(F.broadcast(top)).select(
@@ -2213,7 +2279,9 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT v.user_id, date_diff('second', v.vt, p.pt) AS delay_s
           FROM v JOIN p ON v.user_id = p.user_id)
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           round(avg(delay_s), 2) AS avg_delay_s,
+           CAST(floor(CAST(sum(delay_s) AS DOUBLE) * 100.0
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 100.0
+               AS avg_delay_s,
            round(quantile_cont(delay_s, 0.5), 2) AS p50_delay_s,
            round(quantile_cont(delay_s, 0.9), 2) AS p90_delay_s
     FROM d
@@ -2246,9 +2314,22 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = v.join(p, "user_id").select(
         (F.unix_timestamp("pt") - F.unix_timestamp("vt")).alias("delay_s")
     )
+    # Exact-integer mean with floor-based half-up instead of
+    # round(avg(), 2): delay_s is integral, so sum/n can land exactly on
+    # a 2dp midpoint where the engines' round() semantics differ
+    # (Spark shortest-repr HALF_UP vs DuckDB binary value) — the
+    # join_broadcast divergence class caught by the r9 sf0.001 sweep.
     return d.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.avg("delay_s"), 2).alias("avg_delay_s"),
+        (
+            F.floor(
+                F.sum("delay_s").cast("double")
+                * 100.0
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("avg_delay_s"),
         F.round(scaled_percentile("delay_s", 0.5, n_bound), 2).alias("p50_delay_s"),
         F.round(scaled_percentile("delay_s", 0.9, n_bound), 2).alias("p90_delay_s"),
     )
@@ -6309,9 +6390,13 @@ _GRANGER_F_CRIT = 3.841459  # F(1, inf) == chi2(1) 95% line — the large-n
                round(sum(o_totalprice), 4) AS rev,
                CAST(count(*) AS DOUBLE) AS cnt
         FROM orders GROUP BY 1),
-    st AS (SELECT round(avg(rev), 4) AS mr,
+    st AS (SELECT CAST(floor(CAST(sum(CAST(round(rev * 10000) AS BIGINT))
+                                  AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                             + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS mr,
                   round(sqrt(avg(rev*rev) - avg(rev)*avg(rev)), 4) AS sr,
-                  round(avg(cnt), 4) AS mc,
+                  CAST(floor(CAST(sum(cnt) AS DOUBLE) * CAST(10000 AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                             + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS mc,
                   round(sqrt(avg(cnt*cnt) - avg(cnt)*avg(cnt)), 4) AS sc
            FROM daily),
     z AS (SELECT day, round((rev - mr) / sr, 6) AS zr,
@@ -6369,10 +6454,28 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 4).alias("rev"),
         F.count(F.lit(1)).cast("double").alias("cnt"),
     )
+    # mr/mc via the exact-grid floor-half-up mean (rev is 4dp-exact, cnt
+    # integral): round(avg, 4) can land on a 4dp midpoint where engine
+    # round() semantics diverge (join_broadcast class, r9); sr/sc are
+    # sqrt-irrational, immune.
     st = daily.agg(
-        F.round(F.avg("rev"), 4).alias("mr"),
+        (
+            F.floor(
+                F.sum(F.round(F.col("rev") * 10000).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("mr"),
         F.round(F.sqrt(F.avg(F.col("rev") * F.col("rev")) - F.avg("rev") * F.avg("rev")), 4).alias("sr"),
-        F.round(F.avg("cnt"), 4).alias("mc"),
+        (
+            F.floor(
+                F.sum("cnt").cast("double") * 10000.0
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("mc"),
         F.round(F.sqrt(F.avg(F.col("cnt") * F.col("cnt")) - F.avg("cnt") * F.avg("cnt")), 4).alias("sc"),
     )
     z = daily.crossJoin(F.broadcast(st)).select(
@@ -6793,7 +6896,10 @@ _BINSEG_MARGIN = 5  # smallest admissible segment length
         SELECT CAST(o_orderdate AS DATE) AS day,
                round(sum(o_totalprice), 4) AS rev
         FROM orders GROUP BY 1),
-    st AS (SELECT count(*) AS n, round(avg(rev), 4) AS m,
+    st AS (SELECT count(*) AS n,
+                  CAST(floor(CAST(sum(CAST(round(rev * 10000) AS BIGINT))
+                                  AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                             + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS m,
                   round(sqrt(avg(rev*rev) - avg(rev)*avg(rev)), 4) AS sd
            FROM daily),
     z AS (SELECT day, round((rev - m) / sd, 6) AS z,
@@ -6846,9 +6952,18 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 4).alias("rev")
     )
+    # m via the exact-grid floor-half-up mean (rev is 4dp-exact): see
+    # the join_broadcast divergence class (r9); sd is sqrt-irrational.
     st = daily.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("rev"), 4).alias("m"),
+        (
+            F.floor(
+                F.sum(F.round(F.col("rev") * 10000).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("m"),
         F.round(
             F.sqrt(F.avg(F.col("rev") * F.col("rev")) - F.avg("rev") * F.avg("rev")), 4
         ).alias("sd"),

@@ -797,7 +797,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_partition",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
+           CAST(floor(CAST(sum(n_chars) AS DOUBLE) * 100.0
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 100.0
+               AS avg_chars,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang
@@ -805,11 +807,21 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-language routing stats (the groupBy key is the partition key a
-    # partitioned writer would use).
+    # partitioned writer would use). avg_chars uses the exact-integer
+    # floor-half-up mean, not round(avg(), 2): n_chars is integral, so
+    # sum/n can land exactly on a 2dp midpoint where engine round()
+    # semantics diverge (the join_broadcast class, r9).
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        (
+            F.floor(
+                F.sum("n_chars").cast("double") * 100.0
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("avg_chars"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )
 

@@ -646,12 +646,30 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-cents mean with floor-based half-up — identical text in Spark SQL
+# and DuckDB (both parse it, both compute the same IEEE doubles), immune
+# to the engines' divergent round() semantics at decimal midpoints (the
+# join_broadcast class caught by the r9 sf0.001 sweep). x must be
+# 2dp-quantized money; dp is the released precision.
+def _money_mean_sql(x: str, dp: int, filt: str = "") -> str:
+    # All numeric literals go through CAST(... AS DOUBLE): Spark SQL
+    # types a bare `100.0` as DECIMAL(4,1), which would silently turn
+    # the final division into decimal arithmetic (DuckDB keeps double).
+    scale = 10 ** (dp - 2)  # cents -> released precision, exact integer
+    mul = f" * CAST({scale} AS DOUBLE)" if scale != 1 else ""
+    return (
+        f"CAST(floor(CAST(sum(CAST(round({x} * 100) AS BIGINT)){filt} AS DOUBLE)"
+        f"{mul} / CAST(count(*){filt} AS DOUBLE) + 0.5) AS BIGINT)"
+        f" / CAST({10 ** dp} AS DOUBLE)"
+    )
+
+
 @register(
     "sql_group_by_all",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(o_totalprice), 2) AS avg_price
+           {_money_mean_sql("o_totalprice", 2)} AS avg_price
     FROM orders
     GROUP BY ALL
     """,
@@ -670,7 +688,7 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               round(avg(o_totalprice), 2) AS avg_price
+               {_money_mean_sql("o_totalprice", 2)} AS avg_price
         FROM {view}
         GROUP BY ALL
         """
@@ -679,10 +697,10 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_identifier_binding",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(c_acctbal), 4) AS avg_bal
+           {_money_mean_sql("c_acctbal", 4)} AS avg_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -699,10 +717,10 @@ def sql_identifier_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"idb_customer_{tag}"
     load(spark, sf_dir, "customer").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT IDENTIFIER(:grp),
                count(*) AS n,
-               round(avg(c_acctbal), 4) AS avg_bal
+               {_money_mean_sql("c_acctbal", 4)} AS avg_bal
         FROM IDENTIFIER(:tbl)
         GROUP BY IDENTIFIER(:grp)
         """,
@@ -715,7 +733,7 @@ def sql_identifier_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT c_mktsegment,
-               round(avg(c_acctbal), 4) AS avg_bal,
+               CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) * CAST(100 AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_bal,
                round(max(c_acctbal), 4) AS max_bal,
                round(min(c_acctbal), 4) AS min_bal
         FROM customer GROUP BY c_mktsegment)
@@ -756,11 +774,15 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead; this key exists because the reference's dataframe surface
     exposes transpose and users reach for it on exactly this
     summary-table shape."""
+    # avg_bal via the exact-cents floor-half-up mean (see _money_mean_sql)
+    # so no segment's mean can land on a 4dp midpoint where the engines'
+    # round() semantics diverge; max/min of 2dp money re-rounded at 4dp
+    # are identities and safe.
     s = (
         load(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.expr(_money_mean_sql("c_acctbal", 4)).alias("avg_bal"),
             F.round(F.max("c_acctbal"), 4).alias("max_bal"),
             F.round(F.min("c_acctbal"), 4).alias("min_bal"),
         )
@@ -1183,7 +1205,7 @@ def pipeline_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_filled,
            round(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2)
                AS big_revenue,
-           round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+           CAST(floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) + 0.5) AS BIGINT) / CAST(100 AS DOUBLE)
                AS avg_open
     FROM orders GROUP BY o_orderpriority
     """,
@@ -1209,8 +1231,7 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(sum(o_totalprice)
                          FILTER (WHERE o_totalprice > 200000), 2)
                        AS big_revenue,
-                   round(avg(o_totalprice)
-                         FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open
+                   CAST(floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS avg_open
             FROM {view} GROUP BY o_orderpriority
             """
         )
@@ -1336,7 +1357,10 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_bal
+           CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                           AS DOUBLE) * CAST(100 AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS avg_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -1364,7 +1388,7 @@ def pipeline_node_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.expr(_money_mean_sql("c_acctbal", 4)).alias("avg_bal"),
         )
     )
     # expression ids (#123) are fresh per invocation — strip them so

@@ -1326,9 +1326,17 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_estimated,
            round(abs(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) * 16.0
                      - count(*)) / count(*), 6) AS count_rel_error,
-           round(avg(l_extendedprice), 4) AS avg_exact,
-           round(avg(CASE WHEN in_sample THEN l_extendedprice END), 4)
-               AS avg_sampled,
+           CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS DOUBLE) * CAST(100 AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS avg_exact,
+           CAST(floor(CAST(sum(CASE WHEN in_sample
+                                    THEN CAST(round(l_extendedprice * 100)
+                                              AS BIGINT) END)
+                           AS DOUBLE) * CAST(100 AS DOUBLE)
+                      / CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                             AS DOUBLE) + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS avg_sampled,
            round(abs(avg(CASE WHEN in_sample THEN l_extendedprice END)
                      - avg(l_extendedprice)) / avg(l_extendedprice), 6)
                AS avg_rel_error
@@ -1379,8 +1387,36 @@ def maintenance_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("count_rel_error"),
-        F.round(avg_x, 4).alias("avg_exact"),
-        F.round(avg_s, 4).alias("avg_sampled"),
+        # exact-cents floor-half-up means (join_broadcast class, r9):
+        # a money mean can land exactly on a 4dp midpoint where the
+        # engines' round() semantics diverge. The rel-error columns keep
+        # the raw avgs: their ratios are non-terminating rationals that
+        # cannot sit on a 6dp midpoint.
+        (
+            F.floor(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double")
+                * 100.0
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("avg_exact"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("in_sample"),
+                        F.round(F.col("l_extendedprice") * 100).cast("long"),
+                    )
+                )
+                .cast("double")
+                * 100.0
+                / F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("double")
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("avg_sampled"),
         F.round(F.abs(avg_s - avg_x) / avg_x, 6).alias("avg_rel_error"),
     )
 

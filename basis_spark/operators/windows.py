@@ -217,22 +217,39 @@ def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_moving_avg",
     oracle="""
-    SELECT d, round(avg(rev) OVER (ORDER BY d
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS ma7
-    FROM (SELECT CAST(l_shipdate AS DATE) AS d, sum(l_extendedprice) AS rev
+    SELECT d, CAST(floor(CAST(sum(cents) OVER w AS DOUBLE)
+                         / CAST(count(*) OVER w AS DOUBLE) + 0.5) AS BIGINT)
+                  / CAST(100 AS DOUBLE) AS ma7
+    FROM (SELECT CAST(l_shipdate AS DATE) AS d,
+                 CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS cents
           FROM lineitem GROUP BY 1) daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pre-aggregate to daily revenue (bounded cardinality ≈ 2500 days at any
     # SF), then a single-partition 7-row centered frame is safe.
+    # ma7 over exact integer cents with floor-half-up: the edge frames
+    # (2/4/5 rows) divide an exact-cents sum by small n, which can land
+    # exactly on a 2dp midpoint where the engines' round() semantics
+    # diverge (join_broadcast class, r9).
     daily = (
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_shipdate").cast("date").alias("d"))
-        .agg(F.sum("l_extendedprice").alias("rev"))
+        .agg(F.round(F.sum("l_extendedprice") * 100).cast("long").alias("cents"))
     )
     w = Window.orderBy("d").rowsBetween(-3, 3)
-    return daily.select("d", F.round(F.avg("rev").over(w), 2).alias("ma7"))
+    return daily.select(
+        "d",
+        (
+            F.floor(
+                F.sum("cents").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+                + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("ma7"),
+    )
 
 
 @register(
