@@ -459,8 +459,10 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_cume_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(cume_dist() OVER w, 6) AS cd,
-           round(percent_rank() OVER w, 6) AS pr
+           CAST(floor(cume_dist() OVER w * CAST(1000000 AS DOUBLE) + 0.5)
+                AS BIGINT) / CAST(1000000 AS DOUBLE) AS cd,
+           CAST(floor(percent_rank() OVER w * CAST(1000000 AS DOUBLE) + 0.5)
+                AS BIGINT) / CAST(1000000 AS DOUBLE) AS pr
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
     """,
@@ -470,13 +472,22 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (all peers share a rank), so ties are deterministic across engines
     # without a unique-key tie-break. Partitioned on nation — the window
     # shuffles on the partition key, never a global sort.
+    #
+    # Released via floor-half-up, not engine round(): cd = k/n is ONE
+    # deterministic division, so both engines hold the identical double
+    # — but k/n can terminate exactly on a 6dp midpoint (the r9 sf0.1
+    # sweep caught nation 11 at n=640: 41/640 = .0640625), where
+    # Spark's HALF_UP and DuckDB's binary round() disagree. Identical
+    # double + identical floor formula agree at every knife edge.
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        (F.floor(F.cume_dist().over(w) * 1e6 + 0.5).cast("long") / 1e6).alias("cd"),
+        (F.floor(F.percent_rank().over(w) * 1e6 + 0.5).cast("long") / 1e6).alias(
+            "pr"
+        ),
     )
 
 
@@ -566,43 +577,64 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_ewma",
     oracle="""
-    WITH e AS (
+    WITH RECURSIVE e AS (
         SELECT user_id, ts, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events WHERE user_id < 20)
-    SELECT a.user_id, a.ts, a.value,
-           round(sum(CASE WHEN b.rn = 1 THEN pow(0.9, a.rn - 1) * b.value
-                          ELSE 0.1 * pow(0.9, a.rn - b.rn) * b.value END), 4) AS ewma
-    FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
-    GROUP BY a.user_id, a.ts, a.value, a.rn
+        FROM events WHERE user_id < 20),
+    r AS (
+        SELECT user_id, ts, value, rn, value AS ewma FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.ts, e.value, e.rn,
+               CAST(floor((0.9 * r.ewma + 0.1 * e.value)
+                          * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)
+                   / CAST(10000 AS DOUBLE)
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    SELECT user_id, ts, value, ewma FROM r
     """,
 )
 def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event value
-    (alpha = 0.1, adjust=False: y_1 = x_1, y_t = 0.9*y_{t-1} + 0.1*x_t).
+    (alpha = 0.1, adjust=False: y_1 = x_1, y_t = 0.9*y_{t-1} + 0.1*x_t)
+    with PER-STEP 1e-4 fixed-point quantization: every y_t is snapped
+    to the 1e-4 grid by the shared floor-half-up before feeding the
+    next step — the replayable-state discipline a production stream
+    processor applies to checkpointed accumulators.
 
     A sequential recurrence has no single-pass window form, so this is
     the documented Pandas-UDF path: applyInPandas per user_id (one
-    shuffle), vectorized pandas .ewm inside the Arrow batch. Like any
-    per-key history op, a power-law key bounds the batch (same caveat
-    as udtf_explode_sessions); the streaming-state alternative is
+    shuffle), the fold vectorized per Arrow batch. Like any per-key
+    history op, a power-law key bounds the batch (same caveat as
+    udtf_explode_sessions); the streaming-state alternative is
     applyInPandasWithState with the running (y, t) pair as state.
 
-    The oracle is the closed form y_t = 0.9^(t-1) x_1 + sum 0.1 *
-    0.9^(t-k) x_k — quadratic per user, sf0.01-sized only. Both sides
-    round to 4: the fold and the closed form differ by ~n*eps in the
-    last float bits.
-    """
+    The quantized recursion is also what makes the key strict-oracle
+    checkable (r9): the old release — pandas .ewm fold vs the oracle's
+    quadratic closed form, both rounded at 4dp — held two DIFFERENT
+    doubles per row, and the sf0.1 sweep caught a row whose exact
+    decimal terminated on a 4dp midpoint, where the straddling doubles
+    rounded apart. Per-step quantization makes every step start from
+    the IDENTICAL double in both engines (the oracle mirrors the fold
+    as a recursive CTE), so each step's single fused expression
+    resolves every knife edge identically by construction."""
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
         "user_id", "ts", "value", "event_id"
     )
 
     def ewm(pdf):
+        import numpy as np
+
         # (ts, event_id) tie-break: EWMA is order-sensitive and bare-ts
         # sorting is nondeterministic on equal timestamps — same pin as
         # every other ordered op in this module (oracle orders the same).
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma"] = pdf["value"].ewm(alpha=0.1, adjust=False).mean().round(4)
+        x = pdf["value"].to_numpy()
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+            for i in range(1, len(x)):
+                # identical op order to the oracle's recursive step
+                y[i] = np.floor((0.9 * y[i - 1] + 0.1 * x[i]) * 10000.0 + 0.5) / 10000.0
+        pdf["ewma"] = y
         return pdf.drop(columns=["event_id"])
 
     return ev.groupBy("user_id").applyInPandas(
@@ -1224,18 +1256,21 @@ def win_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             round(sum(o_totalprice), 6) AS rev
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
       FROM orders GROUP BY 1),
     b AS (
-      SELECT day, rev,
+      SELECT day, cents / CAST(100 AS DOUBLE) AS rev,
              count(*) OVER w AS n_win,
-             round(avg(rev) OVER w, 6) AS mid,
-             round(coalesce(stddev_samp(rev) OVER w, 0.0), 6) AS sd
+             CAST(floor(CAST(sum(cents) OVER w AS DOUBLE)
+                        / CAST(count(*) OVER w AS DOUBLE) + 0.5) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS mid,
+             round(coalesce(stddev_samp(cents / CAST(100 AS DOUBLE)) OVER w,
+                            0.0), 2) AS sd
       FROM d
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
     SELECT day, rev, n_win, mid,
-           round(mid + 2 * sd, 6) AS upper_band,
-           round(mid - 2 * sd, 6) AS lower_band,
+           round(mid + 2 * sd, 2) AS upper_band,
+           round(mid - 2 * sd, 2) AS lower_band,
            CASE WHEN n_win >= 7 AND rev > mid + 2 * sd THEN 1
                 WHEN n_win >= 7 AND rev < mid - 2 * sd THEN -1
                 ELSE 0 END AS breakout
@@ -1246,22 +1281,36 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands over the daily revenue series: 7-day rolling
     mean ± 2 rolling sample-stddevs, with a breakout flag only once
     the window is full — the volatility-envelope primitive behind
-    anomaly bands on any KPI series. Daily totals are rounded at 6dp
-    BEFORE the window on both engines (the ts_lag1 convention) so the
-    rolling moments see identical inputs. One days-sized rollup, one
-    calendar-bounded window — declared in the single-partition
-    ratchet like every global daily-series op."""
+    anomaly bands on any KPI series. Precision staging (r9): daily
+    totals carry as EXACT integer cents; mid is the floor-half-up
+    cents mean (a money mean can land exactly on a decimal midpoint);
+    sd and the bands release at 2dp, because at the series' ~2e7
+    magnitude a 6dp round demands 13-14 agreeing significant digits —
+    past the engines' ~1e-12 cross-agreement on windowed moments (the
+    r9 sf0.1 sweep caught sd@6dp landing on DIFFERENT grid points) —
+    while 2dp sits four orders above the noise floor. One days-sized
+    rollup, one calendar-bounded window — declared in the
+    single-partition ratchet like every global daily-series op."""
     o = load(spark, sf_dir, "orders")
     d = o.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     w = Window.orderBy("day").rowsBetween(-6, 0)
     b = d.select(
         "day",
-        "rev",
+        (F.col("cents") / 100.0).alias("rev"),
         F.count(F.lit(1)).over(w).alias("n_win"),
-        F.round(F.avg("rev").over(w), 6).alias("mid"),
-        F.round(F.coalesce(F.stddev_samp("rev").over(w), F.lit(0.0)), 6).alias("sd"),
+        (
+            F.floor(
+                F.sum("cents").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+                + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("mid"),
+        F.round(
+            F.coalesce(F.stddev_samp(F.col("cents") / 100.0).over(w), F.lit(0.0)), 2
+        ).alias("sd"),
     )
     full = F.col("n_win") >= 7
     return b.select(
@@ -1269,8 +1318,8 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         "n_win",
         "mid",
-        F.round(F.col("mid") + 2 * F.col("sd"), 6).alias("upper_band"),
-        F.round(F.col("mid") - 2 * F.col("sd"), 6).alias("lower_band"),
+        F.round(F.col("mid") + 2 * F.col("sd"), 2).alias("upper_band"),
+        F.round(F.col("mid") - 2 * F.col("sd"), 2).alias("lower_band"),
         F.when(full & (F.col("rev") > F.col("mid") + 2 * F.col("sd")), 1)
         .when(full & (F.col("rev") < F.col("mid") - 2 * F.col("sd")), -1)
         .otherwise(0)
