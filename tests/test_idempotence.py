@@ -61,6 +61,20 @@ STATEFUL_KEYS = [
     "pipeline_node_cache",
     "reactive_propagate",
     "stream_reactive_bridge",
+    # every other key that materializes scratch state (write.mode /
+    # _sf_scratch audit, r9) — sources that re-land fixture data,
+    # bucketed-table setup, metrics observers, curation pipelines
+    "join_bucketed",
+    "observe_pipeline_metrics",
+    "pipeline_lakehouse_curation",
+    "rollup_incremental",
+    "scan_file_metadata",
+    "scan_nested_struct_pruning",
+    "schema_infer_conform",
+    "source_fixed_width",
+    "source_jdbc",
+    "source_records",
+    "ts_calendar_dim",
 ]
 
 
