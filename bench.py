@@ -176,44 +176,41 @@ def _timed(action, k: int) -> list[float]:
     return runs
 
 
-def _run_baseline(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    """Median-of-5 warm DuckDB timings for b1..b12 over views of the
-    same parquet dir Spark just read (b11 at sf0.01 per BASELINE.md).
-    Same process, same minute: a co-tenant load spike inflates both
-    engines together, so the RATIO stays meaningful even when the
-    absolute seconds don't."""
+def _time_baseline(label: str, sf_dir: str) -> tuple[float, float] | None:
+    """Median-of-5 warm DuckDB timing for ONE baseline query over views
+    of the same parquet dir Spark just read (b11 at sf0.01 per
+    BASELINE.md). Called IMMEDIATELY after its paired Spark query (r9):
+    the old all-Spark-then-all-DuckDB order meant that when the bench
+    starts during decaying host load (the driver runs it right after
+    its 7-minute correctness sweep), every Spark query was measured
+    under systematically higher load than its DuckDB twin — the r8
+    "slide" was largely this ordering artifact, not a regression.
+    Adjacent pairing makes ambient load hit both sides of each ratio
+    equally, which is the entire point of a paired baseline."""
     import duckdb
 
+    sql = BASELINE_SQL[label]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    times: dict[str, float] = {}
-    iqrs: dict[str, float] = {}
-    for label, sql in BASELINE_SQL.items():
-        d = sf_dir
-        if label == "b11":
-            # brute force quadratic: sf0.01 only (>300 s at sf0.1)
-            d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-            if not os.path.isdir(d):
-                continue
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {int(cpus)}")
-        for t in BASELINE_TABLES:
-            path = os.path.join(d, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
-        con.execute(sql).fetchall()  # untimed warm-up
-        runs = _timed(lambda: con.execute(sql).fetchall(), 5)
-        if max(runs) / min(runs) > SPREAD_RERUN:
-            runs += _timed(lambda: con.execute(sql).fetchall(), 5)
-        con.close()
-        times[label] = round(_median(runs), 4)
-        iqrs[label] = round(_iqr(runs), 4)
-        print(
-            f"# baseline {label}: {times[label]:.3f}s median-of-{len(runs)}",
-            file=sys.stderr,
-        )
-    return times, iqrs
+    d = sf_dir
+    if label == "b11":
+        # brute force quadratic: sf0.01 only (>300 s at sf0.1)
+        d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+        if not os.path.isdir(d):
+            return None
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(cpus)}")
+    for t in BASELINE_TABLES:
+        path = os.path.join(d, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con.execute(sql).fetchall()  # untimed warm-up
+    runs = _timed(lambda: con.execute(sql).fetchall(), 5)
+    if max(runs) / min(runs) > SPREAD_RERUN:
+        runs += _timed(lambda: con.execute(sql).fetchall(), 5)
+    con.close()
+    med, iqr = round(_median(runs), 4), round(_iqr(runs), 4)
+    print(f"# baseline {label}: {med:.3f}s median-of-{len(runs)}", file=sys.stderr)
+    return med, iqr
 
 
 def main() -> None:
@@ -240,14 +237,47 @@ def main() -> None:
         time.sleep(30)
     load_start = os.getloadavg()
 
-    # warm-up: JVM, codegen, parquet footer caches
-    QUERIES["agg_groupby_multi"](spark, SF_DIR).collect()
+    # Stability-gated warm-up (r9, JMH-style): the load gate only sees
+    # load_avg, but the driver runs bench right after its 7-minute
+    # correctness sweep and the host takes a minute+ to reach steady
+    # state (both engines' early timings inflate 2-3x during the
+    # settle). Repeat the canary until two consecutive runs agree
+    # within 15%, max 12 tries — timing starts at steady state or
+    # after ~1 min, whichever comes first.
+    prev = None
+    for i in range(12):
+        t0 = time.perf_counter()
+        QUERIES["agg_groupby_multi"](spark, SF_DIR).collect()
+        dt = time.perf_counter() - t0
+        if prev is not None and abs(dt - prev) / max(dt, prev) < 0.15:
+            print(f"# warm-up stable after {i + 1} runs ({dt:.3f}s)", file=sys.stderr)
+            break
+        prev = dt
+    else:
+        print(f"# warm-up spent 12 runs without stabilizing ({prev:.3f}s)", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
     iqrs: dict[str, float] = {}
     reruns: list[str] = []
+    base: dict[str, float] = {}
+    base_iqr: dict[str, float] = {}
+    # b-label whose LAST paired Spark query is this q-label (b4 spans
+    # q4 + q4b, so its DuckDB twin runs after q4b)
+    _pair_after = {qs[-1]: b for b, qs in PAIRS.items()}
+
+    def _pair_baseline(qlabel: str) -> None:
+        blabel = _pair_after.get(qlabel)
+        if blabel is None:
+            return
+        try:
+            r = _time_baseline(blabel, SF_DIR)
+        except ImportError:
+            return
+        if r is not None:
+            base[blabel], base_iqr[blabel] = r
+
     for label, key in BENCH_KEYS.items():
         if label == "q11_neardup_minhash":
             # q11 memoizes its banding/candidate index per session; a
@@ -282,6 +312,7 @@ def main() -> None:
                 f"{extras[label + '_warm']:.3f}s warm",
                 file=sys.stderr,
             )
+            _pair_baseline(label)
             continue
 
         def _run():
@@ -299,15 +330,10 @@ def main() -> None:
             f" (iqr {iqrs[label]:.3f}s)",
             file=sys.stderr,
         )
+        _pair_baseline(label)
 
     total = round(sum(times.values()), 4)
 
-    # Same-minute DuckDB baseline pass (SURVEY §6 texts, BASELINE.md
-    # protocol) so the 2x gate compares under identical host load.
-    try:
-        base, base_iqr = _run_baseline(SF_DIR)
-    except ImportError:
-        base, base_iqr = {}, {}
     ratios: dict[str, float] = {}
     for blabel, qlabels in PAIRS.items():
         if blabel in base and all(q in times for q in qlabels):
@@ -334,10 +360,12 @@ def main() -> None:
                     round(total / base_total, 3) if base_total else None
                 ),
                 "baseline_note": (
-                    "b1-b12 = SURVEY.md §6 DuckDB texts re-timed in this "
-                    "same process (warm median-of-5, threads=32); b11 at "
-                    "sf0.01 (brute force >300s at sf0.1) vs Spark cold LSH "
-                    "at sf0.1 - a 10x data handicap against Spark"
+                    "b1-b12 = SURVEY.md §6 DuckDB texts, each re-timed "
+                    "IMMEDIATELY after its paired Spark query in the same "
+                    "process (warm median-of-5, threads=32) so ambient "
+                    "load hits both sides of each ratio equally (r9); b11 "
+                    "at sf0.01 (brute force >300s at sf0.1) vs Spark cold "
+                    "LSH at sf0.1 - a 10x data handicap against Spark"
                 ),
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
