@@ -75,73 +75,74 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 )
 
 # ---------------------------------------------------------------------
-# ROUND-9 DRIVER WINDOW (the first 50 keys the driver verifies).
+# ROUND-10 DRIVER WINDOW (the first 50 keys the driver verifies).
 # All 50 are strict-oracle keys that tools/driver_verified_keys.json
 # records as never driver-verified under any round's accounting
 # (rounds r1-r4 reconstruction + CORRECTNESS_r05.json,
-# CORRECTNESS_r07.json, and CORRECTNESS_r08.json fold-ins = 349
-# cumulative verified out of 577; this window fronts 50 of the 220
-# never-verified strict keys, prioritized per the r8 verdict: the
-# table_log tail, the r8 classical-stats waves (G-test, SPRT, CUPED,
-# Qini, TOST) plus the stats tail, corpus/tokenizer/packing keys, the
-# privacy-DP family, the minhash calibration pair, and the
-# window/time-series tails). After this window 170 strict + 8
-# rows-only never-verified keys remain for r10+ — recompute from
-# driver_verified_keys.json ∪ CORRECTNESS_r09.
+# CORRECTNESS_r07.json, CORRECTNESS_r08.json, and CORRECTNESS_r09.json
+# fold-ins = 399 cumulative verified out of 577; this window fronts 50
+# of the 171 never-verified strict keys, prioritized per the r9
+# verdict: the geo/graph family, the multimodal decode/shard tail, the
+# pipeline flagships (pipeline_embedding_index,
+# pipeline_lakehouse_curation), the sql_* surface tail, and the
+# similarity/embeddings promotions (ann_ivf, ann_ivf_kmeans, mips,
+# maxsim)). After this window 121 strict + 7 rows-only never-verified
+# keys remain for r11+ — recompute from driver_verified_keys.json
+# ∪ CORRECTNESS_r10.
 # tests/test_survey_contract.py ratchets this window:
 # len==50, every key registered, every key strict-oracle, none already
 # verified, and it must equal driver_verified_keys.json's "front".
 _ROTATION_FRONT = [
-    "table_log_clone_shallow",
-    "table_log_file_skipping",
-    "table_log_orphan_files",
-    "table_log_restore",
-    "table_log_schema_enforcement",
-    "stat_g_test_loglik",
-    "stat_sprt_sequential",
-    "stat_cuped_adjustment",
-    "stat_qini_uplift_deciles",
-    "stat_tost_equivalence",
-    "stat_benjamini_hochberg",
-    "stat_cohens_kappa",
-    "stat_cramers_v",
-    "stat_jarque_bera",
-    "stat_kruskal_wallis",
-    "stat_mcnemar_paired",
-    "stat_permutation_shift",
-    "stat_posthoc_pairwise_bonferroni",
-    "stat_power_sample_size",
-    "stat_proportions_ztest",
-    "stat_ratio_metric_delta",
-    "stat_theil_sen_slope",
-    "stat_wilson_interval",
-    "pipeline_tokenizer_release",
-    "pack_tokens_nextfit",
-    "corpus_dsir_weights",
-    "chunk_fixed_tokens",
-    "chunk_docs_overlap",
-    "corpus_doc_length_deciles",
-    "corpus_quality_logreg",
-    "corpus_span_corruption",
-    "privacy_dp_clipped_mean",
-    "privacy_dp_noisy_topk",
-    "privacy_dp_quantile",
-    "privacy_dp_laplace_counts",
-    "privacy_pseudonymize_consistent",
-    "dedup_minhash_band_tuning",
-    "dedup_minhash_estimator_calibration",
-    "win_bollinger_bands",
-    "win_moving_distinct",
-    "win_rsi_sma",
-    "win_running_distinct",
-    "win_top_percent_per_group",
-    "ts_changepoint_binseg",
-    "ts_seasonal_esd_anomalies",
-    "ts_theta_forecast",
-    "ts_ljung_box",
-    "ts_periodogram",
-    "ts_pacf_durbin",
-    "ts_rolling_corr",
+    "geo_dbscan_clusters",
+    "geo_grid_density",
+    "graph_2hop_reach",
+    "graph_adamic_adar",
+    "graph_community_modularity",
+    "graph_connected_components",
+    "graph_harmonic_centrality",
+    "multimodal_audio_silence_trim",
+    "multimodal_image_tile_stats",
+    "multimodal_phash_dedup",
+    "multimodal_shard_index",
+    "multimodal_shard_pack_balanced",
+    "multimodal_tar_shard_write",
+    "multimodal_wav_downsample",
+    "pipeline_data_contract",
+    "pipeline_embedding_index",
+    "pipeline_feature_snapshot",
+    "pipeline_lakehouse_curation",
+    "pipeline_lineage_report",
+    "pipeline_multimodal_curation",
+    "pipeline_node_cache",
+    "sql_distinct_on",
+    "sql_order_by_all",
+    "sql_pipe_syntax",
+    "sql_qualify_clause",
+    "sql_scripting_block",
+    "sql_star_except",
+    "sql_udf_scalar",
+    "sql_udf_table_valued",
+    "dedup_cosine_neardup_lsh",
+    "dedup_doc_prefix",
+    "dedup_incremental_minhash",
+    "embeddings_centroid_drift",
+    "embeddings_centroid_shift",
+    "embeddings_dim_stats",
+    "embeddings_isotropy_score",
+    "embeddings_mrl_recall",
+    "embeddings_pca_power",
+    "embeddings_signbit_sketch",
+    "embeddings_standardize",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_kmeans",
+    "similarity_hard_negatives",
+    "similarity_hybrid_bm25_cosine",
+    "similarity_maxsim_multivector",
+    "similarity_mips_topk",
+    "similarity_rank_fusion_rrf",
+    "abc_pareto_class",
+    "agg_bitmap_exact_distinct",
+    "agg_count_distinct_multi",
 ]
 assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
 
