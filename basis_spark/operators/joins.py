@@ -182,35 +182,40 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
     SELECT n_name, count(*) AS n_cust,
-           CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT))
-                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 100.0
-               AS avg_bal
+           CAST(sign(sum(CAST(round(c_acctbal * 100) AS BIGINT)))
+                * floor(abs(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            / CAST(count(*) AS DOUBLE)) + 0.5)
+                AS BIGINT) / 100.0 AS avg_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit broadcast hint — plan asserted in tests/test_plans.py.
-    # avg_bal is computed over EXACT integer cents with a floor-based
-    # half-up, not engine round(avg(...), 2): the r9 sf0.001 sweep
-    # caught a group whose float avg landed exactly on a 2dp midpoint
-    # (4201.315), where Spark's shortest-decimal HALF_UP said .32 and
-    # DuckDB's binary-value rounding said .31. Exact cents also makes
-    # the money sum order-independent — the right posture at any SF.
+    # avg_bal is computed over EXACT integer cents with a sign-aware
+    # floor-based half-up, not engine round(avg(...), 2): the r9
+    # sf0.001 sweep caught a group whose float avg landed exactly on a
+    # 2dp midpoint (4201.315), where Spark's shortest-decimal HALF_UP
+    # said .32 and DuckDB's binary-value rounding said .31. The
+    # sign-aware form (r9 advice) keeps half-up AWAY FROM ZERO for
+    # negative means too — c_acctbal can be negative in TPC-H, and the
+    # bare floor(x+0.5) form would round a negative midpoint toward
+    # +inf, diverging from Spark's own round() semantics. Exact cents
+    # also makes the money sum order-independent — the right posture
+    # at any SF.
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    mean_cents = F.sum(cents).cast("double") / F.count(F.lit(1)).cast("double")
+    half_up = F.signum(F.sum(cents).cast("double")) * F.floor(
+        F.abs(mean_cents) + 0.5
+    )
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            (
-                F.floor(
-                    F.sum(cents) / F.count(F.lit(1)).cast("double") + 0.5
-                ).cast("long")
-                / 100.0
-            ).alias("avg_bal"),
+            (half_up.cast("long") / 100.0).alias("avg_bal"),
         )
     )
 

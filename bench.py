@@ -264,8 +264,15 @@ def main() -> None:
     base: dict[str, float] = {}
     base_iqr: dict[str, float] = {}
     # b-label whose LAST paired Spark query is this q-label (b4 spans
-    # q4 + q4b, so its DuckDB twin runs after q4b)
+    # q4 + q4b, so its DuckDB twin runs after q4b). Guard the implicit
+    # assumptions (r9 advice): every pair's last q-label must be unique
+    # (two pairs sharing one would silently drop a baseline) and every
+    # last q-label must actually be a BENCH_KEYS label (a reordered or
+    # renamed key would silently never trigger its baseline).
     _pair_after = {qs[-1]: b for b, qs in PAIRS.items()}
+    assert len(_pair_after) == len(PAIRS), "PAIRS share a last q-label"
+    _orphan = [q for q in _pair_after if q not in BENCH_KEYS]
+    assert not _orphan, f"PAIRS reference unknown bench labels: {_orphan}"
 
     def _pair_baseline(qlabel: str) -> None:
         blabel = _pair_after.get(qlabel)
@@ -333,6 +340,13 @@ def main() -> None:
         _pair_baseline(label)
 
     total = round(sum(times.values()), 4)
+
+    # r9 advice: a baseline that was expected but never produced a
+    # timing (ImportError, missing sf dir, future edit breaking the
+    # pairing) must be loud, not a silently absent ratio.
+    for blabel in PAIRS:
+        if blabel not in base:
+            print(f"# WARNING: baseline {blabel} expected but absent", file=sys.stderr)
 
     ratios: dict[str, float] = {}
     for blabel, qlabels in PAIRS.items():

@@ -57,6 +57,25 @@ def main() -> int:
 
     os.environ["TZ"] = "UTC"
     _time.tzset()
+    # TOLERANCE.json freshness (r9 advice): the sidecar is gitignored
+    # per-run output, so a fresh clone has none and a stale working-tree
+    # copy can predate the code being swept. Warn (non-fatal — the sweep
+    # itself is independent of the sidecar) when it is missing or older
+    # than PYTEST_SUMMARY.txt, the last full-suite marker.
+    _tol = f"{REPO}/TOLERANCE.json"
+    _summ = f"{REPO}/PYTEST_SUMMARY.txt"
+    if not os.path.exists(_tol):
+        print(
+            "WARNING: TOLERANCE.json missing - run the full pytest suite "
+            "to regenerate the rows-only bounds sidecar",
+            file=sys.stderr,
+        )
+    elif os.path.exists(_summ) and os.path.getmtime(_tol) < os.path.getmtime(_summ):
+        print(
+            "WARNING: TOLERANCE.json predates PYTEST_SUMMARY.txt - the "
+            "bounds sidecar is stale; rerun the full pytest suite",
+            file=sys.stderr,
+        )
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # Must precede the module import: a few oracles (scan_binaryfile)
