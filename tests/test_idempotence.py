@@ -93,3 +93,25 @@ def test_double_invocation_converges(spark, key):
         f"{key}: second same-session invocation diverged "
         f"({len(rows1)} vs {len(rows2)} rows)"
     )
+
+
+def test_shuffled_order_isolation(spark):
+    """Order-independence across keys (r9 verdict #5): the per-key
+    double-invocation above proves each key converges against ITSELF,
+    but not that key B's scratch writes can't corrupt key A's next
+    invocation — the r8 schema_enforcement escape was exactly a
+    cross-key scratch collision, invisible to single-key double calls.
+    Run the full stateful set in list order, then again in a fixed
+    pseudo-random permutation in the SAME session, and assert every
+    key's snapshot is unchanged by its new neighbors."""
+    import random
+
+    first = {k: _snapshot(spark, k) for k in STATEFUL_KEYS}
+    perm = list(STATEFUL_KEYS)
+    random.Random(20260816).shuffle(perm)
+    assert perm != STATEFUL_KEYS, "permutation degenerated to list order"
+    diverged = []
+    for k in perm:
+        if _snapshot(spark, k) != first[k]:
+            diverged.append(k)
+    assert diverged == [], f"order-dependent keys: {diverged}"
