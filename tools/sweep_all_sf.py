@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Multi-SF close-out gate (r9 verdict #3): run the full oracle sweep
+at sf0.001, sf0.01 AND sf0.1 in one command and record the artifact.
+
+Why this exists as a GATE and not a habit: the driver's per-round gate
+runs only at sf0.01, and r9 proved that scale-factor-dependent
+knife-edges hide from any single SF — five real divergence classes
+(fixture-size-dependent oracles, sf0.1-only window midpoints, the
+15-site decimal-midpoint hazard) were caught only by manually sweeping
+the other two SFs. This tool makes that evidence class one command, and
+SURVEY §5's close-out protocol requires its artifact (SWEEP_ALL_SF.txt,
+committed) in the final commit of every round.
+
+Each SF runs in a SUBPROCESS: oracle_sweep pins process TZ and binds
+SPARK_GRAFT_ORACLE_SF_DIR at import time, and a single shared
+SparkSession would otherwise carry one SF's cached fixture tables into
+the next SF's run.
+
+Usage:
+    python tools/sweep_all_sf.py              # all three SFs
+    python tools/sweep_all_sf.py sf0.001 sf0.1   # subset
+
+Exit 0 iff every SF sweep exits 0. Writes SWEEP_ALL_SF.txt at the repo
+root (one summary line per SF + any FAIL lines, with a UTC timestamp
+and the git HEAD at run time).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TESTDATA = "/root/testdata"
+DEFAULT_SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or DEFAULT_SFS
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    lines = [
+        f"# sweep_all_sf @ {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} "
+        f"HEAD={head or 'unknown'}"
+    ]
+    rc = 0
+    for sf in sfs:
+        sf_dir = os.path.join(TESTDATA, sf)
+        if not os.path.isdir(sf_dir):
+            lines.append(f"{sf}: MISSING ({sf_dir})")
+            rc = 1
+            continue
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "oracle_sweep.py"), sf_dir],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        dt = time.time() - t0
+        summary = next(
+            (ln for ln in p.stdout.splitlines() if " keys in " in ln), "NO SUMMARY"
+        )
+        sf_line = f"{sf}: exit={p.returncode} wall={dt:.0f}s  {summary}"
+        lines.append(sf_line)
+        for ln in p.stdout.splitlines():
+            if ln.strip().startswith("FAIL"):
+                lines.append(f"{sf}:   {ln.strip()}")
+        if p.returncode != 0:
+            rc = 1
+            if summary == "NO SUMMARY":
+                lines.append(f"{sf}: stderr tail: {p.stderr[-500:]}")
+        print(sf_line, file=sys.stderr)
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(REPO, "SWEEP_ALL_SF.txt"), "w") as f:
+        f.write(out)
+    print(out)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
