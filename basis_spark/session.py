@@ -26,12 +26,17 @@ def default_parallelism() -> int:
 def get_spark(app_name: str = "basis-spark", cpus: int | None = None) -> SparkSession:
     """Create (or fetch) the shared tuned SparkSession."""
     n = cpus or default_parallelism()
+    # Shuffle-partition override for A/B experiments (r9 verdict #2a:
+    # re-test bench-profile partition counts with order control). The
+    # default stays 2x cores — also the right starting point on a real
+    # cluster, where AQE's coalescing absorbs the initial number.
+    shuffle_p = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * n))
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         # memory only applies if we are the one launching the JVM
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.sql.shuffle.partitions", str(2 * n))
+        .config("spark.sql.shuffle.partitions", shuffle_p)
         .config("spark.default.parallelism", str(2 * n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -214,17 +214,38 @@ def _time_baseline(label: str, sf_dir: str) -> tuple[float, float] | None:
 
 
 def main() -> None:
-    # Shuffle-partition sizing re-A/B'd in round 5 with ORDER CONTROL
-    # (alternating P=16/64/16/64 over all 12 bench keys, median-of-5
-    # each): 2.71 / 2.16 / 2.24 / 2.13 s — i.e. once codegen is warm the
-    # partition count is noise at this SF, and a naive one-pass sweep
-    # (64 first) had mis-attributed ~27% of JIT warm-up to P. The
-    # sub-second floor is JVM/codegen/Py4J fixed cost, not task count;
-    # AQE's reducer coalescing already absorbs the pre-AQE number. Kept
-    # at the session default (2x cores), which is also the right
-    # starting point on a real cluster.
+    # Shuffle-partition sizing history: the r5 order-controlled A/B
+    # (P=16/64 alternating, AQE ON in both arms) read as noise — but it
+    # never varied AQE itself. The r10 A/B (below) shows the real
+    # lever was AQE's between-stage replan barrier, with a smaller
+    # partition-count effect visible only once AQE is off.
     spark = get_spark("basis-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # BENCH PROFILE (r10, measured — r9 verdict #2a): at sf0.1 the
+    # whole working set is tens of MB, so the right task sizing is a
+    # handful of shuffle partitions, and AQE's between-stage replan
+    # barrier (a driver-side synchronization per exchange, ~30-50 ms
+    # here) costs more than its coalescing saves — its benefits
+    # (runtime coalescing, skew splitting) are no-ops on data this
+    # small. Order-controlled A/B over the bench keys (alternating
+    # config per pass, median-of-5, 2 passes): AQE+p64 2.263 s vs
+    # noAQE+p8 1.763 s over 8 keys (-22%); q11 cold LSH 2.07 -> 1.78 s;
+    # sessionization 0.43 -> 0.27 s. This is DATA-SIZE-PROPORTIONAL
+    # tuning, not scale posture: the session default everywhere else
+    # keeps AQE ON with 2x-cores partitions, which is the right
+    # starting point at the 100 TB design point (there, AQE's runtime
+    # re-plan is the single most important knob; here it's pure
+    # overhead). Both knobs are runtime-settable and scoped to this
+    # bench process. Override via env for experiments.
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    small_sf = sf_name in ("sf0.001", "sf0.01", "sf0.1")
+    bench_p = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_P", "8" if small_sf else "")
+    bench_aqe = os.environ.get("SPARK_GRAFT_BENCH_AQE", "false" if small_sf else "")
+    if bench_p:
+        spark.conf.set("spark.sql.shuffle.partitions", bench_p)
+    if bench_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", bench_aqe)
 
     load_waits = 0
     while os.getloadavg()[0] > LOAD_GATE and load_waits < 3:
@@ -379,8 +400,15 @@ def main() -> None:
                     "process (warm median-of-5, threads=32) so ambient "
                     "load hits both sides of each ratio equally (r9); b11 "
                     "at sf0.01 (brute force >300s at sf0.1) vs Spark cold "
-                    "LSH at sf0.1 - a 10x data handicap against Spark"
+                    "LSH at sf0.1 - a 10x data handicap against Spark. "
+                    "Per-action cost decomposition (Py4J build + Catalyst "
+                    "plan vs execution vs JVM task metrics) in "
+                    "BENCH_DECOMP.json via tools/bench_decompose.py (r10)"
                 ),
+                "bench_profile": {
+                    "spark.sql.shuffle.partitions": bench_p or "session",
+                    "spark.sql.adaptive.enabled": bench_aqe or "session",
+                },
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
             }
