@@ -19,6 +19,9 @@ the next SF's run.
 Usage:
     python tools/sweep_all_sf.py              # all three SFs
     python tools/sweep_all_sf.py sf0.001 sf0.1   # subset
+    python tools/sweep_all_sf.py --hostile    # 3 SFs + a 4th leg at
+        sf0.01 under SWEEP_HOSTILE=1 (local[8], America/Chicago
+        session TZ - simulates the driver's own untuned session)
 
 Exit 0 iff every SF sweep exits 0. Writes SWEEP_ALL_SF.txt at the repo
 root (one summary line per SF + any FAIL lines, with a UTC timestamp
@@ -38,7 +41,11 @@ DEFAULT_SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
 
 def main() -> int:
-    sfs = sys.argv[1:] or DEFAULT_SFS
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    sfs = [a for a in args if a != "--hostile"] or DEFAULT_SFS
+    if hostile:
+        sfs = sfs + ["sf0.01-hostile"]
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
@@ -48,7 +55,13 @@ def main() -> int:
     ]
     rc = 0
     for sf in sfs:
-        sf_dir = os.path.join(TESTDATA, sf)
+        env = dict(os.environ)
+        if sf.endswith("-hostile"):
+            env["SWEEP_HOSTILE"] = "1"
+            sf_dir = os.path.join(TESTDATA, sf.replace("-hostile", ""))
+        else:
+            env.pop("SWEEP_HOSTILE", None)
+            sf_dir = os.path.join(TESTDATA, sf)
         if not os.path.isdir(sf_dir):
             lines.append(f"{sf}: MISSING ({sf_dir})")
             rc = 1
@@ -59,6 +72,7 @@ def main() -> int:
             cwd=REPO,
             capture_output=True,
             text=True,
+            env=env,
         )
         dt = time.time() - t0
         summary = next(
