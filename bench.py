@@ -68,6 +68,24 @@ BENCH_KEYS = {
 SPREAD_RERUN = 2.0  # max/min beyond this -> one 5-run rerun batch
 LOAD_GATE = 2.0  # 1-min load_avg above this -> sleep-retry before timing
 
+# Human-readable notes are buffered and emitted AFTER the one-line JSON
+# (r10 verdict tiny-item: the driver's bounded tail-capture truncated
+# BENCH_r10 mid-JSON, losing q1-q9 — the measurement line must come
+# first in the stream). On a TTY the notes also stream live for humans.
+_NOTES: list[str] = []
+
+
+def _note(msg: str) -> None:
+    _NOTES.append(msg)
+    if sys.stderr.isatty():
+        print(msg, file=sys.stderr, flush=True)
+
+
+def _flush_notes() -> None:
+    if not sys.stderr.isatty():
+        for m in _NOTES:
+            print(m, file=sys.stderr)
+
 # The 12 DuckDB baseline queries, verbatim from SURVEY.md §6 (same texts
 # BASELINE.md measured on 2026-08-13). Keyed b1..b12; PAIRS maps them to
 # the Spark labels whose sum they correspond to (B4 covers both window
@@ -209,7 +227,7 @@ def _time_baseline(label: str, sf_dir: str) -> tuple[float, float] | None:
         runs += _timed(lambda: con.execute(sql).fetchall(), 5)
     con.close()
     med, iqr = round(_median(runs), 4), round(_iqr(runs), 4)
-    print(f"# baseline {label}: {med:.3f}s median-of-{len(runs)}", file=sys.stderr)
+    _note(f"# baseline {label}: {med:.3f}s median-of-{len(runs)}")
     return med, iqr
 
 
@@ -241,8 +259,22 @@ def main() -> None:
     # RESULT-INVARIANCE verified (r10): all 13 bench keys return
     # identical sorted rows + schema under AQE+p64 and noAQE+p8 at
     # sf0.1 (95k-row sessionization and 150k-row window included).
-    sf_name = os.path.basename(SF_DIR.rstrip("/"))
-    small_sf = sf_name in ("sf0.001", "sf0.01", "sf0.1")
+    # Profile selection is derived from DATA SIZE, not the directory
+    # basename (r10 advice: a renamed dir / sf0.05 silently got the
+    # 100TB-posture session profile, making small runs non-comparable).
+    # Threshold 1 GiB of parquet: sf0.1 is ~60 MB, so any plausible
+    # small fixture is far below it and any real at-scale dataset far
+    # above. bench_profile in the output JSON self-reports the choice.
+    try:
+        data_bytes = sum(
+            os.path.getsize(os.path.join(SF_DIR, f))
+            for f in os.listdir(SF_DIR)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        data_bytes = 0
+        _note(f"# WARNING: cannot size {SF_DIR}; using session profile")
+    small_sf = 0 < data_bytes < 1 << 30
     bench_p = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_P", "8" if small_sf else "")
     bench_aqe = os.environ.get("SPARK_GRAFT_BENCH_AQE", "false" if small_sf else "")
     if bench_p:
@@ -253,13 +285,32 @@ def main() -> None:
     load_waits = 0
     while os.getloadavg()[0] > LOAD_GATE and load_waits < 3:
         load_waits += 1
-        print(
+        _note(
             f"# load_avg {os.getloadavg()[0]:.2f} > {LOAD_GATE}; "
-            f"sleeping 30s ({load_waits}/3)",
-            file=sys.stderr,
+            f"sleeping 30s ({load_waits}/3)"
         )
         time.sleep(30)
     load_start = os.getloadavg()
+
+    # GLOBAL JVM/codegen warm-up (r10 verdict #2): the per-query single
+    # warm-up does not drain C2-JIT for the FIRST queries of a cold JVM
+    # — driver r10 read q1 at 12.7x with IQR 1.9 s, and the judge's
+    # rerun put q1/q2 at 2.5x the idle-machine values while q3-q12
+    # reproduced. Before ANY timed query, execute EVERY bench query
+    # once, untimed (including one cold LSH index build): every
+    # whole-stage-codegen shape that will be timed is compiled and
+    # JIT'd, and every parquet footer is page-cache-warm, before the
+    # clock starts. ~4 s once per process.
+    from basis_spark.operators.llm import clear_minhash_caches
+
+    t0 = time.perf_counter()
+    clear_minhash_caches()
+    for _key in BENCH_KEYS.values():
+        QUERIES[_key](spark, SF_DIR).count()
+    _note(
+        f"# global warm-up: {len(BENCH_KEYS)} queries once in "
+        f"{time.perf_counter() - t0:.1f}s (JIT/codegen drain, untimed)"
+    )
 
     # Stability-gated warm-up (r9, JMH-style): the load gate only sees
     # load_avg, but the driver runs bench right after its 7-minute
@@ -274,11 +325,11 @@ def main() -> None:
         QUERIES["agg_groupby_multi"](spark, SF_DIR).collect()
         dt = time.perf_counter() - t0
         if prev is not None and abs(dt - prev) / max(dt, prev) < 0.15:
-            print(f"# warm-up stable after {i + 1} runs ({dt:.3f}s)", file=sys.stderr)
+            _note(f"# warm-up stable after {i + 1} runs ({dt:.3f}s)")
             break
         prev = dt
     else:
-        print(f"# warm-up spent 12 runs without stabilizing ({prev:.3f}s)", file=sys.stderr)
+        _note(f"# warm-up spent 12 runs without stabilizing ({prev:.3f}s)")
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     times: dict[str, float] = {}
@@ -338,10 +389,9 @@ def main() -> None:
             iqrs[label] = round(_iqr(runs), 4)
             warm = _timed(lambda: QUERIES[key](spark, SF_DIR).collect(), 5)
             extras[label + "_warm"] = round(_median(warm), 4)
-            print(
+            _note(
                 f"# {label}: {times[label]:.3f}s cold-median / "
-                f"{extras[label + '_warm']:.3f}s warm",
-                file=sys.stderr,
+                f"{extras[label + '_warm']:.3f}s warm"
             )
             _pair_baseline(label)
             continue
@@ -349,17 +399,31 @@ def main() -> None:
         def _run():
             QUERIES[key](spark, SF_DIR).count()
 
-        _run()  # untimed warm-up
+        if label in ("q1_pricing_summary", "q2_revenue_by_nation"):
+            # First two timed queries of the session carry whatever
+            # JIT/settle residue survived the global warm-up (r10
+            # verdict #2): warm until two consecutive untimed runs
+            # agree within 15% (max 6) instead of warming once.
+            wprev = None
+            for wi in range(6):
+                w0 = time.perf_counter()
+                _run()
+                wdt = time.perf_counter() - w0
+                if wprev is not None and abs(wdt - wprev) / max(wdt, wprev) < 0.15:
+                    _note(f"# {label}: warm-up stable after {wi + 1} runs")
+                    break
+                wprev = wdt
+        else:
+            _run()  # untimed warm-up
         runs = _timed(_run, 5)
         if max(runs) / min(runs) > SPREAD_RERUN:
             reruns.append(label)
             runs += _timed(_run, 5)
         times[label] = round(_median(runs), 4)
         iqrs[label] = round(_iqr(runs), 4)
-        print(
+        _note(
             f"# {label}: {times[label]:.3f}s median-of-{len(runs)}"
-            f" (iqr {iqrs[label]:.3f}s)",
-            file=sys.stderr,
+            f" (iqr {iqrs[label]:.3f}s)"
         )
         _pair_baseline(label)
 
@@ -370,7 +434,7 @@ def main() -> None:
     # pairing) must be loud, not a silently absent ratio.
     for blabel in PAIRS:
         if blabel not in base:
-            print(f"# WARNING: baseline {blabel} expected but absent", file=sys.stderr)
+            _note(f"# WARNING: baseline {blabel} expected but absent")
 
     ratios: dict[str, float] = {}
     for blabel, qlabels in PAIRS.items():
@@ -397,26 +461,28 @@ def main() -> None:
                 "paired_ratio_total": (
                     round(total / base_total, 3) if base_total else None
                 ),
+                # Kept short (r10 tiny-item: a long JSON line risks the
+                # driver's bounded tail-capture cutting the measurement);
+                # full protocol prose lives in the module docstring +
+                # BENCH_DECOMP.json.
                 "baseline_note": (
-                    "b1-b12 = SURVEY.md §6 DuckDB texts, each re-timed "
-                    "IMMEDIATELY after its paired Spark query in the same "
-                    "process (warm median-of-5, threads=32) so ambient "
-                    "load hits both sides of each ratio equally (r9); b11 "
-                    "at sf0.01 (brute force >300s at sf0.1) vs Spark cold "
-                    "LSH at sf0.1 - a 10x data handicap against Spark. "
-                    "Per-action cost decomposition (Py4J build + Catalyst "
-                    "plan vs execution vs JVM task metrics) in "
-                    "BENCH_DECOMP.json via tools/bench_decompose.py (r10)"
+                    "paired adjacent DuckDB (SURVEY §6 texts, warm "
+                    "median-of-5); b11 DuckDB at sf0.01 = 10x data "
+                    "handicap vs Spark cold LSH at sf0.1; decomposition "
+                    "in BENCH_DECOMP.json"
                 ),
                 "bench_profile": {
                     "spark.sql.shuffle.partitions": bench_p or "session",
                     "spark.sql.adaptive.enabled": bench_aqe or "session",
+                    "data_bytes": data_bytes,
                 },
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
             }
-        )
+        ),
+        flush=True,
     )
+    _flush_notes()
 
 
 if __name__ == "__main__":
