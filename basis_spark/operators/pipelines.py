@@ -655,11 +655,20 @@ def _money_mean_sql(x: str, dp: int, filt: str = "") -> str:
     # All numeric literals go through CAST(... AS DOUBLE): Spark SQL
     # types a bare `100.0` as DECIMAL(4,1), which would silently turn
     # the final division into decimal arithmetic (DuckDB keeps double).
+    # Half-up is sign-aware (r10 advice): floor(m + 0.5) alone rounds a
+    # NEGATIVE midpoint toward +inf (-2.5 -> -2), diverging from the
+    # round-half-away-from-zero policy join_broadcast pins; the
+    # sign(m) * floor(abs(m) + 0.5) form gives -2.5 -> -3 and leaves
+    # non-negative means (o_totalprice) bit-identical to the old text.
     scale = 10 ** (dp - 2)  # cents -> released precision, exact integer
     mul = f" * CAST({scale} AS DOUBLE)" if scale != 1 else ""
+    mean = (
+        f"CAST(sum(CAST(round({x} * 100) AS BIGINT)){filt} AS DOUBLE)"
+        f"{mul} / CAST(count(*){filt} AS DOUBLE)"
+    )
     return (
-        f"CAST(floor(CAST(sum(CAST(round({x} * 100) AS BIGINT)){filt} AS DOUBLE)"
-        f"{mul} / CAST(count(*){filt} AS DOUBLE) + 0.5) AS BIGINT)"
+        f"CAST(CAST(sign({mean}) AS DOUBLE)"
+        f" * floor(abs({mean}) + 0.5) AS BIGINT)"
         f" / CAST({10 ** dp} AS DOUBLE)"
     )
 
