@@ -168,11 +168,19 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             e2e.append(time.perf_counter() - t0)
-        stages = [
-            s
-            for s in _rest(ui, app, "/stages")
-            if s["stageId"] not in before and s["status"] == "COMPLETE"
-        ]
+        # Poll until no new stage is still ACTIVE/PENDING (r10 advice:
+        # a COMPLETE-only snapshot taken while a stage is finishing
+        # drops its tasks, understating task_run_ms and inflating the
+        # idle_slot_ms upper bound). Local-mode actions are synchronous
+        # so this settles immediately in practice; the poll is the
+        # guarantee, max ~2 s. SKIPPED stages are kept and counted.
+        for _ in range(20):
+            snap = [s for s in _rest(ui, app, "/stages") if s["stageId"] not in before]
+            if not any(s["status"] in ("ACTIVE", "PENDING") for s in snap):
+                break
+            time.sleep(0.1)
+        stages = [s for s in snap if s["status"] in ("COMPLETE", "SKIPPED")]
+        n_skipped = sum(1 for s in stages if s["status"] == "SKIPPED")
         e2e_s = _median(e2e)
         exec_s = max(0.0, e2e_s - build_s - plan_s)
 
@@ -201,6 +209,7 @@ def main() -> None:
             "task_result_ms": round(res_ms, 1),
             "n_tasks_per_run": round(n_tasks, 1),
             "idle_slot_ms_ub": round(sched_ms, 1),
+            "n_skipped_stages": n_skipped,
         }
         print(f"# {label}: {json.dumps(out[label])}", file=sys.stderr)
 

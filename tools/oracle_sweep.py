@@ -15,6 +15,12 @@ Env:
     SWEEP_HOSTILE=1   use a deliberately untuned non-UTC SparkSession
                       (simulates the driver's own session) instead of
                       the tuned factory.
+    SWEEP_BENCH_PROFILE=1   apply bench.py's small-SF profile
+                      (shuffle.partitions=8, AQE off) on top of the
+                      tuned session — the r10-verdict #4 ratchet that
+                      re-proves the profile is result-invariant every
+                      close-out instead of asserting it from the
+                      one-time r10 A/B run.
 """
 
 from __future__ import annotations
@@ -101,6 +107,9 @@ def main() -> int:
         from basis_spark.session import get_spark
 
         spark = get_spark()
+    if os.environ.get("SWEEP_BENCH_PROFILE"):
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

@@ -22,6 +22,17 @@ Usage:
     python tools/sweep_all_sf.py --hostile    # 3 SFs + a 4th leg at
         sf0.01 under SWEEP_HOSTILE=1 (local[8], America/Chicago
         session TZ - simulates the driver's own untuned session)
+    python tools/sweep_all_sf.py --bench-profile  # + a leg at sf0.1
+        under SWEEP_BENCH_PROFILE=1 (shuffle.partitions=8, AQE off -
+        bench.py's small-SF profile) over a 20-key representative
+        subset, re-proving the profile result-invariant mechanically
+        every close-out (r10 verdict #4) instead of by the one-time
+        r10 A/B assertion.
+
+The close-out invocation is `--hostile --bench-profile`: ONE tool run
+writes ONE machine-generated SWEEP_ALL_SF.txt at the closing HEAD
+(r10 advice: a hand-spliced artifact with two HEADs defeats the
+"fresh single-run artifact" gate).
 
 Exit 0 iff every SF sweep exits 0. Writes SWEEP_ALL_SF.txt at the repo
 root (one summary line per SF + any FAIL lines, with a UTC timestamp
@@ -39,13 +50,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTDATA = "/root/testdata"
 DEFAULT_SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
+# Representative subset for the --bench-profile invariance leg: the 13
+# bench.py keys (the queries actually timed under the profile) plus 7
+# AQE-sensitive shapes (multi-exchange aggs, as-of/bucketed joins, set
+# ops, an iterative graph op) whose plans the partitions=8/AQE-off
+# profile could plausibly perturb.
+BENCH_PROFILE_KEYS = [
+    "agg_groupby_multi", "join_multiway_star", "sort_multikey",
+    "win_row_number_topk", "win_running_frame", "agg_count_distinct",
+    "stream_session", "agg_rollup", "join_anti", "str_regexp",
+    "similarity_topk", "dedup_near_minhash", "agg_conditional_pivot",
+    "agg_cube", "agg_grouping_sets", "join_asof", "join_bucketed",
+    "set_intersect_all", "graph_connected_components", "win_moving_median",
+]
+
 
 def main() -> int:
     args = sys.argv[1:]
     hostile = "--hostile" in args
-    sfs = [a for a in args if a != "--hostile"] or DEFAULT_SFS
+    bench_profile = "--bench-profile" in args
+    sfs = [a for a in args if not a.startswith("--")] or DEFAULT_SFS
     if hostile:
         sfs = sfs + ["sf0.01-hostile"]
+    if bench_profile:
+        sfs = sfs + ["sf0.1-benchprofile"]
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
@@ -56,11 +84,17 @@ def main() -> int:
     rc = 0
     for sf in sfs:
         env = dict(os.environ)
+        env.pop("SWEEP_HOSTILE", None)
+        env.pop("SWEEP_BENCH_PROFILE", None)
+        extra_keys: list[str] = []
         if sf.endswith("-hostile"):
             env["SWEEP_HOSTILE"] = "1"
             sf_dir = os.path.join(TESTDATA, sf.replace("-hostile", ""))
+        elif sf.endswith("-benchprofile"):
+            env["SWEEP_BENCH_PROFILE"] = "1"
+            sf_dir = os.path.join(TESTDATA, sf.replace("-benchprofile", ""))
+            extra_keys = BENCH_PROFILE_KEYS
         else:
-            env.pop("SWEEP_HOSTILE", None)
             sf_dir = os.path.join(TESTDATA, sf)
         if not os.path.isdir(sf_dir):
             lines.append(f"{sf}: MISSING ({sf_dir})")
@@ -68,7 +102,8 @@ def main() -> int:
             continue
         t0 = time.time()
         p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "oracle_sweep.py"), sf_dir],
+            [sys.executable, os.path.join(REPO, "tools", "oracle_sweep.py"), sf_dir]
+            + extra_keys,
             cwd=REPO,
             capture_output=True,
             text=True,
