@@ -311,6 +311,18 @@ def main() -> None:
         f"# global warm-up: {len(BENCH_KEYS)} queries once in "
         f"{time.perf_counter() - t0:.1f}s (JIT/codegen drain, untimed)"
     )
+    # The warm-up allocates tens of GB of short-lived garbage (13 full
+    # queries + fixture persists); ask for one collection now so the
+    # first TIMED query doesn't absorb the deferred major GC, then give
+    # the JVM a short settle: C2 compiler and GC worker threads keep
+    # running after the burst, and q1 timed immediately after the
+    # warm-up measured 0.6-0.9 s vs 0.32-0.46 s after a settle (same
+    # process, idle host).
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — best-effort, never fail the bench
+        pass
+    time.sleep(10)
 
     # Stability-gated warm-up (r9, JMH-style): the load gate only sees
     # load_avg, but the driver runs bench right after its 7-minute
@@ -360,7 +372,27 @@ def main() -> None:
         if r is not None:
             base[blabel], base_iqr[blabel] = r
 
-    for label, key in BENCH_KEYS.items():
+    # Mid-run load gate (r11): the startup gate can pass and a co-tenant
+    # spike can still land on the first timed queries (observed: q1's
+    # whole 5-run window at 3.5x with 1-min load rising 0.3 -> 4.3 while
+    # q3-q12 were clean). Before each of the first three queries, if the
+    # host is loaded, wait it out — bounded by a SHARED 120 s budget so a
+    # persistently busy host degrades to the old behavior, self-reported.
+    quiet_budget = 120.0
+
+    def _wait_quiet(qlabel: str) -> None:
+        nonlocal quiet_budget
+        while quiet_budget > 0 and os.getloadavg()[0] > LOAD_GATE:
+            _note(
+                f"# {qlabel}: load_avg {os.getloadavg()[0]:.2f} > {LOAD_GATE}; "
+                f"sleeping 30s ({quiet_budget:.0f}s budget left)"
+            )
+            time.sleep(30)
+            quiet_budget -= 30
+
+    for qi, (label, key) in enumerate(BENCH_KEYS.items()):
+        if qi < 3:
+            _wait_quiet(label)
         if label == "q11_neardup_minhash":
             # q11 memoizes its banding/candidate index per session; a
             # median-of-warm number would time cache probes, not the
