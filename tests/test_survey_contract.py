@@ -82,3 +82,23 @@ def test_rotation_front_budget():
     assert already == set(), f"window wastes slots on verified keys: {sorted(already)}"
     assert dv.get("front") == _ROTATION_FRONT, "driver_verified_keys.json front out of sync"
     assert list(QUERIES)[:50] == _ROTATION_FRONT, "window does not lead queries() order"
+
+
+def test_bench_profile_leg_keys_registered():
+    """The sweep_all_sf --bench-profile invariance leg names its 20-key
+    subset statically; a renamed or dropped key would make oracle_sweep
+    record an EXC fail only at close-out. Pin the subset to the live
+    registry (and to strict oracles — a rows-only key can't prove
+    invariance) so drift fails fast in CI instead."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(_SURVEY), "tools", "sweep_all_sf.py")
+    spec = importlib.util.spec_from_file_location("sweep_all_sf", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    keys = mod.BENCH_PROFILE_KEYS
+    assert len(keys) == len(set(keys)) == 20
+    missing = [k for k in keys if k not in QUERIES]
+    assert missing == [], f"bench-profile leg names unknown keys: {missing}"
+    non_strict = [k for k in keys if k not in ORACLES]
+    assert non_strict == [], f"bench-profile leg has rows-only keys: {non_strict}"
