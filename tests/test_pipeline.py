@@ -241,3 +241,30 @@ def test_graph_materialize_blocks(spark, tmp_path):
     # both blocks still readable (immutability)
     b0 = spark.read.parquet(os.path.join(base, "by_status", "block=0"))
     assert b0.count() == 3
+def test_money_mean_sign_aware_half_up(spark, duck):
+    """_money_mean_sql must round a decimal midpoint half AWAY FROM
+    ZERO in BOTH engines (r10 advice: the old floor(m+0.5) form sent
+    -2.505 -> -2.50, toward +inf, diverging from the join_broadcast
+    policy). The helper text is shared by impl and oracle, so this
+    pins the semantics once for both sides and for every caller
+    (sql_group_by_all, sql_identifier_binding, reshape_transpose,
+    pipeline_node_cache)."""
+    from basis_spark.operators.pipelines import _money_mean_sql
+
+    expr = _money_mean_sql("x", 2)
+    cases = [
+        ([-2.505, -2.505], -2.51),  # negative midpoint -> away from zero
+        ([2.505, 2.505], 2.51),     # positive midpoint -> away from zero
+        ([-1.0, 2.0], 0.5),         # sign(sum)>0 with negative elements
+        ([0.0, 0.0], 0.0),          # sign()=0 branch
+        ([-10.01, -10.02], -10.02),  # negative midpoint (cents mean -10.015)
+    ]
+    for vals, want in cases:
+        rows = ", ".join(f"({v!r})" for v in vals)
+        duck_got = duck.execute(
+            f"SELECT {expr} AS m FROM (VALUES {rows}) t(x)"
+        ).fetchone()[0]
+        spark_got = spark.sql(
+            f"SELECT {expr} AS m FROM (VALUES {rows}) AS t(x)"
+        ).collect()[0][0]
+        assert duck_got == spark_got == want, (vals, duck_got, spark_got, want)
