@@ -3025,16 +3025,41 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread), so k=8 cannot ORDER them — the pinned property is JL
     unbiasedness (mean norm ratio ≈ 1), and real-world manifold
     embeddings are where the rank-preserving pre-filter pays off."""
+    # r11 (guide §1.2 "per-task work" + §7.2): the original built each
+    # projection as a 64-term when/otherwise expression chain — 8 x 64
+    # = 512 nodes, a 36 KB formatted plan, and 8.4 s per action at
+    # sf0.1 (PERF_RANK), almost all of it Catalyst analysis + Janino
+    # compilation of the giant generated method (2,000 fixture rows are
+    # microseconds of real work). Giant codegen methods are also a
+    # 100 TB risk: past the 64 KB JVM method limit Spark silently falls
+    # back to interpreted evaluation. The sign matrix is deterministic
+    # (md5 of "i_j"), so fold it to literal arrays in Python (hashlib
+    # md5 == Spark md5) and reduce each projection with ONE aggregate()
+    # higher-order function. aggregate() is a left fold in index order,
+    # so the floating-point addition order — hence every output bit —
+    # is identical to the old i-ascending chain (0.0 + t0 == t0).
+    import hashlib
+
     emb = load(spark, sf_dir, "embeddings")
+    even = set(_RP_EVEN)
 
     def proj(j: int):
-        terms = None
-        for i in range(64):
-            h = F.substring(F.md5(F.lit(f"{i}_{j}")), 1, 1)
-            sign = F.when(h.isin(*_RP_EVEN), 1.0).otherwise(-1.0)
-            t = F.element_at("embedding", i + 1).cast("double") * sign
-            terms = t if terms is None else terms + t
-        return F.round(terms, 6).alias(f"p{j}")
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in even
+                    else -1.0
+                )
+                for i in range(64)
+            ]
+        )
+        folded = F.aggregate(
+            F.zip_with("embedding", signs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(folded, 6).alias(f"p{j}")
 
     return emb.select("vec_id", *[proj(j) for j in range(_RP_OUT_DIMS)])
 

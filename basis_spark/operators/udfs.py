@@ -489,23 +489,33 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _merge_cust_orders(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-    """Per-key cogroup merge: one customer row + that customer's orders
-    arrive as two aligned pandas frames; emit the joined rollup. Pure
-    pandas inside, Arrow batches across the boundary."""
+    """Bucket-level cogroup merge: ALL customers of one hash bucket and
+    ALL their orders arrive as two pandas frames; the per-customer
+    rollup runs vectorized inside (groupby + left merge). r11: cogroup
+    keyed on the raw c_custkey called this function once per CUSTOMER
+    (15k Python calls x ~2.5 ms of per-call pandas overhead = 42 s at
+    sf0.1, PERF_RANK); keying on pmod(custkey, 256) keeps the same
+    cogrouped-apply surface and exchange count but amortizes the
+    Python-call cost over whole buckets (guide §4.2: hand batches to
+    vectorized libraries, never row/key-at-a-time loops). Orphan orders
+    (no matching customer in the bucket) drop out of the left merge —
+    identical to the empty-cust-frame guard the per-key version had."""
     if cust.empty:
         return pd.DataFrame(
             columns=["c_custkey", "c_mktsegment", "n_orders", "spend"]
         )
-    n = len(orders)
-    spend = round(float(orders["o_totalprice"].sum()), 2) if n else 0.0
-    return pd.DataFrame(
-        {
-            "c_custkey": [int(cust["c_custkey"].iloc[0])],
-            "c_mktsegment": [cust["c_mktsegment"].iloc[0]],
-            "n_orders": [n],
-            "spend": [spend],
-        }
+    agg = (
+        orders.groupby("o_custkey")["o_totalprice"]
+        .agg(n_orders="size", spend="sum")
+        .reset_index()
     )
+    out = cust[["c_custkey", "c_mktsegment"]].merge(
+        agg, left_on="c_custkey", right_on="o_custkey", how="left"
+    )
+    # Round half-even on doubles == the old per-key round(float(sum), 2).
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["spend"] = out["spend"].fillna(0.0).round(2)
+    return out[["c_custkey", "c_mktsegment", "n_orders", "spend"]]
 
 
 @register(
@@ -529,12 +539,22 @@ def map_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key — same exchange count as the equivalent join — and the SQL
     oracle IS that equivalent join, pinning the custom path to the
     declarative one. Keys with no orders still emit (left-outer
-    semantics): the cogroup sees an empty right frame."""
+    semantics): the left merge inside the bucket leaves them NaN -> 0.
+
+    r11: the cogroup key is pmod(custkey, 256), not the raw custkey —
+    the per-key variant paid one Python invocation per customer (guide
+    §4's key-at-a-time antipattern; 42.5 s at sf0.1 in PERF_RANK), while
+    256 hash buckets keep the same cogrouped-apply surface, the same
+    single co-partitioning exchange per side, and identical results,
+    with the per-customer logic vectorized inside each bucket (guide
+    §4.2). 256 >> any local shuffle-partition count, so buckets spread
+    evenly (guide §2.5's many-more-keys-than-partitions rule), and at
+    the 100 TB design point bucket count is the salt-granularity knob."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     return (
-        cust.groupby("c_custkey")
-        .cogroup(orders.groupby("o_custkey"))
+        cust.groupby(F.pmod("c_custkey", F.lit(256)))
+        .cogroup(orders.groupby(F.pmod("o_custkey", F.lit(256))))
         .applyInPandas(
             _merge_cust_orders,
             schema=(

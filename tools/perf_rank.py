@@ -86,7 +86,9 @@ def main() -> int:
 
     ranked = dict(sorted(out.items(), key=lambda kv: -kv[1]))
     tag = os.path.basename(sf.rstrip("/"))
-    path = f"{REPO}/PERF_RANK_{tag}.json"
+    # A key-subset spot check must not clobber the full-registry artifact.
+    suffix = "" if not only else "_subset"
+    path = f"{REPO}/PERF_RANK_{tag}{suffix}.json"
     with open(path, "w") as f:
         json.dump(
             {
