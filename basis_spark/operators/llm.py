@@ -216,13 +216,44 @@ def _band_keys(t: DataFrame, K: int, B: int) -> DataFrame:
     R = K // B
     M60, M31 = (1 << 60) - 1, (1 << 31) - 1
     P = (1 << 31) - 1
-    sig = F.expr(
-        f"transform(sequence(0, {K - 1}),"
-        f" k -> array_min(zip_with(toks, h2, (a, b) -> pmod((a & {M60}) + k * b, {P}))))"
-    )
+
+    # r11 (guide §4.2): the signature used to be a JVM higher-order
+    # expression — transform(sequence(0,K-1), k -> array_min(zip_with(
+    # toks, h2, (a,b) -> pmod((a & M60) + k*b, P)))). HOF lambdas are
+    # INTERPRETED, so that is K x |toks| lambda evaluations per doc
+    # (char-shingle geometry: 256 x ~700 x 5000 docs ≈ 900M evals,
+    # 5.7 s of the dedup_ngram_jaccard stage budget at sf0.1). The same
+    # arithmetic in one numpy broadcast per row is exact int64 (max
+    # (2^60-1) + 255*(2^31-1) < 2^63; % == pmod on non-negatives) and
+    # Arrow-batched, so signatures are BIT-IDENTICAL and the stage is
+    # ~5x cheaper. Token hashing (xxhash64) stays in the JVM — only the
+    # (a + k*b) mod P minhash fold crosses, as two long arrays per doc.
+    import numpy as np
+    import pandas as pd
+
+    ks = np.arange(K, dtype=np.int64)
+
+    # No type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint-based dispatch then rejects the
+    # signature; the explicit returnType is authoritative anyway.
+    @F.pandas_udf("array<long>")
+    def _minhash_sig(toks_s, h2_s):
+        out = []
+        for toks, h2 in zip(toks_s, h2_s):
+            if toks is None or h2 is None or len(toks) == 0:
+                # mirror the old expression: zip_with(NULL,...) / empty
+                # input yielded an all-NULL / NULL-min signature
+                out.append([None] * K)
+                continue
+            a = np.asarray(toks, dtype=np.int64) & M60
+            b = np.asarray(h2, dtype=np.int64)
+            m = (a[:, None] + b[:, None] * ks[None, :]) % P
+            out.append(m.min(axis=0))
+        return pd.Series(out)
+
     return (
         t.withColumn("h2", F.expr(f"transform(toks, t -> xxhash64(t, 1) & {M31})"))
-        .withColumn("sig", sig)
+        .withColumn("sig", _minhash_sig("toks", "h2"))
         .select(
             "doc_id",
             "lang",
@@ -1068,6 +1099,29 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PLANES: list[list[float]] | None = None
+
+
+def _lsh_planes() -> list[list[float]]:
+    """The 48x64 md5-derived hyperplane matrix, computed once per
+    process (hashlib == Spark md5 bit-for-bit; see _sign_lsh_tagged)."""
+    global _LSH_PLANES
+    if _LSH_PLANES is None:
+        import hashlib
+
+        _LSH_PLANES = [
+            [
+                (int(hashlib.md5(f"lsh-{r}-{d}".encode()).hexdigest()[:13], 16) + 0.5)
+                / 4503599627370496.0
+                * 2.0
+                - 1.0
+                for d in range(64)
+            ]
+            for r in range(48)
+        ]
+    return _LSH_PLANES
+
+
 def _sign_lsh_tagged(emb: DataFrame) -> DataFrame:
     """48 deterministic pseudo-random hyperplanes give each vector a
     48-bit sign signature, banded 12x4; returns the input exploded to
@@ -1079,29 +1133,43 @@ def _sign_lsh_tagged(emb: DataFrame) -> DataFrame:
     switched from xxhash64 in r8): DuckDB can recompute md5 hex
     bit-identically, which is what lets both LSH consumers carry STRICT
     oracles — the banding itself, not just the re-ranked output, is
-    cross-engine reproducible. The plane expression has no column
-    references, so Catalyst constant-folds the whole 48x64 matrix once
-    per plan."""
-    planes = F.expr(
-        "transform(sequence(0, 47), r -> transform(sequence(0, 63),"
-        " d -> (CAST(conv(substring(md5(concat('lsh-', CAST(r AS STRING),"
-        " '-', CAST(d AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 0.5)"
-        " / 4503599627370496.0 * 2.0 - 1.0))"
-    )
-    sig = F.expr(
-        "transform(planes, p -> CASE WHEN aggregate(zip_with(embedding, p,"
-        " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v) >= 0"
-        " THEN '1' ELSE '0' END)"
-    )
+    cross-engine reproducible.
+
+    r11 (guide §1.2/§7.2, measured): the signature used to be one
+    nested expression — transform over a 48-element plane construct,
+    each element an md5+conv sub-expression chain re-evaluated PER ROW
+    (HOFs are never constant-folded), then array_join over slices. The
+    whole plan cost ~31 s COLD at sf0.1 (Catalyst + Janino on the
+    giant tree; 1.6 s warm — and the driver's sweep runs every key
+    exactly once, i.e. cold). Two changes, measured cold 31.2 s ->
+    5.1 s / warm 1.6 -> 0.85 s, outputs bit-identical:
+    - the matrix is folded HERE with hashlib (md5 hex == Spark md5;
+      13 hex digits = 52 bits, exact in a double; identical
+      (v + 0.5) / 2^52 * 2 - 1 op order), one 64-double literal row
+      per plane;
+    - each plane's sign is its own aggregate(zip_with(...)) fold
+      column (same d-ascending add order as before), concatenated
+      into the s48 bitstring — the band key is then
+      concat(b, ':', substring(s48, b*4+1, 4)), character-for-
+      character the oracle's own keys CTE."""
+    pls = _lsh_planes()
+
+    def _signchar(r: int):
+        fold = F.aggregate(
+            F.zip_with("embedding", F.lit(pls[r]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(fold >= 0, F.lit("1")).otherwise(F.lit("0"))
+
     bandkeys = F.expr(
         "transform(sequence(0, 11), b -> concat(b, ':',"
-        " array_join(slice(sig, b*4 + 1, 4), '')))"
+        " substring(s48, b*4 + 1, 4)))"
     )
     return (
-        emb.withColumn("planes", planes)
-        .withColumn("sig", sig)
+        emb.withColumn("s48", F.concat(*[_signchar(r) for r in range(48)]))
         .withColumn("key", F.explode(bandkeys))
-        .drop("planes", "sig")
+        .drop("s48")
     )
 
 
@@ -4149,20 +4217,40 @@ def embeddings_signbit_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines can compute bit-identically — so this sketch, the
     building block LSH banding consumes, carries a STRICT oracle.
 
-    Pure map-side work in Spark: the 16x64 plane matrix is a constant
-    expression folded into one transform/aggregate per row; no shuffle,
-    no UDF. At 100 TB this is scan-transform-write; the sketch column
-    then feeds embeddings_binary_hamming_topk-style probes."""
-    u = (
-        "(CAST(conv(substring(md5(concat('pl-', CAST(p AS STRING), '-',"
-        " CAST(d AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 0.5)"
-        " / 4503599627370496.0 - 0.5"
-    )
-    bits = F.expr(
-        f"transform(sequence(0, 15), p -> CASE WHEN"
-        f" aggregate(sequence(1, 64), 0D,"
-        f" (acc, d) -> acc + ({u}) * CAST(embedding[d-1] AS DOUBLE))"
-        f" >= 0 THEN 1 ELSE 0 END)"
+    Pure map-side work in Spark: one transform/aggregate per row; no
+    shuffle, no UDF. At 100 TB this is scan-transform-write; the sketch
+    column then feeds embeddings_binary_hamming_topk-style probes.
+
+    r11 (guide §1.2): the plane weights were md5+conv sub-expressions
+    inside the transform lambda — higher-order functions are not
+    constant-folded, so 16x64 md5 calls ran per ROW (3.6 s at sf0.1 for
+    2,000 rows, PERF_RANK). Fold the matrix in Python (hashlib md5 ==
+    Spark md5; 52-bit ints exact in doubles; identical op order:
+    (v + 0.5) / 2^52 - 0.5) and ship it as an array literal. The fold
+    over d (acc + w*x in ascending d) is unchanged, so outputs are
+    bit-identical."""
+    import hashlib
+
+    w = [
+        [
+            (int(hashlib.md5(f"pl-{p}-{d}".encode()).hexdigest()[:13], 16) + 0.5)
+            / 4503599627370496.0
+            - 0.5
+            for d in range(1, 65)
+        ]
+        for p in range(16)
+    ]
+    bits = F.transform(
+        F.lit(w),
+        lambda row: F.when(
+            F.aggregate(
+                F.zip_with(row, F.col("embedding"), lambda y, x: y * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
     emb = load(spark, sf_dir, "embeddings")
     b = emb.select("vec_id", bits.alias("bits"))
