@@ -1372,12 +1372,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     bid = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = bid.groupBy("u").agg(F.min("v").alias("mn"))
     m = F.least(F.col("u"), F.col("mn"))
+    # No trailing .distinct() (r11): the only consumer is _small_star,
+    # whose orientation step dedupes anyway — the extra exchange per
+    # round was pure overhead (guide §2.4: a `distinct` on data the
+    # next operator re-dedupes is an accidental shuffle).
     return (
         bid.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -1474,8 +1477,11 @@ def star_cc_labels(
     convergence loop, shuffle-width pinning, and lineage truncation
     live once here; see dedup_cluster_cc for the algorithm rationale.
     """
-    n_nodes = all_nodes.count()
-    max_rounds = max(6, n_nodes.bit_length() + 2)
+    # Round cap only (r11): the loop exits on the edge-set fixpoint, so
+    # the cap never binds on a healthy run — 64 covers any node count
+    # (star contraction is O(log n) rounds) without paying the extra
+    # all_nodes.count() action the old bit_length bound cost per call.
+    max_rounds = 64
     # Pin the loop's shuffle width to the edge volume (~500k edges/task),
     # restoring the session conf after: the edge set shrinks every round,
     # and pushing a few thousand survivors through the session's 64-wide
@@ -1494,7 +1500,11 @@ def star_cc_labels(
             # bit_xor, not sum: xxhash64 spans the full long range and
             # ANSI mode faults sum() overflow; xor is order-insensitive
             # and safe (edge sets are distinct, so no even-multiplicity
-            # cancellation).
+            # cancellation). (r11 note: riding these metrics on the
+            # checkpoint job via observe() was tried and REVERTED — the
+            # Observation listener delivers after the job, adding more
+            # wall time per round than the extra 4-partition agg job on
+            # checkpointed data costs.)
             chk = edges.agg(
                 F.count(F.lit(1)).alias("c"),
                 F.expr("bit_xor(xxhash64(u, v))").alias("h"),
