@@ -796,6 +796,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "node string, rank double")
     rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     srcs = edges.select(F.col("src").alias("node")).distinct()
+    # r11: graph-sized loop state; pin the shuffle width to |V| instead
+    # of paying session-width task launches per iteration (guide §2).
+    from basis_spark.session import pinned_shuffle_partitions
+
+    ctx = pinned_shuffle_partitions(spark, n)
+    ctx.__enter__()
     for _ in range(_PAGERANK_ITERS):
         dang = (
             rank.join(srcs, "node", "left_anti")
@@ -820,6 +826,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # keep the loop's plan depth bounded
         )
+    rank = rank.localCheckpoint()  # materialize under the pinned width
+    ctx.__exit__(None, None, None)
     return rank.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from basis_spark.io import load
 from basis_spark.registry import register
+from basis_spark.session import pinned_shuffle_partitions
 
 
 @register(
@@ -1505,16 +1506,20 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 97 == 0)
         .select(F.col("c_custkey").alias("node"), F.lit(0).alias("d"))
     )
-    for _ in range(_BFS_HOPS):
-        expanded = dist.join(nbr, dist["node"] == nbr["u"]).select(
-            F.col("v").alias("node"), (F.col("d") + 1).alias("d")
-        )
-        dist = (
-            dist.unionAll(expanded)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
-        )
+    # r11: per-round state is node-sized — pin the loop's shuffle width
+    # to the edge volume instead of paying session-width task launches
+    # every hop (guide §2; same pattern as star_cc_labels).
+    with pinned_shuffle_partitions(spark, edges.count()):
+        for _ in range(_BFS_HOPS):
+            expanded = dist.join(nbr, dist["node"] == nbr["u"]).select(
+                F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+            )
+            dist = (
+                dist.unionAll(expanded)
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
     return dist.select("node", F.col("d").cast("long").alias("hops"))
 
 
@@ -1648,16 +1653,19 @@ def graph_sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 97 == 0)
         .select(F.col("c_custkey").alias("node"), F.lit(0.0).alias("d"))
     )
-    for _ in range(_WSSSP_HOPS):
-        expanded = dist.join(nbrw, dist["node"] == nbrw["u"]).select(
-            F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")
-        )
-        dist = (
-            dist.unionAll(expanded)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
-        )
+    # r11: node-sized state, edge-sized joins — pin the relaxation
+    # loop's shuffle width to the measured edge volume (guide §2).
+    with pinned_shuffle_partitions(spark, nbrw.count()):
+        for _ in range(_WSSSP_HOPS):
+            expanded = dist.join(nbrw, dist["node"] == nbrw["u"]).select(
+                F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")
+            )
+            dist = (
+                dist.unionAll(expanded)
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
     return dist.select("node", F.round("d", 6).alias("cost"))
 
 
@@ -2405,16 +2413,20 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("src"), F.col("c_custkey").alias("node"), F.lit(0).alias("d")
     )
     dist = pts
-    for _ in range(_HC_HOPS):
-        expanded = dist.join(nbr, dist["node"] == nbr["u"]).select(
-            "src", F.col("v").alias("node"), (F.col("d") + 1).alias("d")
-        )
-        dist = (
-            dist.unionAll(expanded)
-            .groupBy("src", "node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
-        )
+    # r11: (src, node) state fans out with the H-hop neighborhood, so
+    # size the loop width to edges with a denser rows-per-partition
+    # budget than the node-sized loops (guide §2 scale-adaptive width).
+    with pinned_shuffle_partitions(spark, proximity_edges(spark, sf_dir).count(), rows_per_partition=20_000):
+        for _ in range(_HC_HOPS):
+            expanded = dist.join(nbr, dist["node"] == nbr["u"]).select(
+                "src", F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+            )
+            dist = (
+                dist.unionAll(expanded)
+                .groupBy("src", "node")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
     return (
         dist.filter(F.col("d") >= 1)
         .groupBy(F.col("src").alias("node"))

@@ -14,6 +14,8 @@ right default on a 1000-executor cluster reading 100 TB:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import os
 
 from pyspark.sql import SparkSession
@@ -52,3 +54,26 @@ def get_spark(app_name: str = "basis-spark", cpus: int | None = None) -> SparkSe
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
     return builder.getOrCreate()
+
+
+@contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n_rows: int, rows_per_partition: int = 500_000):
+    """Scale-adaptive shuffle width for driver-side iterative loops
+    (BFS/SSSP/PageRank/star-CC...), r11 guide §2: the per-round state of
+    these loops is graph-sized, usually orders of magnitude below the
+    table data the session's shuffle.partitions is sized for, so each
+    round at session width is all task-launch overhead. Pin the width to
+    the measured state size (n_rows, typically the checkpointed edge
+    count — a cheap count on materialized data), never above the session
+    value: at 100 TB the row count keeps the width at the session
+    setting and AQE coalesces the shrinking tail, locally a 4-to-8-wide
+    loop replaces a 64-wide one. Restores the session conf on exit; the
+    DataFrame a caller returns executes later under the restored session
+    width, so only the loop's internal actions are affected."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(4, min(int(saved), n_rows // rows_per_partition + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
