@@ -1757,20 +1757,23 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nbr.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(_LPA_ROUNDS):
-        counts = (
-            nbr.join(labels, nbr["v"] == labels["node"])
-            .select(F.col("u").alias("n2"), "label")
-            .groupBy("n2", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("n2").orderBy(F.col("c").desc(), F.col("label"))
-        labels = (
-            counts.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select(F.col("n2").alias("node"), "label")
-            .localCheckpoint()
-        )
+    # r11: graph-sized loop — pin the per-round shuffle width to the
+    # (checkpointed) neighbor-list volume (guide §2).
+    with pinned_shuffle_partitions(spark, nbr.count()):
+        for _ in range(_LPA_ROUNDS):
+            counts = (
+                nbr.join(labels, nbr["v"] == labels["node"])
+                .select(F.col("u").alias("n2"), "label")
+                .groupBy("n2", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = Window.partitionBy("n2").orderBy(F.col("c").desc(), F.col("label"))
+            labels = (
+                counts.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") == 1)
+                .select(F.col("n2").alias("node"), "label")
+                .localCheckpoint()
+            )
     return labels
 
 
