@@ -494,37 +494,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_bits(load(spark, sf_dir, "documents"))
 
 
-def _simhash_votes(docs: DataFrame) -> DataFrame:
-    """(doc_id, j, b): the j-th fingerprint bit (0/1 as int) per doc."""
+def _simhash_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, c): n = distinct tokens per doc, c = 64 bit-counts —
+    c[j] = how many of those tokens have fingerprint bit j set, where
+    bit j comes from nibble j//4 of the token's md5 hex shifted j%4
+    (the dedup_simhash oracle's exact bit convention). The j-th sign
+    vote is then s_j = 2*c[j] - n, so bit_j of the doc = (2*c[j] > n).
+
+    r11 (guide §2.3, aggregate before you shuffle): the previous shape
+    exploded every (doc, token) row 64x into (doc, j, vote) rows and
+    hash-aggregated 64x|tokens| rows across two shuffles. The 64
+    counters now accumulate in ONE groupBy as 16 packed longs — each
+    packed column covers one md5 nibble's 4 bits in four 16-bit lanes
+    (bit j rides lane j%4 of column j//4) — so the aggregation input
+    is |tokens| rows, every add is codegen'd integer math, and the
+    shuffle is 17 longs per doc. Lane width 16 bounds distinct tokens
+    per doc at 65535 (fixture max is ~300; for bigger docs widen to
+    32-bit lanes / 32 columns). Measured at sf0.1: the two simhash
+    keys' fused stage drops ~3x (see OPTIMIZATION_r11.md)."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
-    tok = tok.withColumn("h", F.md5("token")).select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    h = F.md5("token")
+    # hex chars 1-8 / 9-16 as two 32-bit ints: nibble m of the hex
+    # string is then (h1 >> 4*(7-m)) & 15 (m < 8) / same on h2 (m >= 8)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    packed = []
+    for m in range(16):
+        nib = F.shiftright(h1 if m < 8 else h2, 4 * (7 - m % 8)).bitwiseAND(F.lit(15))
+        lanes = None
+        for lane in range(4):
+            b = F.shiftright(nib, lane).bitwiseAND(F.lit(1)).cast("long")
+            term = F.shiftleft(b, 16 * lane)
+            lanes = term if lanes is None else lanes + term
+        packed.append(lanes.alias(f"p{m}"))
+    agg = (
+        tok.select("doc_id", *packed)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"p{m}").alias(f"s{m}") for m in range(16)],
+        )
     )
-    nibble = (
-        F.conv(F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1), 16, 10)
-    ).cast("int")
-    bit = (F.floor(nibble / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))).cast("int") % 2)
-    return (
-        tok.select("doc_id", "j", (2 * bit - 1).alias("vote"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
-        .select("doc_id", "j", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("b"))
+    c = F.array(
+        *[
+            F.shiftright(F.col(f"s{j // 4}"), 16 * (j % 4))
+            .bitwiseAND(F.lit(65535))
+            .cast("long")
+            for j in range(64)
+        ]
     )
+    return agg.select("doc_id", "n", c.alias("c"))
 
 
 def _simhash_bits(docs: DataFrame) -> DataFrame:
-    votes = _simhash_votes(docs).select(
-        "doc_id", "j", F.col("b").cast("string").alias("b")
-    )
-    return votes.groupBy("doc_id").agg(
+    return _simhash_counts(docs).select(
+        "doc_id",
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "b"))), lambda x: x["b"]
+                F.col("c"),
+                lambda x: F.when(2 * x > F.col("n"), F.lit("1")).otherwise(F.lit("0")),
             ),
             "",
-        ).alias("simhash")
+        ).alias("simhash"),
     )
 
 
@@ -1052,16 +1085,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fingerprints live as two 32-bit halves in longs (not the display
     # bitstring): Hamming = bit_count(xor) per half — two instructions vs
     # 64 per-character substring compares (measured 99.5 s -> seconds at
-    # sf0.1 where the corpus yields 166k qualifying pairs).
-    votes = _simhash_votes(load(spark, sf_dir, "documents"))
-    halves = votes.groupBy("doc_id").agg(
-        F.expr(
-            "sum(CASE WHEN j >= 32 THEN CAST(b AS BIGINT) * CAST(shiftleft(1L, j - 32) AS BIGINT) ELSE 0L END)"
-        ).alias("hi"),
-        F.expr(
-            "sum(CASE WHEN j < 32 THEN CAST(b AS BIGINT) * CAST(shiftleft(1L, j) AS BIGINT) ELSE 0L END)"
-        ).alias("lo"),
-    )
+    # sf0.1 where the corpus yields 166k qualifying pairs). r11: halves
+    # assemble straight from the packed bit-counts (_simhash_counts, one
+    # groupBy) instead of a second 64x-exploded vote aggregation; bit j
+    # is set iff 2*c[j] > n, exactly the vote-sum sign.
+    cnt = _simhash_counts(load(spark, sf_dir, "documents"))
+
+    def _half(lo_bit: int) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for j in range(lo_bit, lo_bit + 32):
+            bit = F.when(
+                2 * F.element_at(F.col("c"), j + 1) > F.col("n"), F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            acc = acc + F.shiftleft(bit, j - lo_bit)
+        return acc
+
+    halves = cnt.select("doc_id", _half(32).alias("hi"), _half(0).alias("lo"))
     bands = halves.select(
         "doc_id",
         "hi",
@@ -1076,7 +1115,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "hi", "lo", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = (
+        F.expr("bit_count(ha ^ hb)") + F.expr("bit_count(la ^ lb)")
+    ).cast("int")
+    # r11 (guide §2.3): the Hamming cutoff is determined by (i, j) alone
+    # (fingerprints are per-doc), so filter BEFORE the pair dedup — the
+    # distinct's input shrinks from every band collision (2.4M rows at
+    # sf0.1) to qualifying collisions only (0.4M), and the dedup row
+    # narrows to (i, j, hamming). Same output, same pair set.
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -1087,14 +1134,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.hi").alias("hb"),
             F.col("b.lo").alias("lb"),
         )
-        .dropDuplicates(["i", "j"])
-    )
-    hamming = (
-        F.expr("bit_count(ha ^ hb)") + F.expr("bit_count(la ^ lb)")
-    ).cast("int")
-    return (
-        cand.select("i", "j", hamming.alias("hamming"))
+        .select("i", "j", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["i", "j"])
         .orderBy("i", "j")
     )
 
@@ -2499,24 +2541,37 @@ def text_span_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sg"),
     ).select("doc_id", F.col("sg.start").alias("start"), F.col("sg.g").alias("g"))
-    firstdoc = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # r11 (guide §2.3/§2.4): first-doc ownership as a window MIN over the
+    # gram partition — one exchange on g instead of the groupBy(g) +
+    # join-back pair that shuffled every gram string twice.
     dup = (
-        grams.join(firstdoc, "g")
+        grams.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+        )
         .filter(F.col("first_doc") < F.col("doc_id"))
         .select("doc_id", "start")
     )
-    cov = dup.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("start"), F.col("start") + 4)).alias("pos"),
-    ).distinct()
+    # Covered-position count via interval union instead of exploding each
+    # span's 5 positions and distinct-ing 5x the rows: starts are unique
+    # per (doc, start), so |union of [s, s+4]| = sum over sorted starts of
+    # min(5, next_start - start), with the last span contributing 5. One
+    # doc_id window + a groupBy that reuses its partitioning — the
+    # (doc_id, pos) distinct exchange is gone. Identical counts by
+    # construction (overlap-correct both ways).
+    nxt = F.lead("start").over(Window.partitionBy("doc_id").orderBy("start"))
+    covered = (
+        dup.withColumn("span", F.coalesce(F.least(F.lit(5), nxt - F.col("start")), F.lit(5)))
+        .groupBy("doc_id")
+        .agg(F.sum("span").cast("long").alias("n_dup"))
+    )
     sizes = base.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-    return (
-        sizes.join(cov, "doc_id", "left")
-        .groupBy("doc_id", "n_tokens")
-        .agg(
-            F.count("pos").alias("n_dup_tokens"),
-            F.round(F.count("pos") / F.col("n_tokens"), 6).alias("dup_mass"),
-        )
+    return sizes.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup_tokens"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("long")) / F.col("n_tokens"), 6
+        ).alias("dup_mass"),
     )
 
 
@@ -2709,18 +2764,34 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct runs inside the doc_id group, so cardinality is
     per-doc bounded and the shuffle key is doc_id only."""
     # length >= 3 guard: sequence(1, len-2) descends for len < 3
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("g"),
+    # r11 (guide §2.4, remove shuffles outright): both statistics are
+    # PER-DOC functions of the doc's own gram multiset, so the explode +
+    # groupBy + countDistinct pair (two exchanges moving every 3-gram
+    # string) collapses to one map-side projection — n_grams is just
+    # length-2 and n_distinct is size(array_distinct(grams)) computed
+    # inside the row. Zero exchanges in the plan; identical output.
+    # Repartition: single-row-group fixture would serialize the gram
+    # scan on one core (same convention as the multimodal decoders).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .repartition(32, "doc_id")
     )
-    return g.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.countDistinct("g").alias("n_distinct"),
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    )
+    return docs.select(
+        "doc_id",
+        # size(grams) == length-2 by construction; avoids materializing
+        # the gram array a second time just to count it
+        (F.length("text") - 2).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
         F.round(
-            1.0 - F.countDistinct("g").cast("double") / F.count(F.lit(1)), 6
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6
         ).alias("rep_ratio"),
     )
 
@@ -3768,7 +3839,13 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5-derived bucket is the same deterministic-hash convention
     as the sampling/bootstrap keys, so the 'model features' are
     bit-reproducible across engines and reruns."""
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # Repartition: single-row-group fixture would serialize the gram
+    # explode + md5 on one core (guide §2.5 input skew).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .repartition(32, "doc_id")
+    )
     grams = docs.select(
         "doc_id",
         F.explode(

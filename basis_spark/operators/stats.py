@@ -1618,14 +1618,24 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0)
     )
     perm = (
+        # Fixture parquet is one split: without the repartition the
+        # K-way explode and its 20M md5s run in ONE map task (guide
+        # §2.5 input skew); 32-way spread is a 100k-row shuffle.
         ev.select("event_id", "value")
+        .repartition(32, "event_id")
         .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))))
         .crossJoin(F.broadcast(obs))
+        # r11 (guide §1.2 per-task work): materialize the md5-derived
+        # arm assignment ONCE per (event, perm) row in a projection
+        # below the aggregate — referenced from two aggregate
+        # expressions it was a candidate for double evaluation (each
+        # md5 + conv is the row's whole cost, K x |events| of them).
+        .withColumn("in_a", frac < F.col("frac_a"))
         .groupBy("p")
         .agg(
             F.round(
-                F.avg(F.when(frac < F.col("frac_a"), F.col("value")))
-                - F.avg(F.when(frac >= F.col("frac_a"), F.col("value"))),
+                F.avg(F.when(F.col("in_a"), F.col("value")))
+                - F.avg(F.when(~F.col("in_a"), F.col("value"))),
                 6,
             ).alias("d_p"),
             F.first("d_obs").alias("d_obs"),
