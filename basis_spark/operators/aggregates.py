@@ -1486,10 +1486,14 @@ def agg_percentile_exact_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
     ranked = global_rank(li, "v", "l_orderkey", "l_linenumber")
+    # n_total is by contract the plain row count — take it from a cheap
+    # count over the input rather than a second full run of the
+    # two-pass rank scaffold (guide §1.2: don't compute what you throw
+    # away; the scaffold subtree is NOT reused across the two branches).
     targets = spark.createDataFrame(
         [(0.5,), (0.9,), (0.99,)], "p double"
     ).crossJoin(
-        F.broadcast(ranked.agg(F.max("n_total").alias("n")))
+        F.broadcast(li.agg(F.count(F.lit(1)).alias("n")))
     ).select(
         "p",
         F.greatest(

@@ -74,15 +74,84 @@ def banded_candidates(
     )
 
 
+_BITSET_MAX_WORDS = 64  # bitset re-rank only below 4096 distinct tokens
+
+
 def exact_jaccard_rerank(cand: DataFrame, t: DataFrame, threshold: float) -> DataFrame:
-    """Shared exact re-rank: join the per-doc sorted-set table back onto
-    the candidate pairs by id and keep pairs above the exact-Jaccard
-    threshold. Plain joins — AQE broadcasts the set table while small
-    and shuffle-joins at scale (a mandatory broadcast of a corpus-sized
-    table would be an OOM order at 100 TB)."""
-    sa = t.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na"))
-    sb = t.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
+    """Shared exact re-rank: keep candidate pairs above the exact-Jaccard
+    threshold. Two physical forms, chosen from the measured token
+    universe (an AQE-style driver-side decision, guide §1.1):
+
+    - Small universe (U <= 4096 distinct tokens — char-shingle alphabets,
+      closed vocabularies): encode each doc's set as a W = ceil(U/64)-long
+      bitset via a dense dictionary, so |A∩B| is W AND+popcount terms in
+      codegen and the pair join carries 8W bytes instead of the full
+      token array (guide §2.3 shuffle keys/metadata, §8 decide with
+      small rows). Measured at sf0.1 (U = 377/31): the 2M-pair ngram
+      re-rank drops from per-pair hash-set intersects over 143-long
+      arrays to 6 bit_count terms. The dictionary id pass is a
+      row_number over the <= 4096-row universe (bounded by the branch
+      condition itself, never data-sized). Exact by construction:
+      distinct tokens get distinct bits, so popcount(A&B) = |A∩B|.
+    - Large universe: the original per-pair array_intersect, with AQE
+      broadcasting the set table while small and shuffle-joining at
+      scale (a mandatory broadcast of a corpus-sized table would be an
+      OOM order at 100 TB).
+
+    Both callers produce same-lang pairs; the dictionary is global, so
+    correctness does not depend on that.
+    """
+    tok_u = t.select(F.explode("toks").alias("tok")).distinct()
+    U = tok_u.count()
+    W = max(1, (U + 63) // 64)
+    if 0 < U and W <= _BITSET_MAX_WORDS:
+        dic = tok_u.select(
+            "tok", (F.row_number().over(Window.orderBy("tok")) - 1).alias("bid")
+        )
+        bs = (
+            t.select("doc_id", "n", F.explode("toks").alias("tok"))
+            .join(F.broadcast(dic), "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.first("n").alias("n"),
+                *[
+                    F.sum(
+                        F.expr(
+                            f"CASE WHEN bid DIV 64 = {w}"
+                            " THEN shiftleft(1L, CAST(bid % 64 AS INT))"
+                            " ELSE 0L END"
+                        )
+                    ).alias(f"w{w}")
+                    for w in range(W)
+                ],
+            )
+        )
+        # Both pair sides broadcast bs; without this the whole
+        # explode+join+agg subplan runs twice (no ReusedExchange across
+        # differently-aliased broadcasts). Lazy local checkpoint =
+        # materialize once on first use, ~48B+8W per doc.
+        bs = bs.localCheckpoint(eager=False)
+        sa = bs.select(
+            F.col("doc_id").alias("i"),
+            F.col("n").alias("na"),
+            *[F.col(f"w{w}").alias(f"xa{w}") for w in range(W)],
+        )
+        sb = bs.select(
+            F.col("doc_id").alias("j"),
+            F.col("n").alias("nb"),
+            *[F.col(f"w{w}").alias(f"xb{w}") for w in range(W)],
+        )
+        inter = F.lit(0)
+        for w in range(W):
+            inter = inter + F.expr(f"bit_count(xa{w} & xb{w})")
+    else:
+        sa = t.select(
+            F.col("doc_id").alias("i"), F.col("toks").alias("ta"), F.col("n").alias("na")
+        )
+        sb = t.select(
+            F.col("doc_id").alias("j"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+        )
+        inter = F.size(F.array_intersect("ta", "tb"))
     return (
         cand.join(sa, "i")
         .join(sb, "j")
@@ -2403,7 +2472,14 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate -> rows-only tier; the machinery (exact-within-probed-
     cells + objective improvement) is asserted in
     tests/test_tolerance.py."""
-    emb = load(spark, sf_dir, "embeddings")
+    # Repartition: single-row-group fixture would run every iteration's
+    # 10-way crossJoin + interpreted dot products on one core (guide
+    # §2.5 input skew; same convention as similarity_ann_ivf). The
+    # checkpoint materializes the training set ONCE — every Lloyd round
+    # plus the final assignment re-scanned and re-shuffled it otherwise
+    # (5 scans -> 1; Lloyd's at scale trains on a materialized sample
+    # anyway, which is exactly what this is).
+    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id").localCheckpoint()
     dot_with = "aggregate(zip_with(embedding, {c}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
     init_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
     cent = (
@@ -2445,6 +2521,13 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " (s, y) -> s + y * y)), 9))"
                 ).alias("centroid"),
             )
+            # Eager per-round checkpoint of the 10-row centroid table
+            # (same pattern as the iterative graph loops): without it
+            # every later broadcast of cent re-runs ALL previous Lloyd
+            # rounds — the final plan held the 4-round lineage three
+            # times over (assign + probe + re-rank). 10 rows, 4 tiny
+            # jobs; each round's data-sized work now runs exactly once.
+            .localCheckpoint()
         )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     cdot = F.expr(
@@ -2612,7 +2695,14 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on fp for cluster assignment. At 100 TB the fingerprint
     table is ~|text|/w rows per doc (16x smaller than the gram table a
     full-shingle join would shuffle)."""
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 23)
+    # Repartition: single-row-group fixture would run the ~10x|text|
+    # interpreted gram-hash lambdas per doc on one core (guide §2.5
+    # input skew; same convention as the multimodal decoders).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 23)
+        .repartition(32, "doc_id")
+    )
     # char codes materialized ONCE per doc; each gram hash then folds an
     # 8-slice of the codes array (the ascii(substring()) -per-character
     # form re-evaluated 8 string ops per position and measured ~2.5x
@@ -5244,6 +5334,9 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
+        # Lazy checkpoint: both pair sides re-ran the scan+shingle
+        # subtree otherwise (bounded sample rows).
+        .localCheckpoint(eager=False)
     )
     a = docs.select(
         F.col("doc_id").alias("i"), F.col("lang").alias("lang_a"), F.col("sh").alias("sa")
@@ -5421,6 +5514,11 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
                 )
             ).alias("sh"),
         )
+        # Lazy checkpoint: the sample table feeds FOUR plan branches
+        # (both pair sides + both signature sides); without it each
+        # branch re-ran the scan+shingle subtree and compiled its own
+        # codegen copy. <= _TUNE_SAMPLE_MAX_ID rows by construction.
+        .localCheckpoint(eager=False)
     )
     mh = (
         docs.select("doc_id", F.explode("sh").alias("g"))
@@ -5431,6 +5529,9 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
                 F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("g")))
             ).alias("mh")
         )
+        # Same: ma and mb below each broadcast this subtree; checkpoint
+        # = one signature computation (sample x K rows, bounded).
+        .localCheckpoint(eager=False)
     )
     a = docs.select(
         F.col("doc_id").alias("i"), F.col("lang").alias("lang_a"), F.col("sh").alias("sa")

@@ -47,15 +47,30 @@ def split_events_to_chunks(
     if not os.path.exists(os.path.join(out, "_done")):
         n = ev.count()
         per = (n + n_chunks - 1) // n_chunks
+        # ONE pass over events instead of n_chunks filtered writes
+        # (guide §1.2: same chunks, 1/n_chunks the scan work): the chunk
+        # id becomes a partition column; repartition on it puts each
+        # chunk in exactly one task = exactly one file per chunk= dir,
+        # the same layout the per-chunk coalesce(1) writes produced.
+        (
+            ev.filter((F.col("event_id") >= 0) & (F.col("event_id") < n_chunks * per))
+            .withColumn("chunk", F.floor(F.col("event_id") / per).cast("int"))
+            .repartition(n_chunks, "chunk")
+            .write.mode("overwrite")
+            .partitionBy("chunk")
+            .parquet(out)
+        )
+        # The file-source stream processes oldest-mtime first; the
+        # sequential writes used to guarantee chunk order as a side
+        # effect. Pin it explicitly (same technique as the shuffled
+        # variant below).
+        base = time.time()
         for i in range(n_chunks):
-            (
-                ev.filter(
-                    (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(out, f"chunk={i}"))
-            )
+            d = os.path.join(out, f"chunk={i}")
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    os.utime(p, (base + i * 10, base + i * 10))
         open(os.path.join(out, "_done"), "w").close()
     return out, ev
 
@@ -303,33 +318,48 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             start_us, last_us, n = state.get
         else:
             start_us, last_us, n = None, None, 0
-        closed = []
         # Concatenate the group's chunks and sort ONCE: sorting each chunk
         # independently only works if chunks happen to arrive in timestamp
         # order — events for one user split across chunks within a
         # micro-batch would otherwise sessionize out of order. Per-user
         # per-batch volume is bounded, so the concat is small.
+        # Session detection is vectorized (guide §4.2 — the per-group
+        # overhead of this API is fixed; the per-row Python loop was
+        # not): sessions are the maximal runs of the sorted µs array
+        # whose adjacent gaps stay <= gap_us, found with one diff +
+        # flatnonzero; the first run merges into the carried open
+        # session when it continues it.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
+            import numpy as np
+
             batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            for ts in batch.sort_values("ts")["ts"]:
-                us = ts.value // 1000  # pandas ns -> µs
-                if last_us is not None and us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n))
-                    start_us, n = us, 0
-                if start_us is None:
-                    start_us = us
-                last_us = us
-                n += 1
+            us = np.sort(batch["ts"].to_numpy().astype("int64")) // 1000
+            idx = np.flatnonzero(np.diff(us) > gap_us)
+            bounds = np.concatenate(([0], idx + 1, [len(us)]))
+            segs = [
+                (int(us[bounds[k]]), int(us[bounds[k + 1] - 1]), int(bounds[k + 1] - bounds[k]))
+                for k in range(len(bounds) - 1)
+            ]
+            if last_us is not None:
+                if us[0] - last_us <= gap_us:
+                    s0 = segs[0]
+                    segs[0] = (start_us, s0[1], n + s0[2])
+                else:
+                    segs.insert(0, (start_us, last_us, n))
+            start_us, last_us, n = segs[-1]
+            closed = segs[:-1]
+        else:
+            closed = []
         if last_us is not None:
             state.update((int(start_us), int(last_us), int(n)))
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [c[0] for c in closed],
-                    "sess_start": [pd.Timestamp(c[1], unit="us") for c in closed],
-                    "sess_end": [pd.Timestamp(c[2], unit="us") for c in closed],
-                    "n_events": [c[3] for c in closed],
+                    "user_id": [user_id] * len(closed),
+                    "sess_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "sess_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
                 }
             )
 
