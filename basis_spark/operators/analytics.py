@@ -649,6 +649,10 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        # Customer-sized rollup feeds three independent rank branches;
+        # the lazy checkpoint runs the orders scan+agg once instead of
+        # three times (guide §1.2).
+        .localCheckpoint(eager=False)
     )
     out = None
     for col, score in (
@@ -2416,11 +2420,25 @@ def basket_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the part key (AQE may still broadcast at small SF). The order
     total is a 1-row combine; the pair join is the same co-partitioned
     self-join as the support pass."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # The distinct basket table feeds FIVE plan branches (both pair
+    # sides, both item-frequency sides, the order total); the lazy
+    # checkpoint runs the scan+distinct once instead of five times
+    # (guide §5: reuse >= 2 and recompute is a full shuffle). Same for
+    # the parts-sized frequency table (two sides).
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    item = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a = li.toDF("l_orderkey", "part_a")
     b = li.toDF("l_orderkey", "part_b")
     pairs = (

@@ -1599,26 +1599,32 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).select("doc_id", "lang", bucket.alias("bucket"))
-    tgt = (
-        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .withColumnRenamed("bucket", "bucket_t")
+    # Both bucket histograms in ONE aggregate over the token stream
+    # (guide §1.2/§2.3: the raw and target counts rode separate scans —
+    # with the totals, FOUR passes over the exploded tokens; a
+    # conditional count folds them into one). Identical arithmetic:
+    # target buckets are a subset of raw buckets, and a bucket with no
+    # target tokens counts ct = 0 exactly where the old left join
+    # coalesced NULL to 0. The BUCKETS-row result is checkpointed so
+    # the totals cross and the rate table read it instead of re-running
+    # the pass.
+    br = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
     )
-    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tot = raw.agg(F.sum("cr").alias("t_r")).crossJoin(
-        tgt.agg(F.sum("ct").alias("t_t"))
-    )
+    tot = br.agg(F.sum("cr").alias("t_r"), F.sum("ct").alias("t_t"))
     rate = (
-        raw.join(tgt, F.col("bucket") == F.col("bucket_t"), "left")
-        .crossJoin(F.broadcast(tot))
+        br.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("t_t") + _DSIR_BUCKETS)
-                )
+                F.log((F.col("ct") + 1.0) / (F.col("t_t") + _DSIR_BUCKETS))
                 - F.log((F.col("cr") + 1.0) / (F.col("t_r") + _DSIR_BUCKETS))
             ).alias("logratio"),
         )
