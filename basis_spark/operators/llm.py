@@ -21,10 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
+from basis_spark.session import spread_width
 from basis_spark.registry import register
 
 
-def _hashed_token_sets(docs: DataFrame, n_parts: int = 64) -> DataFrame:
+def _hashed_token_sets(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
     """(doc_id, lang, toks: sorted array<long>, n) with tokens xxhash64-encoded.
 
     Two deliberate scale choices:
@@ -37,7 +38,7 @@ def _hashed_token_sets(docs: DataFrame, n_parts: int = 64) -> DataFrame:
       CountVectorizer — nothing to broadcast, works at any vocabulary size.
     """
     return (
-        docs.repartition(n_parts, "doc_id")
+        docs.repartition(n_parts or spread_width(64), "doc_id")
         .select(
             "doc_id",
             "lang",
@@ -463,7 +464,7 @@ def _ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an empty set.
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     sh = (
-        docs.repartition(64, "doc_id")
+        docs.repartition(spread_width(64), "doc_id")
         .select(
             "doc_id",
             "lang",
@@ -651,7 +652,7 @@ def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings (random near-orthogonal 64-d: max pair cos ~0.5, 59
     # pairs > 0.4 at sf0.01) — the previous 0.95 returned 0 rows, and
     # 0 == 0 passes the gate even with a broken dot product (VERDICT r1).
-    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = load(spark, sf_dir, "embeddings").repartition(spread_width(32), "vec_id")
     a = emb.alias("a")
     b = emb.alias("b")
     dot = F.expr(
@@ -1343,7 +1344,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band keys become the partition column of the vector
     table and a query probes only matching partitions.
     """
-    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = load(spark, sf_dir, "embeddings").repartition(spread_width(32), "vec_id")
     tagged = _sign_lsh_tagged(emb).select("vec_id", "label", "embedding", "key")
     qkeys = tagged.filter(F.col("vec_id") == 0).select("key").distinct()
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
@@ -2360,7 +2361,7 @@ def dedup_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_tolerance.py. With md5-derived planes (r8) the banding
     is cross-engine reproducible, so the key carries a STRICT oracle
     on top of the recall floor."""
-    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = load(spark, sf_dir, "embeddings").repartition(spread_width(32), "vec_id")
     tagged = _sign_lsh_tagged(emb).select("vec_id", "embedding", "key")
     a = tagged.select(
         F.col("vec_id").alias("i"), F.col("embedding").alias("ea"), "key"
@@ -2479,7 +2480,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus the final assignment re-scanned and re-shuffled it otherwise
     # (5 scans -> 1; Lloyd's at scale trains on a materialized sample
     # anyway, which is exactly what this is).
-    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id").localCheckpoint()
+    emb = load(spark, sf_dir, "embeddings").repartition(spread_width(32), "vec_id").localCheckpoint()
     dot_with = "aggregate(zip_with(embedding, {c}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
     init_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
     cent = (
@@ -2701,7 +2702,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") >= 23)
-        .repartition(32, "doc_id")
+        .repartition(spread_width(32), "doc_id")
     )
     # char codes materialized ONCE per doc; each gram hash then folds an
     # 8-slice of the codes array (the ascii(substring()) -per-character
@@ -2865,7 +2866,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
-        .repartition(32, "doc_id")
+        .repartition(spread_width(32), "doc_id")
     )
     grams = F.expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
@@ -3934,7 +3935,7 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
-        .repartition(32, "doc_id")
+        .repartition(spread_width(32), "doc_id")
     )
     grams = docs.select(
         "doc_id",

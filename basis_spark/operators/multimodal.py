@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basis_spark.io import load, scratch_dir
+from basis_spark.session import spread_width
 from basis_spark.registry import register
 
 FEATURE_SCHEMA = "doc_id long, mime string, n_bytes long, feat array<double>"
@@ -287,7 +288,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row per image; repartition(32) because the fixture parquet
     is one row group (single task otherwise — same remedy as every
     decode sibling)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _resize_batches,
         schema=(
@@ -398,7 +399,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JPEG/PNG extractor would run at 100 TB. Repartition: the fixture
     # parquet is one row-group (= one task), which would serialize the
     # per-doc Python decode on a single core.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _ppm_decode_batches,
         schema="doc_id long, width long, height long,"
@@ -447,7 +448,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the decoder is a value mismatch. Same Arrow-batched mapInPandas
     # shape a real feature extractor (MFCC etc.) would run at 100 TB.
     # Repartition: single-row-group fixture would serialize the decode.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _wav_decode_batches,
         schema="doc_id long, sample_rate long, n_samples long,"
@@ -534,7 +535,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the Python decode: the fixture parquet is a
     # single row group, so without it every per-doc decode+hash runs in
     # ONE task (same measured bottleneck the decode siblings fixed).
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     hashed = docs.mapInPandas(_ahash_batches, schema="doc_id long, ahash string")
     return hashed.groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -600,7 +601,7 @@ def multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id only (the batch mapper synthesizes the PPM from the id —
     # attach_binary's payload was encoded and shipped through Arrow,
     # then never read), repartitioned so decodes parallelize.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _ppm_resize_batches,
         schema="doc_id long, out_w long, out_h long, mean_r double, mean_g double, mean_b double",
@@ -796,7 +797,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched mapInPandas shape as the other decoders; repartition
     # because the fixture parquet is a single row group (one task would
     # serialize all decodes).
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _png_decode_batches,
         schema="doc_id long, width long, height long,"
@@ -876,7 +877,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks quantize only in DC. Arrow-batched mapInPandas, same
     # contract as the PNG/PPM/WAV decode keys; repartition because the
     # fixture parquet is a single row group.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _jpeg_decode_batches,
         schema="doc_id long, block_id long, v_in long, v_out long",
@@ -995,7 +996,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means alone cannot see. Oracle recomputes from the pixel formula.
     # Arrow-batched mapInPandas; repartition because the fixture
     # parquet is a single row group.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _bmp_decode_batches,
         schema="doc_id long, width long, height long,"
@@ -1047,7 +1048,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # off-by-one fails the value compare (LZW is lossless; the compare
     # is exact integers). Arrow-batched mapInPandas like the other
     # decoders; repartition because the fixture parquet is one row group.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _gif_decode_batches,
         schema="doc_id long, width long, height long,"
@@ -1100,7 +1101,7 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task emits its PARTIAL 16-bin histogram from its Arrow batch and
     # the final groupBy combines them — a 16-row shuffle regardless of
     # corpus size, the canonical map-side-reduced histogram shape.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     part = docs.mapInPandas(
         _hist_batches, schema="bin long, n_px long, luma_sum long"
     )
@@ -1168,7 +1169,7 @@ def multimodal_audio_rms_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame-boundary or endianness slip fails values, not just counts.
     # One-to-four fan-out inside the same Arrow batch — no extra
     # shuffle; frames inherit the doc's partition.
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _wav_frame_batches,
         schema="doc_id long, frame long, rms double,"
@@ -1465,7 +1466,7 @@ def multimodal_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a CONSTANT 4 rows (tiles), so the stage is a bounded map-side
     expansion with no shuffle at all — grouping happens inside the
     UDF per image, never across images."""
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _tile_batches,
         schema="doc_id long, tile_row long, tile_col long,"
@@ -1529,7 +1530,7 @@ def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: mapInPandas over Arrow doc batches, one output row per
     clip, no shuffle; at 100 TB this is the same embarrassingly
     parallel decode-and-summarize pass as every multimodal key."""
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(spread_width(32), "doc_id")
     return docs.mapInPandas(
         _trim_batches,
         schema="doc_id long, n_samples long, first_loud long,"

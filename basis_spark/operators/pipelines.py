@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load, scratch_dir
+from basis_spark.session import spread_width
 from basis_spark.pipeline import Graph
 from basis_spark.registry import register
 
@@ -580,7 +581,7 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(docs: DataFrame) -> DataFrame:
         return (
             docs.select("doc_id")
-            .repartition(32, "doc_id")
+            .repartition(spread_width(32), "doc_id")
             .mapInPandas(
                 _decode_stats,
                 schema="doc_id long, mean_luma double, contrast long, fp string",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
+from basis_spark.session import spread_width
 from basis_spark.registry import register
 
 GROUP_A = "click"
@@ -1622,7 +1623,7 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # K-way explode and its 20M md5s run in ONE map task (guide
         # §2.5 input skew); 32-way spread is a 100k-row shuffle.
         ev.select("event_id", "value")
-        .repartition(32, "event_id")
+        .repartition(spread_width(32), "event_id")
         .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))))
         .crossJoin(F.broadcast(obs))
         # r11 (guide §1.2 per-task work): materialize the md5-derived

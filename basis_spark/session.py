@@ -25,6 +25,19 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def spread_width(n32: int) -> int:
+    """Scale a local[32]-tuned fixture-spread width to this host's
+    measured parallelism (SPARK_GRAFT_CPUS — the bench/driver contract
+    knob, falling back to the machine's core count): identical layout
+    at 32 cores, proportionally fewer tiny tasks when the driver
+    benches at lower core counts, proportionally wider with more. The
+    spread exists to fan a single-split fixture scan across cores
+    before per-row-heavy work (decoders, hash folds); at real scale
+    the input arrives already split and the repartition re-keys
+    cheaply. Floor 2 keeps the spread real on local[1]."""
+    return max(2, n32 * default_parallelism() // 32)
+
+
 def get_spark(app_name: str = "basis-spark", cpus: int | None = None) -> SparkSession:
     """Create (or fetch) the shared tuned SparkSession."""
     n = cpus or default_parallelism()
