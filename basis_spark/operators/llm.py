@@ -78,7 +78,9 @@ def banded_candidates(
 _BITSET_MAX_WORDS = 64  # bitset re-rank only below 4096 distinct tokens
 
 
-def exact_jaccard_rerank(cand: DataFrame, t: DataFrame, threshold: float) -> DataFrame:
+def exact_jaccard_rerank(
+    cand: DataFrame, t: DataFrame, threshold: float, bitset: bool = True
+) -> DataFrame:
     """Shared exact re-rank: keep candidate pairs above the exact-Jaccard
     threshold. Two physical forms, chosen from the measured token
     universe (an AQE-style driver-side decision, guide §1.1):
@@ -101,9 +103,20 @@ def exact_jaccard_rerank(cand: DataFrame, t: DataFrame, threshold: float) -> Dat
 
     Both callers produce same-lang pairs; the dictionary is global, so
     correctness does not depend on that.
+
+    `bitset=False` forces the array form without the universe probe. The
+    encoding has a fixed cost of three extra jobs per build (universe
+    count, dictionary window, bitset aggregation) that only amortizes
+    over a dense candidate set: the 0.62 char-shingle caller re-ranks
+    ~2M pairs at sf0.1 and wins big, but the 0.9 word-token callers see
+    few near-threshold candidates and measured 30-60% SLOWER with the
+    probe + encode in the path (r11 A/B, idle-adjacent pairs). Those
+    callers' vocabularies are also open-ended — above the 4096 cap at
+    any real scale — so skipping the probe is the same decision the
+    auto branch would reach on production data, minus the probe job.
     """
     tok_u = t.select(F.explode("toks").alias("tok")).distinct()
-    U = tok_u.count()
+    U = tok_u.count() if bitset else 0
     W = max(1, (U + 63) // 64)
     if 0 < U and W <= _BITSET_MAX_WORDS:
         dic = tok_u.select(
@@ -435,7 +448,9 @@ def _exact_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components clustering pass."""
     t, _ = _minhash_bands(spark, sf_dir)
     cand = _minhash_candidates(spark, sf_dir)
-    return exact_jaccard_rerank(cand, t, threshold=0.9)
+    # bitset=False: near-threshold 0.9 candidates are sparse and the
+    # word vocabulary is open-ended (see exact_jaccard_rerank).
+    return exact_jaccard_rerank(cand, t, threshold=0.9, bitset=False)
 
 
 # Char-shingle banding geometry: the 0.62 oracle threshold needs shallow
@@ -4783,7 +4798,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bands") >= 2)
         .select("i", "j")
     )
-    pairs = exact_jaccard_rerank(cand, t, threshold=0.9)
+    # bitset=False: same sparse-candidate/open-vocabulary call shape as
+    # _exact_neardup_pairs (see exact_jaccard_rerank).
+    pairs = exact_jaccard_rerank(cand, t, threshold=0.9, bitset=False)
     batch = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % _INCR_MOD == 0)
