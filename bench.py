@@ -375,10 +375,12 @@ def main() -> None:
     # Mid-run load gate (r11): the startup gate can pass and a co-tenant
     # spike can still land on the first timed queries (observed: q1's
     # whole 5-run window at 3.5x with 1-min load rising 0.3 -> 4.3 while
-    # q3-q12 were clean). Before each of the first three queries, if the
-    # host is loaded, wait it out — bounded by a SHARED 120 s budget so a
-    # persistently busy host degrades to the old behavior, self-reported.
-    quiet_budget = 120.0
+    # q3-q12 were clean). Guard EVERY query, not just the first three —
+    # a mid-bench storm was observed landing on q11's cold batch (median
+    # 70 s, IQR 80 s, load 1.8 -> 12 during the run) — bounded by a
+    # SHARED 180 s budget so a persistently busy host degrades to the
+    # old behavior, self-reported.
+    quiet_budget = 180.0
 
     def _wait_quiet(qlabel: str) -> None:
         nonlocal quiet_budget
@@ -390,9 +392,8 @@ def main() -> None:
             time.sleep(30)
             quiet_budget -= 30
 
-    for qi, (label, key) in enumerate(BENCH_KEYS.items()):
-        if qi < 3:
-            _wait_quiet(label)
+    for label, key in BENCH_KEYS.items():
+        _wait_quiet(label)
         if label == "q11_neardup_minhash":
             # q11 memoizes its banding/candidate index per session; a
             # median-of-warm number would time cache probes, not the
