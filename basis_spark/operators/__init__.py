@@ -75,73 +75,76 @@ register("set_except_all", oracle=sets_sort.EXCEPT_ALL_ORACLE)(
 )
 
 # ---------------------------------------------------------------------
-# ROUND-11 DRIVER WINDOW (the first 50 keys the driver verifies).
-# tools/driver_verified_keys.json now folds CORRECTNESS_r10.json
-# (50/50 green, all first-time) = 449 cumulative verified of 577,
-# leaving 121 strict + 7 rows-only keys never driver-checked. This
-# window fronts 43 strict keys from the r10-verdict priority families
-# (corpus_* training-data tail, the full eval_* metric family, the
-# full event_* attribution/analytics tail, ts_* anomaly/causality,
-# text_* quality scores, and the io/source tail) PLUS the 7
-# never-checked rows-only-tier keys the r10 verdict item #5 orders
-# drained (the driver's weaker rows+schema gate is still external
-# evidence those keys have never received). After this window 78
-# strict keys remain for r12+.
+# ROUND-12 DRIVER WINDOW (the first 50 keys the driver verifies).
+# tools/driver_verified_keys.json now folds CORRECTNESS_r11.json
+# (43 strict greens + the 7 rows-only tolerance-tier keys rows+schema
+# checked, all first-time) = 499 cumulative verified of 577, leaving
+# 78 strict keys never driver-checked. This window fronts 50 of those
+# 78; the 28 left out are alias/hint/thin-wrapper variants of
+# already-verified surfaces (topk_per_group aliases win_row_number_topk,
+# join hints don't change results, melt/transpose/sort-null variants)
+# or family siblings of r11-verified keys (ts_*, dq_*, privacy_*,
+# retail_*, session_* tails) — all retain local 3-SF oracle coverage.
+# Priority went to never-checked keys whose internals recent
+# optimization rounds restructured (map_cogroup_pandas,
+# text_hash_features, customer_rfm_segmentation, basket_rule_lift) and
+# to whole never-checked families (udtf_*, text_* statistics,
+# maintenance_*/source_* io tail, agg_* robust-stats tail).
 # tests/test_survey_contract.py ratchets this window: len==50, every
 # key registered, rows-only keys allowed ONLY from the declared
 # tolerance tier and only while never driver-checked, none already
 # verified, and it must equal driver_verified_keys.json's "front".
 _ROTATION_FRONT = [
-    "corpus_filter_ablation",
-    "corpus_interleave_roundrobin",
-    "corpus_length_batching_waste",
-    "corpus_quality_stump",
-    "corpus_shuffle_epochs",
-    "eval_auc_rank",
-    "eval_bleu_pairs",
-    "eval_brier_decomposition",
-    "eval_calibration_bins",
-    "eval_pass_at_k",
-    "eval_pr_curve_points",
-    "eval_retrieval_mrr",
-    "eval_retrieval_recall_at_k",
-    "eval_rouge1_pairs",
-    "event_attribution_last_touch",
-    "event_attribution_linear",
-    "event_attribution_markov_removal",
-    "event_attribution_position",
-    "event_audience_overlap",
-    "event_bot_rules",
-    "event_cohort_ltv",
-    "event_conversion_paths_topn",
-    "event_dau_mau_stickiness",
-    "event_decay_engagement",
-    "event_funnel_unordered",
-    "event_funnel_window",
-    "event_growth_accounting",
-    "event_hourly_profile",
-    "event_markov_transitions",
-    "event_new_vs_returning",
-    "ts_granger_lite",
-    "ts_downsample_m4",
-    "ts_control_chart",
-    "ts_lag1_autoregression",
-    "text_bm25_score",
-    "text_gopher_quality_rules",
-    "text_readability_flesch",
-    "text_pii_scrub",
-    "scan_gzip_text",
-    "scan_parquet_encoding_stats",
-    "scan_parquet_rowgroup_stats",
-    "source_fixed_width",
-    "sink_python_datasource",
-    "agg_approx_distinct",
-    "agg_histogram_numeric",
-    "sketch_hll_distinct",
-    "sketch_hll_rollup",
-    "sketch_kll_quantiles",
-    "sketch_theta_set_ops",
-    "text_compression_ratio",
+    "agg_gini_concentration",
+    "agg_mad_robust",
+    "agg_moments_skew_kurtosis",
+    "agg_ols_multivar",
+    "agg_pivot_dynamic",
+    "agg_pivot_multi",
+    "agg_theil_index",
+    "agg_weighted_percentile",
+    "agg_winsorized_mean",
+    "basket_pair_support",
+    "basket_rule_lift",
+    "customer_rfm_segmentation",
+    "incremental_backfill_partition",
+    "interval_max_concurrency",
+    "join_fuzzy_name",
+    "join_geo_haversine_grid",
+    "join_interval_overlap_fraction",
+    "join_null_skew_isolated",
+    "maintenance_clustering_depth",
+    "maintenance_stats_sampled",
+    "maintenance_table_stats",
+    "maintenance_zorder_cluster",
+    "map_cogroup_pandas",
+    "map_in_arrow",
+    "sample_systematic_everyk",
+    "scan_binaryfile",
+    "scan_schema_evolution_merge",
+    "schema_drift_report",
+    "set_except_all",
+    "set_intersect_all",
+    "sketch_bloom_prefilter",
+    "sketch_count_min",
+    "source_arrow_roundtrip",
+    "source_csv_sniffed_dialect",
+    "source_json_multiline",
+    "source_python_datasource",
+    "source_xml_parse",
+    "stream_reactive_bridge",
+    "stream_topk_per_window",
+    "survival_nelson_aalen",
+    "text_bigram_perplexity",
+    "text_hash_features",
+    "text_mattr_diversity",
+    "text_ngram_novelty",
+    "text_source_jsd",
+    "text_stopword_ratio",
+    "text_vocab_growth",
+    "text_zipf_slope",
+    "udtf_analyze_dynamic_schema",
+    "udtf_arrow_native",
 ]
 assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
 
