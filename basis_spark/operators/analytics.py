@@ -1017,25 +1017,42 @@ def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # race on createOrReplaceTempView and read each other's table.
     vname = "events_rc_" + uuid.uuid4().hex[:12]
     ev.createOrReplaceTempView(vname)
+    # r12 (guide §1.2/§3.3): the edges CTE used to be INLINED into the
+    # recursive member, so EVERY UnionLoop iteration re-ran the
+    # data-sized window + distinct over the full events table (the
+    # committed before-plan shows the whole events->Window->Aggregate
+    # subtree under the loop join; 4 full passes for the 3-hop bound).
+    # Materialize the edge list once — it is bounded by
+    # |event types|^2, never data-sized — behind a lazy local
+    # checkpoint, and broadcast it in the recursive member so each
+    # level is a shuffle-free map-side join of the frontier. The reach
+    # expansion SQL (UNION ALL semantics, depth bound, self-loop guard,
+    # outer min) is character-identical, so levels and min_hops are
+    # unchanged; the SQL-string surface the key exists to pin remains
+    # the executed form.
+    edges = spark.sql(f"""
+        SELECT DISTINCT src, dst FROM (
+            SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                   event_type AS dst
+            FROM {vname}) t
+        WHERE src IS NOT NULL AND src <> dst
+    """).localCheckpoint(eager=False)
+    ename = "edges_rc_" + uuid.uuid4().hex[:12]
+    edges.createOrReplaceTempView(ename)
     df = spark.sql(f"""
-        WITH RECURSIVE edges AS (
-            SELECT DISTINCT src, dst FROM (
-                SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-                       event_type AS dst
-                FROM {vname}) t
-            WHERE src IS NOT NULL AND src <> dst),
-        reach(src, dst, depth) AS (
-            SELECT src, dst, 1 FROM edges
+        WITH RECURSIVE reach(src, dst, depth) AS (
+            SELECT src, dst, 1 FROM {ename}
             UNION ALL
-            SELECT r.src, e.dst, r.depth + 1
-            FROM reach r JOIN edges e ON r.dst = e.src
+            SELECT /*+ BROADCAST(e) */ r.src, e.dst, r.depth + 1
+            FROM reach r JOIN {ename} e ON r.dst = e.src
             WHERE r.depth < 3 AND r.src <> e.dst)
         SELECT src, dst, CAST(min(depth) AS INT) AS min_hops
         FROM reach GROUP BY src, dst
     """)
-    # The plan is fully analyzed at spark.sql() time, so the view can be
-    # dropped immediately — no catalog leak, no name left to race on.
+    # The plan is fully analyzed at spark.sql() time, so the views can
+    # be dropped immediately — no catalog leak, no name left to race on.
     spark.catalog.dropTempView(vname)
+    spark.catalog.dropTempView(ename)
     return df
 
 
@@ -1277,9 +1294,16 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basis_spark.operators.windows import global_cumsum
 
     li = load(spark, sf_dir, "lineitem")
+    # r12 (guide §1.2): global_cumsum references its input from two plan
+    # branches (the ranged data pass and the P-row offset pass), and the
+    # committed before-plan shows the lineitem scan + per-part rollup
+    # duplicated under both (range-partition exchanges never come back
+    # as ReusedExchange). Checkpoint the rollup — parts-sized, far
+    # smaller than the fact table — so both branches read one
+    # materialization and lineitem is scanned once.
     rev = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 4).alias("rev")
-    ).withColumn("neg_rev", -F.col("rev"))
+    ).withColumn("neg_rev", -F.col("rev")).localCheckpoint(eager=False)
     c = global_cumsum(rev, "rev", "neg_rev", "l_partkey")
     share = F.col("cum") / F.col("total")
     return c.select(

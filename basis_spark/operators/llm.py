@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from basis_spark.io import load
-from basis_spark.session import spread_width
+from basis_spark.session import pinned_shuffle_partitions, spread_width
 from basis_spark.registry import register
 
 
@@ -115,8 +115,31 @@ def exact_jaccard_rerank(
     any real scale — so skipping the probe is the same decision the
     auto branch would reach on production data, minus the probe job.
     """
-    tok_u = t.select(F.explode("toks").alias("tok")).distinct()
-    U = tok_u.count() if bitset else 0
+    if bitset:
+        # r12 (guide §1.2/§2.1): the universe subtree (explode+distinct)
+        # used to be recomputed three times — once for the U probe, once
+        # inside the dictionary window, once more under the broadcast —
+        # and the probe's distinct ran at session shuffle width although
+        # its output is capped at 4096 rows by this very branch.
+        # Checkpoint the universe lazily (one materialization, reused by
+        # the dictionary) and pin the probe's width to the map-side
+        # bound: each map task's partial-distinct output is <= the 4096
+        # universe cap when the bitset branch applies, so n_map x 4096
+        # is the exchange ceiling. At scale the map-partition count
+        # pushes the estimate back to the session width, so this is
+        # data-proportional, not a local[32] constant. Measured at
+        # sf0.1: probe 0.88 s -> 0.2 s, whole build 2.6 s -> ~1.4 s.
+        tok_u = (
+            t.select(F.explode("toks").alias("tok"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        spark = t.sparkSession
+        n_map = t.rdd.getNumPartitions()
+        with pinned_shuffle_partitions(spark, n_map * (_BITSET_MAX_WORDS * 64)):
+            U = tok_u.count()
+    else:
+        U = 0
     W = max(1, (U + 63) // 64)
     if 0 < U and W <= _BITSET_MAX_WORDS:
         dic = tok_u.select(
@@ -453,15 +476,29 @@ def _exact_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_rerank(cand, t, threshold=0.9, bitset=False)
 
 
-# Char-shingle banding geometry: the 0.62 oracle threshold needs shallow
-# bands — with r = 2, B = 128 (K = 256 minhashes) a pair at jac exactly
-# 0.62 collides per band w.p. 0.62^2 = 0.384 (expected 49 of 128 bands),
-# so requiring >= 16 colliding bands misses it w.p. 1.5e-11 while pairs
-# under jac 0.3 (the web-scale bulk) survive w.p. 0.11 and under 0.2
-# w.p. 5.7e-5. The fixture corpus is near-dup dense (most same-lang
-# pairs sit at 0.45-0.65), so local selectivity is modest — the filter's
-# job is the 100 TB regime where almost all pairs are far below 0.3.
-_NGRAM_K, _NGRAM_B, _NGRAM_MIN_BANDS = 256, 128, 16
+# Char-shingle banding geometry for the 0.62 oracle threshold,
+# re-derived in r12 (guide §3 candidate pruning; the exact re-rank
+# defines the output, so banding only sets recall and raw-collision
+# mass). r = 3, B = 85 (255 of the 256 minhashes banded), >= 4
+# colliding bands:
+# - recall: a pair at exactly jac 0.62 collides per band w.p.
+#   0.62^3 = 0.238 (expected 20.3 of 85); P[< 4 bands] = 3.0e-7,
+#   falling to 8.3e-9 at 0.65 and 4.7e-12 at 0.70.
+# - selectivity at the web-scale bulk: P[candidate | jac 0.3] = 0.20
+#   (the previous r = 2, B = 128, >= 16 geometry: 0.11 — comparable).
+# - collision MASS (what the r2 geometry got wrong): this corpus is
+#   near-dup dense (same-lang pairs mostly at jac 0.45-0.65), and at
+#   r = 2 such a pair collides in an expected 26-49 of 128 bands —
+#   measured 85.8M raw (band, i, j) collision rows at sf0.1 feeding
+#   the per-pair count aggregation, ~2.3 s of the key. At r = 3 the
+#   same pairs collide in 7.8-18 of 85 bands: 32M raw rows (-2.7x)
+#   for a near-identical candidate set (1.972M vs 1.982M pairs).
+# - r = 4, B = 64, >= 2 was MEASURED AND REJECTED: its 4.4e-4 miss
+#   probability at the exact threshold is not hypothetical — it
+#   dropped 2 of the 97,153 qualifying sf0.1 pairs. Do not re-try.
+# Empirical gate: full re-ranked output old-vs-new geometry diffed
+# IDENTICAL (0 missing, 0 extra) at sf0.001/0.01/0.1.
+_NGRAM_K, _NGRAM_B, _NGRAM_MIN_BANDS = 256, 85, 4
 _ngram_cache: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -524,12 +561,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-3-gram Jaccard near-dup via banded MinHash-LSH + exact re-rank.
 
     Same architecture as dedup_near_minhash but over character shingles
-    and with shallow-band geometry tuned for the 0.62 threshold (see
-    _NGRAM_* above): shingle sets -> 256 minhashes -> 128 bands of r=2
-    -> band-bucket self-join within lang -> band-count (>=16) + size
-    ratio (jac > 0.62 needs |A|/|B| >= 0.62) prefilters -> exact shingle
-    Jaccard re-rank, so output equals the brute-force oracle up to a
-    1.5e-11 per-pair miss probability. No full-corpus broadcast and no
+    and with band geometry tuned for the 0.62 threshold (see the
+    _NGRAM_* derivation above): shingle sets -> 256 minhashes -> 85
+    bands of r=3 -> band-bucket self-join within lang -> band-count
+    (>=4) + size ratio (jac > 0.62 needs |A|/|B| >= 0.62) prefilters ->
+    exact shingle Jaccard re-rank, so output equals the brute-force
+    oracle up to a 3.0e-7 per-pair miss probability at the exact
+    threshold (steeply less above it). No full-corpus broadcast and no
     quadratic pair join: candidates come from band buckets (shuffle on
     (lang, band-key)), and the re-rank joins the per-doc shingle table
     back by id (AQE picks broadcast locally; shuffle join at scale).
@@ -537,7 +575,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     which was OOM-by-design at 100 TB.
     """
     sh = _ngram_shingles(spark, sf_dir)
-    bands = _band_keys(sh, _NGRAM_K, _NGRAM_B)
+    # r12: the band self-join broadcasts one side, and a broadcast of a
+    # differently-aliased subtree is never a ReusedExchange — the
+    # committed before-plan shows the minhash-signature ArrowEvalPython
+    # TWICE (once per join side). Lazy local checkpoint = signatures
+    # computed once, both sides read the materialized rows (same move
+    # as the re-rank's bitset table).
+    bands = _band_keys(sh, _NGRAM_K, _NGRAM_B).localCheckpoint(eager=False)
     cand = banded_candidates(
         bands, ratio_num=62, ratio_den=100, min_bands=_NGRAM_MIN_BANDS
     )
@@ -600,6 +644,14 @@ def _simhash_counts(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
+    # r12 negative result, recorded so it is not re-tried: staging this
+    # projection (md5 halves -> nibble columns -> lane columns across
+    # three selects, to shrink the analyzed tree) measured STRICTLY
+    # WORSE — analysis cost unchanged (~0.9 s either way; the md5
+    # duplication below is CSE'd and is not where analysis time goes)
+    # and pure execution of the staged form 0.51 s -> 1.30 s at sf0.1.
+    # The win for the pairs consumer is materializing the RESULT once
+    # (see dedup_simhash_pairs), not reshaping this expression.
     h = F.md5("token")
     # hex chars 1-8 / 9-16 as two 32-bit ints: nibble m of the hex
     # string is then (h1 >> 4*(7-m)) & 15 (m < 8) / same on h2 (m >= 8)
@@ -1185,7 +1237,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.shiftleft(bit, j - lo_bit)
         return acc
 
-    halves = cnt.select("doc_id", _half(32).alias("hi"), _half(0).alias("lo"))
+    # r12 (guide §1.2): the band self-join broadcasts one side, and the
+    # committed before-plan shows the ENTIRE counts+halves subtree
+    # (token explode, md5 packing, 17-column groupBy, 64 bit terms)
+    # duplicated under both sides — executed and re-analyzed twice per
+    # action. One lazy local checkpoint of the 3-long-per-doc halves
+    # table materializes it once; both join sides read the rows and the
+    # per-action plan shrinks to the band join itself.
+    halves = cnt.select(
+        "doc_id", _half(32).alias("hi"), _half(0).alias("lo")
+    ).localCheckpoint(eager=False)
     bands = halves.select(
         "doc_id",
         "hi",
@@ -2290,6 +2351,11 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must stay unfiltered: a 4-token doc is a (doc, n, 0, 0.0) row in
     # the report (and in the oracle), not an absent one
     toks = base.filter(F.size("t") >= 5)
+    # r12 (guide §1.2): this distinct gram table feeds FOUR plan branches
+    # (both self-join sides and both size joins), and the committed
+    # before-plan shows the Scan->Generate->distinct subtree duplicated
+    # four times — the 5-gram explode ran 4x per call. One lazy local
+    # checkpoint materializes it once; every branch reads the rows.
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -2298,7 +2364,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice(F.col("t"), i + 1, 5), " "),
             )
         ).alias("g"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")
